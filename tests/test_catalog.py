@@ -1,0 +1,79 @@
+"""Snapshot catalog: atomic commits, snapshot isolation, resume, retention."""
+
+import os
+
+import pytest
+
+from xrpl_rich_list_py_crawler_spark.plans.rounds import CrawlRun
+from xrpl_rich_list_py_crawler_spark.sources.catalog import SnapshotCatalog
+
+
+def test_uncommitted_round_invisible(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.createDataFrame([(1, 1)], "url_hash long, round int")
+    cat.commit_round(1, {"seen": df})
+    # simulate a torn write: data dir exists but manifest not updated
+    torn = os.path.join(str(tmp_path), "seen", "r00002")
+    df.write.mode("overwrite").parquet(torn)
+    out = cat.read_appended(spark, "seen")
+    assert out.count() == 1  # r2 invisible
+    assert cat.last_round() == 1
+
+
+def test_resume_equals_uninterrupted(spark, crawl_sf0001, tmp_path):
+    """Kill after round 1, resume → identical final state (FIXTURES.md §7.5)."""
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(crawl_sf0001, "robots.parquet"))
+    seeds = spark.read.parquet(os.path.join(crawl_sf0001, "seeds.parquet"))
+
+    cat_a = SnapshotCatalog(str(tmp_path / "a"))
+    CrawlRun(spark, cat_a, pages, robots, use_bloom=False).run(2, seeds)
+
+    cat_b = SnapshotCatalog(str(tmp_path / "b"))
+    CrawlRun(spark, cat_b, pages, robots, use_bloom=False).run(1, seeds)
+    # "crash"; a fresh CrawlRun resumes from the manifest
+    CrawlRun(spark, cat_b, pages, robots, use_bloom=False).run(2)
+
+    for table in ["results", "seen"]:
+        a = {
+            tuple(r)
+            for r in cat_a.read_appended(spark, table)
+            .select("url_hash" if table == "seen" else "url", "round")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in cat_b.read_appended(spark, table)
+            .select("url_hash" if table == "seen" else "url", "round")
+            .collect()
+        }
+        assert a == b
+    fa = {tuple(r) for r in cat_a.read_state(spark, "frontier").collect()}
+    fb = {tuple(r) for r in cat_b.read_state(spark, "frontier").collect()}
+    assert fa == fb
+
+
+def test_fresh_run_without_seeds_raises(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    robots = spark.createDataFrame(
+        [],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double, "
+        "max_fetches_per_round int, host_rank double",
+    )
+    with pytest.raises(ValueError):
+        CrawlRun(spark, cat, pages, robots).run(1)
+
+
+def test_expire_rounds_retention(spark, tmp_path):
+    """≅ cleanup_old_rich_list_data (function.sql:408-422)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    for r in range(1, 6):
+        df = spark.createDataFrame([(r, r)], "url_hash long, round int")
+        cat.commit_round(r, {"seen": df})
+    dropped = cat.expire_rounds(keep_last=2)
+    assert dropped == [1, 2, 3]
+    assert cat.read_appended(spark, "seen").count() == 2
+    assert not os.path.exists(os.path.join(str(tmp_path), "seen", "r00001"))

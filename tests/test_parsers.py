@@ -1,0 +1,171 @@
+"""Parser layer: byte-identical goldens + oracle agreement.
+
+Pins the input_hint invariant ("byte-identical extracted text per url"):
+pure-Python twin == Arrow UDF == pages.text golden column.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.functions import (
+    canonical_label,
+    canonicalize_url,
+    canonicalize_url_udf,
+    extract_links_udf,
+    extract_text,
+    extract_text_udf,
+    format_label,
+    parse_percentage,
+    parse_xrp_amount,
+)
+from xrpl_rich_list_py_crawler_spark.functions.parsers_ref import (
+    canonical_label_sql,
+    extract_links,
+)
+from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+    canonical_label_col,
+    format_label_col,
+    parse_percentage_udf,
+    parse_xrp_amount_udf,
+)
+from xrpl_rich_list_py_crawler_spark.sources.fixtures import LABEL_POOL
+
+
+def test_extract_text_byte_identical_ref(crawl_sf0001):
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    for r in pages.itertuples(index=False):
+        assert extract_text(bytes(r.html)) == r.text
+
+
+def test_extract_text_byte_identical_udf(spark, crawl_sf0001):
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    mism = pages.withColumn("got", extract_text_udf("html")).filter(
+        F.col("got") != F.col("text")
+    )
+    assert mism.count() == 0
+
+
+def test_extract_links_udf_matches_ref(spark, crawl_sf0001):
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet")).head(200)
+    sdf = spark.createDataFrame(pages[["url", "html"]])
+    got = {
+        r["url"]: r["links"]
+        for r in sdf.withColumn("links", extract_links_udf("html")).collect()
+    }
+    for r in pages.itertuples(index=False):
+        assert got[r.url] == extract_links(bytes(r.html))
+
+
+CANON_CASES = [
+    ("https://H1.Example1.COM/p/5", "https://h1.example1.com/p/5"),
+    ("https://h1.example1.com:443/p/5", "https://h1.example1.com/p/5"),
+    ("http://h1.example1.com:80/p/5", "http://h1.example1.com/p/5"),
+    ("http://h1.example1.com:8080/p/5", "http://h1.example1.com:8080/p/5"),
+    ("https://h1.example1.com/p/5/", "https://h1.example1.com/p/5"),
+    ("https://h1.example1.com/p/5#frag", "https://h1.example1.com/p/5"),
+    ("https://h1.example1.com/p/5?b=2&a=1", "https://h1.example1.com/p/5?a=1&b=2"),
+    ("https://h1.example1.com", "https://h1.example1.com/"),
+    ("HTTPS://h1.example1.com/", "https://h1.example1.com/"),
+]
+
+
+@pytest.mark.parametrize("raw,canon", CANON_CASES)
+def test_canonicalize_url_ref(raw, canon):
+    assert canonicalize_url(raw) == canon
+    assert canonicalize_url(canon) == canon  # idempotent
+
+
+def test_canonicalize_url_udf_matches_ref(spark, crawl_sf0001):
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    urls = list(pages["url"]) + [c[0] for c in CANON_CASES]
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in sdf.withColumn("c", canonicalize_url_udf("url")).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize_url(u)
+
+
+AMOUNT_CASES = [
+    ("1,234.56 XRP", 1234.56),
+    ("XRP 42", 42.0),
+    ("  7 ", 7.0),
+    ("", 0.0),
+    ("-", 0.0),
+    ("garbage", 0.0),
+    ("1e3", 1000.0),
+    ("-55,000", -55000.0),
+]
+
+PCT_CASES = [("12.5%", 12.5), (" 0.001 %", 0.001), ("", 0.0), ("x%", 0.0)]
+
+
+def test_parse_amount_ref():
+    for s, want in AMOUNT_CASES:
+        assert parse_xrp_amount(s) == want
+    for s, want in PCT_CASES:
+        assert parse_percentage(s) == want
+
+
+def test_parse_amount_udf_matches_ref(spark):
+    df = spark.createDataFrame([(s,) for s, _ in AMOUNT_CASES], "s string")
+    got = [r["v"] for r in df.select(parse_xrp_amount_udf("s").alias("v")).collect()]
+    assert got == [w for _, w in AMOUNT_CASES]
+    df = spark.createDataFrame([(s,) for s, _ in PCT_CASES], "s string")
+    got = [r["v"] for r in df.select(parse_percentage_udf("s").alias("v")).collect()]
+    assert got == [w for _, w in PCT_CASES]
+
+
+def test_canonical_label_all_branches_vs_duckdb(spark):
+    """29-branch CASE (function.sql:17-50): Python twin == Spark Column ==
+    DuckDB SQL rendering of the same CASE."""
+    labels = LABEL_POOL + [
+        "Ripple", "RippleX", "FTX cold storage", "FTX", "GateHub Ltd",
+        "old gatehub thing", "~tilde (note)", "Plain Name (with note)",
+        "NoParen", "eToro", "Evernode Labs Ltd (ops)",
+    ]
+    # Spark column expression
+    sdf = spark.createDataFrame([(l,) for l in labels], "label string")
+    got_spark = {
+        r["label"]: r["g"]
+        for r in sdf.withColumn("g", canonical_label_col(F.col("label"))).collect()
+    }
+    # DuckDB oracle
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"label": labels}))
+    got_duck = dict(
+        con.execute(
+            f"SELECT label, {canonical_label_sql('label')} AS g FROM t"
+        ).fetchall()
+    )
+    for l in labels:
+        want = canonical_label(l)
+        assert got_spark[l] == want, l
+        assert got_duck[l] == want, l
+
+
+def test_format_label(spark):
+    cases = [
+        ("", "", "Unknown"),
+        ("Unknown", "d", "Unknown"),
+        ("Kraken", "", "Kraken"),
+        ("Kraken", "cold", "Kraken (cold)"),
+        (None, None, "Unknown"),
+    ]
+    for name, desc, want in cases[:-1]:
+        assert format_label(name, desc) == want
+    df = spark.createDataFrame(
+        [(n, d) for n, d, _ in cases], "name string, desc string"
+    )
+    got = [
+        r["l"]
+        for r in df.select(
+            format_label_col(F.col("name"), F.col("desc")).alias("l")
+        ).collect()
+    ]
+    assert got == [w for _, _, w in cases]

@@ -1,0 +1,91 @@
+"""Politeness: robots gate + token-bucket window assignment (T8/J3)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+    apply_robots,
+    assign_politeness,
+)
+
+
+def _cands(spark, n_per_host=20, hosts=("a.com", "b.com")):
+    epoch = datetime(2026, 1, 1)
+    rows = []
+    for h in hosts:
+        for i in range(n_per_host):
+            rows.append(
+                (
+                    f"https://{h}/p/{i}",
+                    hash((h, i)) % (2**62),
+                    h,
+                    i % 3,
+                    0.5,
+                    epoch + timedelta(seconds=i),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, depth int, host_rank double, "
+        "discovery_ts timestamp",
+    )
+
+
+def _robots(spark):
+    return spark.createDataFrame(
+        [
+            ("a.com", ["/private"], 2.0, 5, 0.9),
+            ("b.com", ["/"], 1.0, 16, 0.5),
+        ],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double, "
+        "max_fetches_per_round int, host_rank double",
+    )
+
+
+def test_robots_full_disallow_and_prefix(spark):
+    cands = _cands(spark).union(
+        spark.createDataFrame(
+            [
+                (
+                    "https://a.com/private/x",
+                    123,
+                    "a.com",
+                    0,
+                    0.5,
+                    datetime(2026, 1, 1),
+                )
+            ],
+            _cands(spark).schema,
+        )
+    )
+    out = apply_robots(cands, _robots(spark))
+    denied = {r["url"] for r in out.filter("robots_denied").collect()}
+    assert "https://a.com/private/x" in denied
+    assert all(u.startswith("https://b.com/") for u in denied - {"https://a.com/private/x"})
+    assert len(denied) == 21  # all 20 b.com + the /private one
+
+
+def test_unknown_host_defaults(spark):
+    cands = spark.createDataFrame(
+        [("https://zz.org/x", 1, "zz.org", 0, 0.0, datetime(2026, 1, 1))],
+        _cands(spark).schema,
+    )
+    r = apply_robots(cands, _robots(spark)).collect()[0]
+    assert not r["robots_denied"]
+    assert r["crawl_delay_s"] == 1.0
+    assert r["max_fetches_per_round"] == 16
+
+
+def test_token_bucket_budget_and_delay(spark):
+    out = assign_politeness(
+        apply_robots(_cands(spark), _robots(spark)).filter("NOT robots_denied")
+    )
+    a = out.filter("host = 'a.com'").orderBy("host_slot").collect()
+    assert sum(r["selected"] for r in a) == 5  # budget
+    # slots are 1..n, delay = (slot-1) * crawl_delay
+    assert [r["host_slot"] for r in a] == list(range(1, len(a) + 1))
+    assert all(r["fetch_delay_s"] == (r["host_slot"] - 1) * 2.0 for r in a)
+    # priority: depth asc first
+    sel = [r for r in a if r["selected"]]
+    assert [r["depth"] for r in sel] == sorted(r["depth"] for r in sel)

@@ -1,0 +1,100 @@
+"""Per-host politeness: robots gate + token-bucket window assignment.
+
+Generalizes the reference's client-side admission control — batches of 16
+with 1-2 s inter-batch sleeps (``validator.py:123,181-182``,
+``scraper.py:260-261``) — and its broadcast dimension gate
+(``loader.py:120-136``, ``enricher-rlusd.py:82-101``) into pure window
+math: no wall clock, fully deterministic, shuffle-partitioned by host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Deterministic intra-host priority (BASELINE.json north_rule frontier
+#: order). ``url_hash`` is the total-order tie-break that makes crawl order
+#: a pure function of data, never of partitioning (SURVEY.md §7.4).
+PRIORITY_COLS = ("depth", "host_rank_desc", "discovery_ts", "url_hash")
+
+
+def priority_cols(df: DataFrame) -> list:
+    return [
+        F.col("depth").asc(),
+        F.col("host_rank").desc(),
+        F.col("discovery_ts").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Annotate candidates with ``robots_denied`` + politeness params.
+
+    ``robots`` is a small per-host dimension → broadcast hash join (J3).
+    A URL is denied when any disallow prefix matches its path; hosts absent
+    from the dimension default to allow / delay 1s / budget 16
+    (≅ defaults at ``enricher-rlusd.py:95-100``).
+    """
+    path = F.regexp_replace(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+    path = F.when(path == "", "/").otherwise(path)
+    denied = F.exists(
+        F.col("disallow_prefixes"),
+        lambda p: F.col("_path").startswith(p),
+    )
+    return (
+        candidates.withColumn("_path", path)
+        .join(
+            F.broadcast(
+                robots.select(
+                    "host", "disallow_prefixes", "crawl_delay_s",
+                    "max_fetches_per_round",
+                )
+            ),
+            "host",
+            "left",
+        )
+        .withColumn("crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1.0)))
+        .withColumn(
+            "max_fetches_per_round",
+            F.coalesce("max_fetches_per_round", F.lit(16)),
+        )
+        .withColumn(
+            "robots_denied",
+            F.when(F.col("disallow_prefixes").isNull(), F.lit(False)).otherwise(
+                F.coalesce(denied, F.lit(False))
+            ),
+        )
+        .drop("_path", "disallow_prefixes")
+    )
+
+
+def assign_politeness(allowed: DataFrame) -> DataFrame:
+    """Token-bucket slot assignment within each host (T8 as window math).
+
+    Adds:
+      * ``host_slot``     — 1-based fetch position within the host this
+                            round (``row_number`` over the priority order);
+      * ``selected``      — slot ≤ per-host budget (reference batch_size=16,
+                            ``validator.py:123``); unselected rows are
+                            *deferred*, not dropped — they stay in the
+                            frontier for the next round;
+      * ``fetch_delay_s`` — (slot-1) × crawl_delay: the deterministic stand-in
+                            for ``asyncio.sleep`` pacing
+                            (``validator.py:181-182``).
+
+    One shuffle on ``host``; the window sort is the only per-host work.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("depth").asc(),
+        F.col("discovery_ts").asc(),
+        F.col("url_hash").asc(),
+    )
+    slot = F.row_number().over(w)
+    return (
+        allowed.withColumn("host_slot", slot)
+        .withColumn("selected", F.col("host_slot") <= F.col("max_fetches_per_round"))
+        .withColumn(
+            "fetch_delay_s",
+            (F.col("host_slot") - 1).cast("double") * F.col("crawl_delay_s"),
+        )
+    )

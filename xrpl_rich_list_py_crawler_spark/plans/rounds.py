@@ -1,0 +1,284 @@
+"""crawl_round(): one frontier round as a single DataFrame job.
+
+The Spark re-expression of the reference's hourly pipeline
+(``loader.py`` merge→sort→rank→append fused with ``scraper.py`` parsing and
+``validator.py`` politeness; SURVEY.md §3.1):
+
+    frontier ──anti-join──▶ unseen ──robots──▶ allowed ──window──▶ selected
+        (bloom+exact)       (broadcast dim)     (token bucket, ≤16/host)
+    selected ──join pages──▶ fetched ──Arrow UDF──▶ text+links ──▶
+        results (ranked, lineage-stamped)  +  next frontier  +  metrics
+        — all committed atomically as one catalog round.
+
+Semantics (shared verbatim with plans/simulator.py, which re-implements
+them in single-process pandas for crawl-order equivalence goldens):
+
+* fetch order is a pure function of data: (depth asc, host_rank desc,
+  discovery_ts asc, url_hash asc) — identical at any parallelism;
+* robots-denied and fetch-missing URLs are marked seen (never retried —
+  the reference's zero-out-on-failure policy, ``validator.py:158-174``);
+* budget-deferred URLs stay in the frontier for the next round;
+* link discovery: depth = min over parents + 1 is NOT used — each link row
+  gets parent.depth+1 and duplicates collapse to the minimum (depth,
+  discovery_ts) per url_hash;
+* discovery_ts of a new link = the parent page's warc_ts (data-derived; no
+  wall clock — determinism ban, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    canonicalize_url_udf,
+    extract_links_udf,
+    extract_text_udf,
+    host_col,
+)
+from ..operators.frontier import global_rank
+from ..operators.politeness import apply_robots, assign_politeness
+from ..operators.seen import anti_join_seen, anti_join_seen_bloom
+from ..sources.catalog import SnapshotCatalog
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "host_rank", "discovery_ts", "round",
+]
+
+
+def index_pages(pages: DataFrame) -> DataFrame:
+    """Key the corpus by canonical-url hash once per run.
+
+    One Arrow-UDF pass + JVM hashing; at 100 TB this is the scan you cache
+    (or better: persist as a bucketed table partitioned by
+    ``pmod(url_hash, B)`` so every round's fetch join is shuffle-free on
+    the pages side).
+    """
+    canon = pages.withColumn("canon_url", canonicalize_url_udf("url"))
+    return canon.select(
+        F.xxhash64("canon_url").alias("url_hash"),
+        F.col("canon_url"),
+        "warc_ts",
+        "html",
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """Round-0 frontier state from the seed list (urls already canonical)."""
+    return seeds.select(
+        F.col("url"),
+        F.xxhash64("url").alias("url_hash"),
+        host_col(F.col("url")).alias("host"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("host_rank").cast("double").alias("host_rank"),
+        F.col("discovery_ts"),
+        F.lit(0).alias("round"),
+    )
+
+
+class CrawlRun:
+    """A resumable multi-round crawl over a pages corpus.
+
+    State (frontier) + appends (results, metrics, seen) live in a
+    :class:`SnapshotCatalog`; ``resume()`` continues from the last committed
+    round (T7 checkpoint/resume, ``validator.py:184-185`` atomic-swap
+    generalized).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        pages: DataFrame,
+        robots: DataFrame,
+        use_bloom: bool = True,
+        job_id: str = "crawl",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.robots = robots
+        self.use_bloom = use_bloom
+        self.job_id = job_id
+        self.pages_idx = index_pages(pages)
+
+    # -- state accessors -----------------------------------------------------
+
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Commit round 0 = seed frontier, empty seen."""
+        frontier = seeds_to_frontier(seeds)
+        empty_seen = self.spark.createDataFrame([], "url_hash long, round int")
+        self.catalog.commit_round(0, {"frontier": frontier, "seen": empty_seen})
+
+    def _frontier(self, round_n: int) -> DataFrame:
+        return self.catalog.read_state(self.spark, "frontier", round_n)
+
+    def _seen(self, up_to: int) -> DataFrame | None:
+        return self.catalog.read_appended(self.spark, "seen", up_to)
+
+    # -- one round -----------------------------------------------------------
+
+    def run_round(self, round_n: int) -> dict[str, DataFrame]:
+        """Execute round ``round_n`` (≥1) and atomically commit
+        results/metrics/seen-increment/next-frontier."""
+        prev = round_n - 1
+        frontier = self._frontier(prev)
+        seen = self._seen(prev)
+
+        # 1. dedup against the seen set (bloom pre-filter + exact repair)
+        if self.use_bloom:
+            unseen = anti_join_seen_bloom(self.spark, frontier, seen)
+        else:
+            unseen = anti_join_seen(frontier, seen)
+
+        # 2. robots gate (broadcast dim) + politeness token bucket (window)
+        gated = apply_robots(unseen, self.robots)
+        denied = gated.filter(F.col("robots_denied"))
+        allowed = gated.filter(~F.col("robots_denied"))
+        polite = assign_politeness(allowed)
+        selected = polite.filter(F.col("selected"))
+        deferred = polite.filter(~F.col("selected"))
+
+        # 3. "fetch" = equi join against the keyed corpus (left: missing = 404)
+        fetched = selected.join(
+            self.pages_idx.withColumnRenamed("warc_ts", "_page_ts"),
+            "url_hash",
+            "left",
+        ).withColumn("fetch_ok", F.col("html").isNotNull())
+
+        # 4. Arrow-UDF extraction (byte-identical text invariant)
+        parsed = (
+            fetched.withColumn(
+                "text",
+                F.when(F.col("fetch_ok"), extract_text_udf("html")),
+            )
+            .withColumn(
+                "links",
+                F.when(F.col("fetch_ok"), extract_links_udf("html")).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+            .withColumn("n_links", F.size("links").cast("int"))
+        )
+        parsed = parsed.persist()
+
+        # 5. ranked results (two-phase distributed rank, no global window)
+        results = global_rank(
+            parsed.select(
+                "url", "url_hash", "host", "depth", "host_rank",
+                "discovery_ts", "fetch_delay_s", "text", "n_links", "fetch_ok",
+            ),
+            rank_col="rank",
+        ).select(
+            F.lit(round_n).alias("round"),
+            "rank", "url", "url_hash", "host", "depth", "host_rank",
+            "discovery_ts", "fetch_delay_s", "text", "n_links", "fetch_ok",
+            F.spark_partition_id().alias("src_partition"),
+            F.lit(self.job_id).alias("job_id"),
+        )
+
+        # 6. seen increment: attempted fetches + robots-denied
+        new_seen = (
+            parsed.select("url_hash")
+            .unionByName(denied.select("url_hash"))
+            .distinct()
+            .select("url_hash", F.lit(round_n).alias("round"))
+        )
+
+        # 7. link discovery → candidate frontier rows
+        links = (
+            parsed.filter(F.col("fetch_ok"))
+            .select(
+                F.col("depth").alias("parent_depth"),
+                F.col("_page_ts").alias("parent_ts"),
+                F.explode("links").alias("raw_url"),
+            )
+            .withColumn("url", canonicalize_url_udf("raw_url"))
+            .select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                host_col(F.col("url")).alias("host"),
+                (F.col("parent_depth") + 1).cast("int").alias("depth"),
+                F.col("parent_ts").alias("discovery_ts"),
+            )
+            .join(
+                F.broadcast(self.robots.select("host", "host_rank")),
+                "host",
+                "left",
+            )
+            .withColumn("host_rank", F.coalesce("host_rank", F.lit(0.0)))
+        )
+
+        # 8. next frontier = deferred ∪ new links, collapsed per url_hash to
+        #    min (depth, discovery_ts), minus everything now seen
+        candidates = deferred.select(*[c for c in FRONTIER_COLS if c != "round"]).unionByName(
+            links.select(*[c for c in FRONTIER_COLS if c != "round"])
+        )
+        merged = candidates.groupBy("url_hash").agg(
+            F.min("depth").alias("depth"),
+            F.min("discovery_ts").alias("discovery_ts"),
+            F.first("url").alias("url"),
+            F.first("host").alias("host"),
+            F.first("host_rank").alias("host_rank"),
+        )
+        seen_now = (seen.select("url_hash") if seen is not None else
+                    self.spark.createDataFrame([], "url_hash long")).unionByName(
+            new_seen.select("url_hash")
+        )
+        next_frontier = merged.join(seen_now, "url_hash", "left_anti").select(
+            "url", "url_hash", "host", "depth", "host_rank", "discovery_ts",
+            F.lit(round_n).alias("round"),
+        )
+
+        # 9. per-host metrics (A7 generalization: lineage-stamped counters)
+        def _count(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy("host").agg(F.count("*").alias(name))
+
+        metrics = (
+            _count(frontier, "candidates")
+            .join(_count(frontier.join(
+                unseen.select("url_hash"), "url_hash", "left_anti"
+            ), "seen_dups"), "host", "full")
+            .join(_count(denied, "robots_denied"), "host", "full")
+            .join(_count(deferred, "budget_deferred"), "host", "full")
+            .join(_count(parsed.filter(F.col("fetch_ok")), "fetched"), "host", "full")
+            .join(_count(parsed.filter(~F.col("fetch_ok")), "fetch_missing"), "host", "full")
+            .join(
+                parsed.groupBy("host").agg(F.sum("n_links").alias("links_extracted")),
+                "host",
+                "full",
+            )
+            .join(_count(next_frontier, "new_frontier"), "host", "full")
+            .na.fill(0)
+            .select(
+                F.lit(round_n).alias("round"), "host", "candidates", "seen_dups",
+                "robots_denied", "budget_deferred", "fetched", "fetch_missing",
+                "links_extracted", "new_frontier",
+            )
+        )
+
+        out = {
+            "results": results,
+            "metrics": metrics,
+            "seen": new_seen,
+            "frontier": next_frontier,
+        }
+        self.catalog.commit_round(round_n, out)
+        parsed.unpersist()
+        return out
+
+    def run(self, n_rounds: int, seeds: DataFrame | None = None) -> int:
+        """Run (or resume) up to ``n_rounds`` crawl rounds; returns the last
+        committed round. Resume = start after ``catalog.last_round()``."""
+        last = self.catalog.last_round()
+        if last is None:
+            if seeds is None:
+                raise ValueError("fresh run needs seeds")
+            self.bootstrap(seeds)
+            last = 0
+        for r in range(last + 1, n_rounds + 1):
+            frontier = self._frontier(r - 1)
+            if frontier is None or not frontier.take(1):
+                break
+            self.run_round(r)
+            last = r
+        return last

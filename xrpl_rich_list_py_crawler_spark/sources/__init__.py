@@ -1,0 +1,5 @@
+"""Sources & sinks: deterministic fixture generators and the snapshot
+catalog (Parquet + JSON-manifest emulation of Iceberg atomic commits)."""
+
+from .fixtures import ensure_crawl_fixtures, generate_crawl_fixtures  # noqa: F401
+from .catalog import SnapshotCatalog  # noqa: F401

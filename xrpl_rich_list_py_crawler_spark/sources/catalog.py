@@ -1,0 +1,160 @@
+"""Snapshot catalog: atomic round commits + resume.
+
+On a real cluster this is Iceberg (``writeTo(...).append()`` / MERGE /
+snapshot expiry). This sandbox has no Iceberg runtime jar (SURVEY.md §7.4),
+so the catalog emulates the properties the engine needs with Parquet
+directories plus a JSON manifest whose update is an atomic
+``os.replace`` — exactly the reference's tmp-file swap idiom
+(``validator.py:184-185``, ``scraper.py:199,263``):
+
+* **append tables** (``results``, ``metrics``, ``seen``): one immutable
+  Parquet directory per round; readers union only *committed* rounds, so a
+  half-written round is invisible (Iceberg snapshot-isolation analog).
+* **state tables** (``frontier``): full snapshot per round; resume reads the
+  last committed round (checkpoint/restart, SURVEY.md §4.2-5).
+* **commit**: write every table of the round under ``.tmp-r{N}`` dirs, then
+  rename dirs into place, then swap the manifest pointer last. A crash at
+  any earlier point leaves the previous manifest intact → the run resumes
+  from the previous round unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+
+class SnapshotCatalog:
+    """Per-run catalog rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"committed_rounds": [], "tables": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _swap_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # atomic publish (S8)
+
+    def last_round(self) -> int | None:
+        rounds = self.manifest()["committed_rounds"]
+        return max(rounds) if rounds else None
+
+    # -- paths -------------------------------------------------------------
+
+    def _table_dir(self, table: str, round_n: int) -> str:
+        return os.path.join(self.root, table, f"r{round_n:05d}")
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_round(self, round_n: int, tables: dict[str, DataFrame]) -> None:
+        """Atomically publish one round's table set.
+
+        Data is fully written (tmp dirs) before any rename; the manifest
+        swap is the commit point.
+        """
+        finals = []
+        for name, df in tables.items():
+            final = self._table_dir(name, round_n)
+            tmp = final + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            df.write.mode("overwrite").parquet(tmp)
+            finals.append((tmp, final))
+        for tmp, final in finals:
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        m = self.manifest()
+        if round_n not in m["committed_rounds"]:
+            m["committed_rounds"].append(round_n)
+            m["committed_rounds"].sort()
+        for name in tables:
+            m["tables"].setdefault(name, {"rounds": []})
+            if round_n not in m["tables"][name]["rounds"]:
+                m["tables"][name]["rounds"].append(round_n)
+                m["tables"][name]["rounds"].sort()
+        self._swap_manifest(m)
+
+    # -- read --------------------------------------------------------------
+
+    def read_round(self, spark: SparkSession, table: str, round_n: int) -> DataFrame:
+        return spark.read.parquet(self._table_dir(table, round_n))
+
+    def read_appended(
+        self, spark: SparkSession, table: str, up_to_round: int | None = None
+    ) -> DataFrame | None:
+        """Union of all committed round-increments of an append table.
+
+        Only manifest-listed rounds are read — uncommitted/torn dirs are
+        invisible (snapshot isolation).
+        """
+        m = self.manifest()
+        rounds = m["tables"].get(table, {}).get("rounds", [])
+        if up_to_round is not None:
+            rounds = [r for r in rounds if r <= up_to_round]
+        if not rounds:
+            return None
+        paths = [self._table_dir(table, r) for r in rounds]
+        dfs = [spark.read.parquet(p) for p in paths]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def read_state(
+        self, spark: SparkSession, table: str, round_n: int | None = None
+    ) -> DataFrame | None:
+        """Latest (or specified) full snapshot of a state table."""
+        m = self.manifest()
+        rounds = m["tables"].get(table, {}).get("rounds", [])
+        if not rounds:
+            return None
+        r = round_n if round_n is not None else max(rounds)
+        if r not in rounds:
+            return None
+        return self.read_round(spark, table, r)
+
+    def expire_rounds(self, keep_last: int) -> list[int]:
+        """Retention ≅ cleanup_old_rich_list_data (function.sql:408-422) /
+        Iceberg expire_snapshots: drop all but the last ``keep_last``
+        committed rounds of append tables' physical data, manifest first
+        so readers never see a dangling path."""
+        m = self.manifest()
+        rounds = m["committed_rounds"]
+        if len(rounds) <= keep_last:
+            return []
+        drop = rounds[:-keep_last]
+        keep = rounds[-keep_last:]
+        m["committed_rounds"] = keep
+        for t in m["tables"]:
+            m["tables"][t]["rounds"] = [
+                r for r in m["tables"][t]["rounds"] if r in keep
+            ]
+        self._swap_manifest(m)
+        for t in os.listdir(self.root):
+            tdir = os.path.join(self.root, t)
+            if not os.path.isdir(tdir):
+                continue
+            for r in drop:
+                rd = os.path.join(tdir, f"r{r:05d}")
+                if os.path.exists(rd):
+                    shutil.rmtree(rd)
+        return drop
