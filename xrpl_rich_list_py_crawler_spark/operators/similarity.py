@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Baseline: brute-force cosine top-k, fully JVM-side (``zip_with`` dot
+product inside whole-stage codegen — no Python in the hot path).
+Scale path: LSH bucketing (random hyperplanes) so each query only scans
+its bucket — the shuffle is (bucket, vector), never the full cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array columns, JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    queries is small (broadcast); corpus side streams through codegen.
+    Per-query top-k via window rank — with Q queries and N vectors the
+    shuffle carries Q·N scored rows; use the LSH variant when Q is large.
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(q_id_col))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_buckets_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """Arrow UDF: vector → LSH bucket id (sign pattern over random
+    hyperplanes, fixed seed)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    @F.pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        signs = (M @ planes.T) > 0
+        out = np.zeros(len(M), dtype=np.int64)
+        for i in range(n_planes):
+            out |= signs[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return _bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's hyperplane bucket.
+
+    At 10^9 vectors: corpus is hash-partitioned by bucket (a one-time
+    repartition, reusable across queries); each query joins one bucket.
+    Recall is tunable via n_planes (fewer planes → bigger buckets).
+    """
+    bucket = hyperplane_buckets_udf(dim, n_planes)
+    emb_b = embeddings.withColumn("_bkt", bucket(F.col(vec_col)))
+    q_b = queries.withColumn("_bkt", bucket(F.col(q_vec_col)))
+    scored = emb_b.join(F.broadcast(q_b), "_bkt").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(q_id_col))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold), id_a < id_b.
+
+    With ``block_col`` (e.g. an LSH bucket or a label) the self-join is
+    per-block — the scalable shape. Without it, a full self-join (test
+    scale only)."""
+    left = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    on = ["_blk"] if block_col else []
+    joined = left.join(right, on=on) if on else left.crossJoin(right)
+    return (
+        joined.filter(cond)
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,410 @@
+"""The analytics job chain: every ``function.sql`` procedure as a
+DataFrame job (SURVEY.md §2.9, §3.2).
+
+Determinism discipline (F12, ``SURVEY.md §7.4``): nothing here calls
+``current_timestamp()``. Where the reference stamps ``CURRENT_TIMESTAMP``
+(``function.sql:218`` etc.) these jobs stamp the *latest summary
+created_at*, so reruns are idempotent and DuckDB oracles can reproduce
+values exactly.
+
+Scale notes: the summary table is small relative to snapshots (one row per
+(label, hour)), so the lookback-timestamp resolution — a handful of scalar
+subqueries in the reference — is done once on the collected *distinct
+timestamp list* (≤ retention-window hours rows, e.g. 17.5k at 730 days),
+then all five horizons are resolved with ONE broadcast join instead of five
+correlated lookups.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import canonical_label_col, safe_ratio_col
+
+HORIZONS = [1, 3, 24, 168, 720]
+
+
+def _dec(col: str):
+    """Exact money arithmetic: DECIMAL(20,6) like the reference DDL
+    (table.sql:6-7). Decimal sums are order-independent, so Spark and any
+    oracle engine agree bit-for-bit — double sums do not (summation-order
+    ulps flip ROUND ties)."""
+    return F.col(col).cast("decimal(20,6)")
+
+
+# ---------------------------------------------------------------------------
+# update_rich_list_summary (function.sql:2-94)
+# ---------------------------------------------------------------------------
+
+
+def rich_list_summary(richlist: DataFrame) -> DataFrame:
+    """Canonicalized-label aggregate of the LATEST snapshot (A2 + F5 + P5).
+
+    ≅ ``update_rich_list_summary`` (``function.sql:2-94``): latest-snapshot
+    scalar subquery → 29-branch CASE grouping → COUNT/SUM×3.
+    """
+    latest = richlist.agg(F.max("snapshot_date").alias("ts"))
+    return (
+        richlist.join(
+            F.broadcast(latest), richlist["snapshot_date"] == latest["ts"]
+        )
+        .groupBy(canonical_label_col(F.col("label")).alias("grouped_label"))
+        .agg(
+            F.count("*").alias("count"),
+            F.sum(_dec("balance_xrp")).alias("total_balance"),
+            F.sum(_dec("escrow_xrp")).alias("total_escrow"),
+            F.sum(_dec("balance_xrp") + _dec("escrow_xrp")).alias("total_xrp"),
+            F.max("snapshot_date").alias("created_at"),
+        )
+    )
+
+
+def summary_series(richlist: DataFrame) -> DataFrame:
+    """The full hourly summary history (what 48 cron invocations of
+    ``update_rich_list_summary`` accumulate): same aggregate, grouped by
+    snapshot too. One shuffle; partial aggregation is automatic."""
+    return (
+        richlist.groupBy(
+            canonical_label_col(F.col("label")).alias("grouped_label"),
+            F.col("snapshot_date").alias("created_at"),
+        )
+        .agg(
+            F.count("*").alias("count"),
+            F.sum(_dec("balance_xrp")).alias("total_balance"),
+            F.sum(_dec("escrow_xrp")).alias("total_escrow"),
+            F.sum(_dec("balance_xrp") + _dec("escrow_xrp")).alias("total_xrp"),
+        )
+        .select(
+            "grouped_label", "count", "total_balance", "total_escrow",
+            "total_xrp", "created_at",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# update_balance_changes / update_available_changes (function.sql:97-404)
+# ---------------------------------------------------------------------------
+
+
+def _lookback_targets(summary: DataFrame) -> tuple[_dt.datetime, dict[int, _dt.datetime | None]]:
+    """Resolve the five global lookback timestamps.
+
+    The reference's subqueries correlate only on the latest ``created_at``
+    (``function.sql:158-205``): for each horizon H pick the latest summary
+    timestamp ≤ latest−H hours — except H=1, which uses the jitter band
+    (latest−70min, latest−45min] (``function.sql:160-165``). The distinct
+    timestamp list is tiny (one per cron hour), so resolving it driver-side
+    is the Spark analog of Postgres evaluating five scalar subqueries —
+    not a data collect.
+    """
+    ts_list = sorted(
+        r["created_at"]
+        for r in summary.select("created_at").distinct().collect()
+    )
+    if not ts_list:
+        return None, {h: None for h in HORIZONS}
+    latest = ts_list[-1]
+    targets: dict[int, _dt.datetime | None] = {}
+    for h in HORIZONS:
+        if h == 1:
+            lo = latest - _dt.timedelta(minutes=70)
+            hi = latest - _dt.timedelta(minutes=45)
+            cand = [t for t in ts_list if lo < t <= hi]
+        else:
+            cand = [t for t in ts_list if t <= latest - _dt.timedelta(hours=h)]
+        targets[h] = max(cand) if cand else None
+    return latest, targets
+
+
+def _changes(summary: DataFrame, value_col: str) -> DataFrame:
+    """Shared engine for balance/available changes: one broadcast join of
+    (current × 5 horizons) against the summary at the five target
+    timestamps, COALESCE-to-current for missing history (F9), div-by-zero
+    guard (F8)."""
+    spark = summary.sparkSession
+    latest, targets = _lookback_targets(summary)
+    if latest is None:
+        return spark.createDataFrame(
+            [],
+            "grouped_label string, hours int, balance_change double, "
+            "percentage_change double, calculated_at timestamp",
+        )
+    horizon_df = spark.createDataFrame(
+        [(h, targets[h]) for h in HORIZONS], "hours int, target_ts timestamp"
+    )
+    current = summary.filter(F.col("created_at") == F.lit(latest)).select(
+        "grouped_label", F.col(value_col).alias("cur")
+    )
+    hist = summary.select(
+        "grouped_label", "created_at", F.col(value_col).alias("prev_raw")
+    )
+    fanned = current.crossJoin(F.broadcast(horizon_df))
+    joined = fanned.join(
+        hist,
+        (fanned["grouped_label"] == hist["grouped_label"])
+        & (fanned["target_ts"] == hist["created_at"]),
+        "left",
+    ).select(fanned["grouped_label"], "hours", "cur", "prev_raw")
+    prev = F.coalesce(F.col("prev_raw"), F.col("cur"))
+    curd, prevd = F.col("cur").cast("double"), prev.cast("double")
+    return joined.select(
+        "grouped_label",
+        "hours",
+        (F.col("cur") - prev).alias("balance_change"),
+        F.round(safe_ratio_col(curd, prevd), 6).alias("percentage_change"),
+        F.lit(latest).alias("calculated_at"),
+    )
+
+
+def balance_changes(summary: DataFrame) -> DataFrame:
+    """≅ ``update_balance_changes`` (``function.sql:97-249``): total_xrp
+    deltas at 5 horizons, banded 1h, unpivoted to (label, hours) rows."""
+    return _changes(summary, "total_xrp")
+
+
+def available_changes(summary: DataFrame) -> DataFrame:
+    """≅ ``update_available_changes`` (``function.sql:252-404``): same over
+    escrow-free ``total_balance``."""
+    return _changes(summary, "total_balance")
+
+
+# ---------------------------------------------------------------------------
+# update_category_changes / update_country_changes (function.sql:425-855)
+# ---------------------------------------------------------------------------
+
+
+def _dim_changes(summary: DataFrame, categories: DataFrame, dim: str) -> DataFrame:
+    """Two-level rollup (A4) + as-of changes per category/country.
+
+    ≅ ``update_category_changes`` (``function.sql:425-636``) and
+    ``update_country_changes`` (``function.sql:639-855``): the summary is
+    re-aggregated to the dimension via the (broadcast) categories dim at
+    the current AND each lookback timestamp, then diffed.
+    """
+    spark = summary.sparkSession
+    latest, targets = _lookback_targets(summary)
+    dim_summary = (
+        summary.join(F.broadcast(categories), "grouped_label")
+        .groupBy(F.col(dim).alias("grouped_label"), "created_at")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("total_balance").alias("total_balance"),
+            F.sum("total_escrow").alias("total_escrow"),
+            F.sum("total_xrp").alias("total_xrp"),
+        )
+    )
+    if latest is None:
+        return spark.createDataFrame(
+            [],
+            "grouped_label string, hours int, count long, total_balance double, "
+            "total_escrow double, total_xrp double, balance_change double, "
+            "percentage_change double, calculated_at timestamp",
+        )
+    horizon_df = spark.createDataFrame(
+        [(h, targets[h]) for h in HORIZONS], "hours int, target_ts timestamp"
+    )
+    current = dim_summary.filter(F.col("created_at") == F.lit(latest))
+    hist = dim_summary.select(
+        F.col("grouped_label").alias("_gl"),
+        F.col("created_at").alias("_ts"),
+        F.col("total_xrp").alias("prev_raw"),
+    )
+    fanned = current.crossJoin(F.broadcast(horizon_df))
+    joined = fanned.join(
+        hist,
+        (fanned["grouped_label"] == hist["_gl"])
+        & (fanned["target_ts"] == hist["_ts"]),
+        "left",
+    )
+    prev = F.coalesce(F.col("prev_raw"), F.col("total_xrp"))
+    curd, prevd = F.col("total_xrp").cast("double"), prev.cast("double")
+    return joined.select(
+        "grouped_label",
+        "hours",
+        "count",
+        "total_balance",
+        "total_escrow",
+        "total_xrp",
+        (F.col("total_xrp") - prev).alias("balance_change"),
+        F.round(safe_ratio_col(curd, prevd), 6).alias("percentage_change"),
+        F.lit(latest).alias("calculated_at"),
+    )
+
+
+def category_changes(summary: DataFrame, categories: DataFrame) -> DataFrame:
+    return _dim_changes(summary, categories, "category")
+
+
+def country_changes(summary: DataFrame, categories: DataFrame) -> DataFrame:
+    return _dim_changes(summary, categories, "country")
+
+
+# ---------------------------------------------------------------------------
+# hourly statistics (function.sql:858-948, 969-1061)
+# ---------------------------------------------------------------------------
+
+
+def _hourly(summary3d: DataFrame) -> DataFrame:
+    """date_trunc-hour bucketing (T1/F10) + dedup (A6) — idempotent like the
+    reference's ON CONFLICT upsert (T2): recompute replaces, never dups."""
+    return summary3d.withColumn(
+        "created_at", F.date_trunc("hour", F.col("created_at"))
+    )
+
+
+def category_statistics(summary: DataFrame, categories: DataFrame, now) -> DataFrame:
+    """≅ ``update_category_statistics`` (``function.sql:969-999``)."""
+    s3 = summary.filter(
+        F.col("created_at") >= F.lit(now) - F.expr("INTERVAL 3 DAYS")
+    )
+    return (
+        _hourly(s3)
+        .join(F.broadcast(categories), "grouped_label")
+        .groupBy(F.col("category").alias("grouped_label"), "created_at")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("total_balance").alias("total_balance"),
+            F.sum("total_escrow").alias("total_escrow"),
+            F.sum("total_xrp").alias("total_xrp"),
+        )
+        .select(
+            "grouped_label", "count", "total_balance", "total_escrow",
+            "total_xrp", "created_at",
+        )
+    )
+
+
+def country_statistics(summary: DataFrame, categories: DataFrame, now) -> DataFrame:
+    """≅ ``update_country_statistics`` (``function.sql:1002-1032``)."""
+    s3 = summary.filter(
+        F.col("created_at") >= F.lit(now) - F.expr("INTERVAL 3 DAYS")
+    )
+    return (
+        _hourly(s3)
+        .join(F.broadcast(categories), "grouped_label")
+        .groupBy(F.col("country").alias("grouped_label"), "created_at")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("total_balance").alias("total_balance"),
+            F.sum("total_escrow").alias("total_escrow"),
+            F.sum("total_xrp").alias("total_xrp"),
+        )
+        .select(
+            "grouped_label", "count", "total_balance", "total_escrow",
+            "total_xrp", "created_at",
+        )
+    )
+
+
+def available_statistics(summary: DataFrame, now) -> DataFrame:
+    """≅ ``update_available_statistics`` (``function.sql:1035-1061``):
+    per-label hourly rows with ``total_xrp := total_balance`` (escrow-free),
+    GROUP BY all projected columns = dedup-by-grouping (A6,
+    ``function.sql:1050-1053``)."""
+    s3 = summary.filter(
+        F.col("created_at") >= F.lit(now) - F.expr("INTERVAL 3 DAYS")
+    )
+    return (
+        _hourly(s3)
+        .select(
+            "grouped_label", "count", "total_balance", "total_escrow",
+            F.col("total_balance").alias("total_xrp"), "created_at",
+        )
+        .dropDuplicates(
+            ["grouped_label", "count", "total_balance", "total_escrow",
+             "total_xrp", "created_at"]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention (function.sql:408-422, 951-966) — P8/T3
+# ---------------------------------------------------------------------------
+
+
+def cleanup_old_rich_list_data(richlist: DataFrame, now) -> DataFrame:
+    """≅ ``cleanup_old_rich_list_data`` (``function.sql:408-422``): drop
+    snapshots older than 2 days. Spark deletes by filtered overwrite /
+    partition drop (the catalog's expire_rounds does the physical part)."""
+    return richlist.filter(
+        F.col("snapshot_date") >= F.lit(now) - F.expr("INTERVAL 2 DAYS")
+    )
+
+
+def delete_old_statistics(hourly: DataFrame, now) -> DataFrame:
+    """≅ ``delete_old_statistics`` (``function.sql:951-966``): 3-day window."""
+    return hourly.filter(
+        F.col("created_at") >= F.lit(now) - F.expr("INTERVAL 3 DAYS")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wide views + top-K alert (table.sql:254-293, function.sql:1084-1106)
+# ---------------------------------------------------------------------------
+
+
+def summary_with_changes(summary: DataFrame, changes: DataFrame) -> DataFrame:
+    """≅ view ``xrpl_rich_list_summary_with_changes`` (``table.sql:254-293``)
+    — J7 done idiomatically: ONE groupBy().pivot(hours) instead of five
+    self-left-joins (one shuffle instead of five)."""
+    latest = summary.agg(F.max("created_at").alias("ts"))
+    cur = summary.join(F.broadcast(latest), summary["created_at"] == latest["ts"]).drop("ts")
+    wide = (
+        changes.groupBy("grouped_label")
+        .pivot("hours", HORIZONS)
+        .agg(
+            F.first("balance_change").alias("change"),
+            F.first("percentage_change").alias("percentage"),
+        )
+    )
+    renames = {}
+    for h in HORIZONS:
+        renames[f"{h}_change"] = f"change_{h}h"
+        renames[f"{h}_percentage"] = f"percentage_{h}h"
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    return cur.join(wide, "grouped_label", "left")
+
+
+def get_significant_changes(
+    summary: DataFrame,
+    changes: DataFrame,
+    percentage_threshold: float,
+    amount_threshold: float,
+) -> DataFrame:
+    """≅ ``get_significant_changes`` (``function.sql:1084-1106``): threshold
+    + ABS predicates (P7) → top-5 by |percentage_1h| (O3,
+    TakeOrderedAndProject)."""
+    wide = summary_with_changes(summary, changes)
+    return (
+        wide.filter(
+            F.col("change_1h").isNotNull()
+            & (F.abs(F.col("percentage_1h")) >= percentage_threshold)
+            & (F.abs(F.col("change_1h")) >= amount_threshold)
+        )
+        .select("grouped_label", "change_1h", "percentage_1h")
+        .orderBy(F.abs(F.col("percentage_1h")).desc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE analog (function.sql:1064-1082)
+# ---------------------------------------------------------------------------
+
+
+def analyze_tables(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """≅ ``analyze_rich_list_tables``: refresh planner statistics. For
+    catalog tables this is ``ANALYZE TABLE … COMPUTE STATISTICS``; for
+    in-flight DataFrames we emit the row-count stats a CBO would use."""
+    rows = [(name, df.count()) for name, df in tables.items()]
+    return spark.createDataFrame(rows, "table string, rows long")
+
+
+def validate_category_enum(categories: DataFrame, enum: list[str]) -> int:
+    """P9: CHECK-constraint job (Spark has no DDL CHECK,
+    ``table.sql:84-97``). Returns the number of violating rows (must be 0)."""
+    return categories.filter(~F.col("category").isin(enum)).count()

@@ -43,6 +43,9 @@ class RoundLog:
     deferred: int
     new_frontier: int
     texts: dict[str, str]
+    hosts: list[str] = field(default_factory=list)      # aligned w/ fetched_urls
+    depths: list[int] = field(default_factory=list)
+    n_links: list[int] = field(default_factory=list)
 
 
 class ReferenceSimulator:
@@ -63,6 +66,7 @@ class ReferenceSimulator:
             for r in robots.itertuples(index=False)
         }
         self.seen: set[int] = set()
+        self.seen_urls: set[str] = set()
         self.frontier: dict[int, FrontierEntry] = {}
 
     def bootstrap(self, seeds: pd.DataFrame) -> None:
@@ -107,19 +111,26 @@ class ReferenceSimulator:
         selected.sort()
         # 5. fetch + parse
         fetched_urls, fetch_ok, texts = [], [], {}
+        hosts, depths, n_links_l = [], [], []
         new_links: dict[int, FrontierEntry] = {}
         for e in selected:
             fetched_urls.append(e.url)
+            hosts.append(e.host)
+            depths.append(e.depth)
             page = self.page_by_hash.get(e.url_hash)
             fetch_ok.append(page is not None)
             self.seen.add(e.url_hash)
+            self.seen_urls.add(e.url)
             if page is None:
+                n_links_l.append(0)
                 continue
             warc_ts, html = page
             from ..functions.parsers_ref import extract_text
 
             texts[e.url] = extract_text(html)
-            for raw in extract_links(html):
+            page_links = extract_links(html)
+            n_links_l.append(len(page_links))
+            for raw in page_links:
                 curl = canonicalize_url(raw)
                 h = spark_xxhash64_str(curl)
                 host = host_of(curl)
@@ -142,6 +153,7 @@ class ReferenceSimulator:
                     prev.discovery_ts = min(prev.discovery_ts, cand.discovery_ts)
         for e in denied:
             self.seen.add(e.url_hash)
+            self.seen_urls.add(e.url)
         # 6. next frontier = deferred ∪ new links (min-collapse), minus seen
         nxt: dict[int, FrontierEntry] = {e.url_hash: e for e in deferred}
         for h, e in new_links.items():
@@ -159,6 +171,9 @@ class ReferenceSimulator:
             deferred=len(deferred),
             new_frontier=len(self.frontier),
             texts=texts,
+            hosts=hosts,
+            depths=depths,
+            n_links=n_links_l,
         )
 
     def run(self, n_rounds: int, seeds: pd.DataFrame) -> list[RoundLog]:

@@ -169,16 +169,17 @@ CATEGORIES = StructType(
     ]
 )
 
-#: The 10-value category CHECK enum (``table.sql:84-97``).
+#: The 10-value category CHECK enum (``table.sql:84-97``, repeated at
+#: ``table.sql:134-147``).
 CATEGORY_ENUM = [
+    "Major Contributor",
     "Exchange",
-    "Bank",
-    "Payment Provider",
-    "Crypto Company",
-    "Custody",
-    "DeFi",
-    "Gateway",
+    "Casino/Gambling",
+    "Payment Service",
+    "DeFi Protocol",
+    "Trading Service",
+    "NFT/Gaming",
+    "Custody/Institution",
     "Individual",
-    "Ripple",
-    "Unknown",
+    "Other",
 ]
