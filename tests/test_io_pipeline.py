@@ -1,0 +1,109 @@
+"""CSV interchange (S5/S6/F6), presentation (F3/F15/F16/S9), orchestration
+(T9), deploy zip."""
+
+import os
+import zipfile
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.deploy import build_pyfiles_zip
+from xrpl_rich_list_py_crawler_spark.functions.presentation import (
+    alert_text,
+    drops_to_xrp,
+    signed_amount,
+)
+from xrpl_rich_list_py_crawler_spark.plans.pipeline import (
+    refresh_analytics,
+    significant_changes_alert,
+)
+from xrpl_rich_list_py_crawler_spark.sources.io import (
+    preflight_source_health,
+    read_richlist_csv,
+    write_richlist_csv,
+)
+
+
+def test_csv_roundtrip_with_type_coercion(spark, crawl_sf0001, tmp_path):
+    rich = spark.read.parquet(os.path.join(crawl_sf0001, "richlist.parquet")).limit(200)
+    path = str(tmp_path / "richlist_csv")
+    write_richlist_csv(rich, path)
+    back = read_richlist_csv(spark, path)
+    assert dict(back.dtypes)["rank"] == "int"
+    assert dict(back.dtypes)["balance_xrp"] == "double"
+    assert dict(back.dtypes)["exists"] == "boolean"
+    assert dict(back.dtypes)["snapshot_date"] == "timestamp"
+    a = {(r["address"], r["snapshot_date"]): (r["rank"], r["balance_xrp"], r["exists"])
+         for r in rich.collect()}
+    b = {(r["address"], r["snapshot_date"]): (r["rank"], r["balance_xrp"], r["exists"])
+         for r in back.collect()}
+    assert a == b
+
+
+def test_csv_bool_coercion_idiom(spark, tmp_path):
+    """uploader.py:56: str(x).lower() == 'true'; missing → True."""
+    p = str(tmp_path / "c")
+    os.makedirs(p)
+    with open(os.path.join(p, "x.csv"), "w") as f:
+        f.write("rank,address,exists\n1,r1,True\n2,r2,FALSE\n3,r3,\n")
+    got = {r["address"]: r["exists"]
+           for r in read_richlist_csv(spark, p).collect()}
+    assert got == {"r1": True, "r2": False, "r3": True}
+
+
+def test_preflight_source_health(spark, crawl_sf0001):
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    rep = preflight_source_health(pages)
+    assert rep["ok"] and rep["error_rate"] == 0.0
+    bad = pages.withColumn("html", F.lit(None).cast("binary"))
+    assert not preflight_source_health(bad)["ok"]
+    assert not preflight_source_health(pages.drop("html"))["ok"]
+
+
+def test_drops_and_sign_formatting(spark):
+    df = spark.createDataFrame([(1_500_000, 1234567.0), (-2_000_000, -1.4)],
+                               "drops long, change double")
+    rows = df.select(
+        drops_to_xrp(F.col("drops")).alias("xrp"),
+        signed_amount(F.col("change")).alias("s"),
+    ).collect()
+    assert rows[0]["xrp"] == Decimal("1.500000")
+    assert rows[0]["s"] == "+1,234,567"
+    assert rows[1]["xrp"] == Decimal("-2.000000")
+    assert rows[1]["s"] == "-1"  # :,.0f rounding, post-alert.py:78-82
+
+
+def test_refresh_analytics_chain(spark, crawl_sf0001):
+    rich = spark.read.parquet(os.path.join(crawl_sf0001, "richlist.parquet"))
+    cats = spark.read.parquet(os.path.join(crawl_sf0001, "categories.parquet"))
+    res = refresh_analytics(spark, rich, cats)
+    assert res.steps_run == [
+        "validate_categories", "summary", "balance_changes",
+        "available_changes", "category_changes", "country_changes",
+        "category_statistics", "country_statistics", "available_statistics",
+    ]
+    assert res.balance_changes.count() > 0
+    assert res.category_statistics.count() > 0
+    # chain aborts on CHECK violation (T9 raise-on-failure)
+    bad = cats.withColumn("category", F.lit("NotACategory"))
+    with pytest.raises(ValueError, match="CHECK enum"):
+        refresh_analytics(spark, rich, bad)
+
+
+def test_alert_text(spark, crawl_sf0001):
+    rich = spark.read.parquet(os.path.join(crawl_sf0001, "richlist.parquet"))
+    txt = significant_changes_alert(spark, rich, 0.05, 100, as_of_unix=1767225600)
+    lines = txt.splitlines()
+    assert lines[0].startswith("XRPL rich-list movers")
+    assert lines[-1] == "t=1767225600"
+    assert 1 <= len(lines) - 2 <= 5
+    assert all(" XRP (" in l for l in lines[1:-1])
+
+
+def test_pyfiles_zip_contains_package(tmp_path):
+    z = build_pyfiles_zip(str(tmp_path / "pkg.zip"))
+    names = zipfile.ZipFile(z).namelist()
+    assert "xrpl_rich_list_py_crawler_spark/__init__.py" in names
+    assert "xrpl_rich_list_py_crawler_spark/plans/rounds.py" in names
+    assert not any("__pycache__" in n for n in names)

@@ -1,0 +1,95 @@
+"""Structured Streaming jobs: streaming summary == batch summary; stateful
+politeness budget holds across micro-batches."""
+
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.plans import jobs
+from xrpl_rich_list_py_crawler_spark.streaming import (
+    hourly_summary_stream,
+    politeness_stream,
+)
+
+
+def test_streaming_summary_matches_batch(spark, crawl_sf0001, tmp_path):
+    rich = spark.read.parquet(os.path.join(crawl_sf0001, "richlist.parquet"))
+    # deliver the snapshot stream as multiple files (the hourly cron analog)
+    src = str(tmp_path / "snapshots")
+    rich.repartition(6).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "summary_out")
+    q = hourly_summary_stream(
+        spark, src, out, str(tmp_path / "ckpt"), watermark="200 hours",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    want = jobs.summary_series(rich).withColumn(
+        "window_start", F.date_trunc("hour", "created_at")
+    )
+    # fixture snapshots are hourly (k=14 shifted +7min still lands in its
+    # own hour bucket) → streaming hourly windows == batch per-snapshot rows
+    g = {(r["grouped_label"], r["window_start"]): (r["count"], r["total_xrp"])
+         for r in got.collect()}
+    w = {(r["grouped_label"], r["window_start"]): (r["count"], r["total_xrp"])
+         for r in want.collect()}
+    assert g == w
+
+
+def test_streaming_summary_upsert_idempotent(spark, crawl_sf0001, tmp_path):
+    """Re-running the stream over the same source (fresh checkpoint) must
+    not duplicate keys — T2 upsert semantics."""
+    rich = spark.read.parquet(os.path.join(crawl_sf0001, "richlist.parquet"))
+    src = str(tmp_path / "snapshots")
+    rich.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    for i in range(2):
+        q = hourly_summary_stream(
+            spark, src, out, str(tmp_path / f"ckpt{i}"), watermark="200 hours"
+        )
+        q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("grouped_label", "window_start").distinct().count()
+
+
+def test_politeness_stream_budget_across_batches(spark, tmp_path):
+    """Two micro-batches of 10 urls each for one host: only 16 total may be
+    selected (budget persists in state across batches)."""
+    epoch = datetime(2026, 1, 1)
+    rows = []
+    for batch in range(2):
+        for i in range(10):
+            rows.append(
+                {
+                    "url": f"https://a.com/p/{batch}_{i}",
+                    "url_hash": batch * 100 + i,
+                    "host": "a.com",
+                    "depth": 0,
+                    "discovery_ts": epoch + timedelta(seconds=batch * 100 + i),
+                    "crawl_delay_s": 2.0,
+                }
+            )
+    src = str(tmp_path / "frontier")
+    os.makedirs(src)
+    # one file per micro-batch (maxFilesPerTrigger=1); pin int32/precision
+    # so the stream's declared schema matches the files
+    for name, chunk in (("b0", rows[:10]), ("b1", rows[10:])):
+        pdf = pd.DataFrame(chunk)
+        pdf["depth"] = pdf["depth"].astype("int32")
+        pdf["discovery_ts"] = pdf["discovery_ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"{name}.parquet"))
+    out = str(tmp_path / "assigned")
+    q = politeness_stream(spark, src, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 20
+    assert sum(r["selected"] for r in got) == 16
+    slots = sorted(r["slot"] for r in got)
+    assert slots == list(range(1, 21))  # continuous numbering across batches
+    by_slot = {r["slot"]: r for r in got}
+    assert by_slot[1]["fetch_delay_s"] == 0.0
+    assert by_slot[3]["fetch_delay_s"] == 4.0  # (3-1) * 2.0s crawl delay
+    assert not by_slot[17]["selected"]

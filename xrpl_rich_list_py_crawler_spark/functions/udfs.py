@@ -27,14 +27,33 @@ from .parsers_ref import (
 # ---------------------------------------------------------------------------
 
 
+#: already-canonical detector: lowercase, no query/fragment, no port, no
+#: trailing slash, non-empty path. Such urls pass through untouched — on a
+#: web corpus ~80% of urls take this vectorized path and never reach the
+#: per-element parser.
+_FAST_CANON = (
+    r"^[a-z][a-z0-9+.\-]*://[a-z0-9.\-]+/(?:[^?#A-Z:]*[^/?#A-Z:])?$"
+)
+
+
 @pandas_udf(StringType())
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalize_url (twin of parsers_ref.canonicalize_url).
 
-    Query-param sorting needs real parsing, so the per-element function runs
-    inside an Arrow batch (no JVM<->Python row ping-pong).
+    Vectorized fast path: urls that regex-verify as already canonical are
+    passed through (pure pandas); only the noisy minority (query to sort,
+    port/fragment/case to strip) runs the per-element urllib parser.
+    Fast-path ≡ fallback equivalence is pinned in tests/test_parsers.py.
     """
-    return urls.map(canonicalize_url, na_action="ignore")
+    s = urls.astype("string")
+    fast = s.str.match(_FAST_CANON, na=False) & ~s.str.contains(
+        r"[?#A-Z]|//.*:", regex=True, na=True
+    )
+    out = s.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize_url, na_action="ignore")
+    return out.astype(object)
 
 
 @pandas_udf(StringType())

@@ -98,3 +98,33 @@ def assign_politeness(allowed: DataFrame) -> DataFrame:
             (F.col("host_slot") - 1).cast("double") * F.col("crawl_delay_s"),
         )
     )
+
+
+def assign_politeness_gated(gated: DataFrame) -> DataFrame:
+    """assign_politeness over the *gated* frame (robots_denied rows kept).
+
+    Denied rows sort last within their host, so allowed rows receive the
+    identical 1..n slots assign_politeness would give them — but the whole
+    round state lives in ONE frame that can be persisted once and sliced
+    into denied/selected/deferred without recomputing the anti-join+window
+    chain per consumer. ``selected`` is False for denied rows.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("robots_denied").asc(),
+        F.col("depth").asc(),
+        F.col("discovery_ts").asc(),
+        F.col("url_hash").asc(),
+    )
+    slot = F.row_number().over(w)
+    return (
+        gated.withColumn("host_slot", slot)
+        .withColumn(
+            "selected",
+            ~F.col("robots_denied")
+            & (F.col("host_slot") <= F.col("max_fetches_per_round")),
+        )
+        .withColumn(
+            "fetch_delay_s",
+            (F.col("host_slot") - 1).cast("double") * F.col("crawl_delay_s"),
+        )
+    )

@@ -64,6 +64,36 @@ class BloomShards:
     n_hashes: int
     shards: dict[int, bytes]
 
+    n_keys: int = 0
+
+    def with_added(self, hashes: np.ndarray) -> "BloomShards":
+        """Return a new bundle with ``hashes`` OR-ed in (incremental round
+        update — avoids rebuilding from the full ledger every round; at
+        cluster scale this is a per-shard executor-side OR-merge)."""
+        h = hashes.astype(np.int64)
+        shard_ids = np.mod(h, self.n_shards)
+        shards = dict(self.shards)
+        for sid in np.unique(shard_ids):
+            bits = np.frombuffer(
+                shards.get(int(sid), bytes(self.n_bits // 8)), dtype=np.uint8
+            ).copy()
+            pos = _positions(h[shard_ids == sid], self.n_bits, self.n_hashes)
+            _set_bits(bits, pos)
+            shards[int(sid)] = bits.tobytes()
+        return BloomShards(
+            n_shards=self.n_shards,
+            n_bits=self.n_bits,
+            n_hashes=self.n_hashes,
+            shards=shards,
+            n_keys=self.n_keys + len(h),
+        )
+
+    @property
+    def saturated(self) -> bool:
+        """True when keys exceed the sizing budget (~10 bits/key) — callers
+        should rebuild larger to keep the false-positive rate low."""
+        return self.n_keys * 10 > self.n_bits * self.n_shards
+
     def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership: False ⇒ definitely unseen."""
         out = np.zeros(len(hashes), dtype=bool)
@@ -88,6 +118,7 @@ def build_bloom_shards(
     bits_per_key: int = 10,
     n_hashes: int = 7,
     min_bits: int = 1 << 14,
+    expected_keys: int | None = None,
 ) -> BloomShards:
     """Build per-shard blooms executor-side, collect only the bitsets.
 
@@ -96,7 +127,8 @@ def build_bloom_shards(
     bitset) row — the shuffle moves longs, the collect moves n_shards blobs.
     """
     total = seen.count()
-    n_bits = max(min_bits, int(bits_per_key * max(total, 1) / n_shards))
+    sized_for = max(total, expected_keys or 0)
+    n_bits = max(min_bits, int(bits_per_key * max(sized_for, 1) / n_shards))
     n_bits = 1 << int(np.ceil(np.log2(n_bits)))  # power of two → cheap mod
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -118,6 +150,7 @@ def build_bloom_shards(
         n_bits=n_bits,
         n_hashes=n_hashes,
         shards={r["shard"]: bytes(r["bits"]) for r in built},
+        n_keys=total,
     )
 
 

@@ -37,7 +37,7 @@ from ..functions.udfs import (
     host_col,
 )
 from ..operators.frontier import global_rank
-from ..operators.politeness import apply_robots, assign_politeness
+from ..operators.politeness import apply_robots, assign_politeness_gated
 from ..operators.seen import anti_join_seen, anti_join_seen_bloom
 from ..sources.catalog import SnapshotCatalog
 
@@ -99,7 +99,13 @@ class CrawlRun:
         self.robots = robots
         self.use_bloom = use_bloom
         self.job_id = job_id
-        self.pages_idx = index_pages(pages)
+        # cache the keyed corpus: every round's fetch join and each commit
+        # action reuses it (cluster deployment: a bucketed table instead)
+        self.pages_idx = index_pages(pages).persist()
+        # incremental bloom state: rebuilt from the ledger on (re)start,
+        # OR-updated with each round's seen increment afterwards
+        self._bloom = None
+        self._bloom_round = -1
 
     # -- state accessors -----------------------------------------------------
 
@@ -115,6 +121,31 @@ class CrawlRun:
     def _seen(self, up_to: int) -> DataFrame | None:
         return self.catalog.read_appended(self.spark, "seen", up_to)
 
+    def _bloom_for(self, up_to_round: int, seen: DataFrame | None):
+        """Bloom shards covering rounds ≤ up_to_round — incremental when the
+        in-memory state is current, full rebuild from the ledger otherwise
+        (fresh process / resume / saturation)."""
+        from ..operators.seen import build_bloom_shards
+
+        if (
+            self._bloom is None
+            or self._bloom_round != up_to_round
+            or self._bloom.saturated
+        ):
+            if seen is None:
+                self._bloom = None
+            else:
+                self._bloom = build_bloom_shards(
+                    seen, expected_keys=max(self._expected_keys(), 1)
+                )
+            self._bloom_round = up_to_round
+        return self._bloom
+
+    def _expected_keys(self) -> int:
+        """Sizing hint: 4× current ledger (rebuilds stay rare as the crawl
+        grows)."""
+        return (self._bloom.n_keys * 4) if self._bloom else (1 << 16)
+
     # -- one round -----------------------------------------------------------
 
     def run_round(self, round_n: int) -> dict[str, DataFrame]:
@@ -126,17 +157,18 @@ class CrawlRun:
 
         # 1. dedup against the seen set (bloom pre-filter + exact repair)
         if self.use_bloom:
-            unseen = anti_join_seen_bloom(self.spark, frontier, seen)
+            shards = self._bloom_for(prev, seen)
+            unseen = anti_join_seen_bloom(self.spark, frontier, seen, shards)
         else:
             unseen = anti_join_seen(frontier, seen)
 
-        # 2. robots gate (broadcast dim) + politeness token bucket (window)
-        gated = apply_robots(unseen, self.robots)
+        # 2. robots gate (broadcast dim) + politeness token bucket (window).
+        # ``gated`` feeds denied/selected/deferred/results/metrics — persist
+        # once so the four table writes don't re-run the anti-join + window.
+        gated = assign_politeness_gated(apply_robots(unseen, self.robots)).persist()
         denied = gated.filter(F.col("robots_denied"))
-        allowed = gated.filter(~F.col("robots_denied"))
-        polite = assign_politeness(allowed)
-        selected = polite.filter(F.col("selected"))
-        deferred = polite.filter(~F.col("selected"))
+        selected = gated.filter(~F.col("robots_denied") & F.col("selected"))
+        deferred = gated.filter(~F.col("robots_denied") & ~F.col("selected"))
 
         # 3. "fetch" = equi join against the keyed corpus (left: missing = 404)
         fetched = selected.join(
@@ -158,6 +190,9 @@ class CrawlRun:
                 ),
             )
             .withColumn("n_links", F.size("links").cast("int"))
+            # html dies here: the blob must not ride the cache or any later
+            # shuffle (at 100 TB the binary column is ~99% of the bytes)
+            .drop("html", "canon_url")
         )
         parsed = parsed.persist()
 
@@ -209,7 +244,10 @@ class CrawlRun:
         )
 
         # 8. next frontier = deferred ∪ new links, collapsed per url_hash to
-        #    min (depth, discovery_ts), minus everything now seen
+        #    min (depth, discovery_ts), minus everything now seen. The seen
+        #    check is bloom-first (updated with this round's increment) with
+        #    exact repair — at 10^10 the exact ledger anti-join only ever
+        #    touches the maybe-seen slice.
         candidates = deferred.select(*[c for c in FRONTIER_COLS if c != "round"]).unionByName(
             links.select(*[c for c in FRONTIER_COLS if c != "round"])
         )
@@ -224,36 +262,63 @@ class CrawlRun:
                     self.spark.createDataFrame([], "url_hash long")).unionByName(
             new_seen.select("url_hash")
         )
-        next_frontier = merged.join(seen_now, "url_hash", "left_anti").select(
+        if self.use_bloom and self._bloom is not None:
+            import numpy as np
+
+            inc = np.array(
+                [r["url_hash"] for r in new_seen.select("url_hash").collect()],
+                dtype=np.int64,
+            )
+            bloom_now = (
+                self._bloom.with_added(inc) if len(inc) else self._bloom
+            )
+            unseen_merged = anti_join_seen_bloom(
+                self.spark, merged, seen_now, bloom_now
+            )
+        else:
+            bloom_now = None
+            unseen_merged = anti_join_seen(merged, seen_now)
+        next_frontier = unseen_merged.select(
             "url", "url_hash", "host", "depth", "host_rank", "discovery_ts",
             F.lit(round_n).alias("round"),
+        ).persist()
+
+        # 9. per-host metrics (A7: lineage-stamped counters) — ONE shuffle:
+        # tag every event with its metric name, conditional-sum per host
+        # (replaces an 8-way full-outer join fan).
+        def _tag(df: DataFrame, name: str, cnt=None) -> DataFrame:
+            c = cnt if cnt is not None else F.lit(1).cast("long")
+            return df.select(F.col("host"), F.lit(name).alias("_m"), c.alias("_c"))
+
+        events = (
+            _tag(frontier, "candidates")
+            .unionByName(_tag(gated, "unseen"))
+            .unionByName(_tag(denied, "robots_denied"))
+            .unionByName(_tag(deferred, "budget_deferred"))
+            .unionByName(_tag(parsed.filter(F.col("fetch_ok")), "fetched"))
+            .unionByName(_tag(parsed.filter(~F.col("fetch_ok")), "fetch_missing"))
+            .unionByName(_tag(parsed, "links_extracted", F.col("n_links").cast("long")))
+            .unionByName(_tag(next_frontier, "new_frontier"))
         )
 
-        # 9. per-host metrics (A7 generalization: lineage-stamped counters)
-        def _count(df: DataFrame, name: str) -> DataFrame:
-            return df.groupBy("host").agg(F.count("*").alias(name))
+        def _m(name: str):
+            return F.coalesce(
+                F.sum(F.when(F.col("_m") == name, F.col("_c"))), F.lit(0)
+            )
 
-        metrics = (
-            _count(frontier, "candidates")
-            .join(_count(frontier.join(
-                unseen.select("url_hash"), "url_hash", "left_anti"
-            ), "seen_dups"), "host", "full")
-            .join(_count(denied, "robots_denied"), "host", "full")
-            .join(_count(deferred, "budget_deferred"), "host", "full")
-            .join(_count(parsed.filter(F.col("fetch_ok")), "fetched"), "host", "full")
-            .join(_count(parsed.filter(~F.col("fetch_ok")), "fetch_missing"), "host", "full")
-            .join(
-                parsed.groupBy("host").agg(F.sum("n_links").alias("links_extracted")),
-                "host",
-                "full",
-            )
-            .join(_count(next_frontier, "new_frontier"), "host", "full")
-            .na.fill(0)
-            .select(
-                F.lit(round_n).alias("round"), "host", "candidates", "seen_dups",
-                "robots_denied", "budget_deferred", "fetched", "fetch_missing",
-                "links_extracted", "new_frontier",
-            )
+        metrics = events.groupBy("host").agg(
+            _m("candidates").alias("candidates"),
+            (_m("candidates") - _m("unseen")).alias("seen_dups"),
+            _m("robots_denied").alias("robots_denied"),
+            _m("budget_deferred").alias("budget_deferred"),
+            _m("fetched").alias("fetched"),
+            _m("fetch_missing").alias("fetch_missing"),
+            _m("links_extracted").alias("links_extracted"),
+            _m("new_frontier").alias("new_frontier"),
+        ).select(
+            F.lit(round_n).alias("round"), "host", "candidates", "seen_dups",
+            "robots_denied", "budget_deferred", "fetched", "fetch_missing",
+            "links_extracted", "new_frontier",
         )
 
         out = {
@@ -263,7 +328,13 @@ class CrawlRun:
             "frontier": next_frontier,
         }
         self.catalog.commit_round(round_n, out)
+        # commit succeeded → advance the in-memory bloom to this round
+        if self.use_bloom and bloom_now is not None:
+            self._bloom = bloom_now
+            self._bloom_round = round_n
+        gated.unpersist()
         parsed.unpersist()
+        next_frontier.unpersist()
         return out
 
     def run(self, n_rounds: int, seeds: DataFrame | None = None) -> int:

@@ -1,0 +1,89 @@
+"""CSV interchange layer (S5/S6): the reference's stage-to-stage format.
+
+The reference hands rows between OS processes as CSV with explicit ordered
+fieldnames (``loader.py:182-183``, ``scraper.py:93``, ``validator.py:142-144``)
+and re-coerces types on read (``uploader.py:56-68``: ``int(row['rank'])``,
+``float(row['balance_xrp'])``, string→bool). The engine keeps that
+capability for interop — schema-on-write CSV with the same columns, and a
+read path that re-coerces stringly-typed values identically — while its own
+stages hand off through the snapshot catalog (Parquet) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the reference's CSV column order (loader.py:182-183 variant with domain/
+#: twitter/verified; validator.py:142-144)
+RICHLIST_CSV_FIELDS = [
+    "rank", "address", "label", "balance_xrp", "escrow_xrp", "percentage",
+    "snapshot_date", "exists", "domain", "twitter", "verified",
+]
+
+
+def write_richlist_csv(df: DataFrame, path: str) -> None:
+    """S6: CSV sink with fixed fieldnames + header (``loader.py:180-203``).
+    Executor-parallel (one part per partition) instead of the reference's
+    row-at-a-time DictWriter."""
+    cols = [c for c in RICHLIST_CSV_FIELDS if c in df.columns]
+    df.select(*cols).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_richlist_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S5 + type re-coercion (``uploader.py:56-68``): every value arrives
+    stringly typed; ints/floats via cast, bool via the reference's
+    ``str(x).lower() == 'true'`` idiom (F6), missing ``exists`` → True."""
+    raw = spark.read.option("header", True).csv(path)  # all strings
+    out = raw
+    if "rank" in raw.columns:
+        out = out.withColumn("rank", F.col("rank").cast("int"))
+    for c in ("balance_xrp", "escrow_xrp", "percentage"):
+        if c in raw.columns:
+            out = out.withColumn(c, F.col(c).cast("double"))
+    if "snapshot_date" in raw.columns:
+        out = out.withColumn("snapshot_date", F.col("snapshot_date").cast("timestamp"))
+    if "exists" in raw.columns:
+        out = out.withColumn(
+            "exists",
+            F.when(F.col("exists").isNull(), F.lit(True)).otherwise(
+                F.lower(F.col("exists")) == "true"
+            ),
+        )
+    if "verified" in raw.columns:
+        out = out.withColumn(
+            "verified",
+            F.when(F.col("verified").isNull(), F.lit(False)).otherwise(
+                F.lower(F.col("verified")) == "true"
+            ),
+        )
+    return out
+
+
+def preflight_source_health(pages: DataFrame, sample: int = 100) -> dict:
+    """S10 health probe (``check_xrpscan_api.py:18-71``): before a round,
+    sniff that the source "responds" with the expected shape — non-null
+    urls, parseable html head, expected columns — and report an error rate
+    instead of failing late mid-crawl."""
+    expected = {"url", "warc_ts", "html"}
+    missing = expected - set(pages.columns)
+    if missing:
+        return {"ok": False, "reason": f"missing columns {sorted(missing)}"}
+    bad_head = F.when(
+        F.col("html").isNotNull()
+        & ~F.substring(F.col("html").cast("string"), 1, 6).startswith("<html"),
+        1,
+    ).otherwise(0)
+    probe = pages.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.col("url").isNull().cast("int")), F.lit(0)).alias("null_url"),
+        F.coalesce(F.sum(F.col("html").isNull().cast("int")), F.lit(0)).alias("null_html"),
+        F.coalesce(F.sum(bad_head), F.lit(0)).alias("bad_head"),
+    ).collect()[0]
+    n = probe["n"] or 1
+    err_rate = (probe["null_url"] + probe["null_html"] + probe["bad_head"]) / n
+    return {
+        "ok": err_rate < 0.05,
+        "rows": probe["n"],
+        "error_rate": float(err_rate),
+    }

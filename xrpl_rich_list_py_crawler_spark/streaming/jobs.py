@@ -1,0 +1,191 @@
+"""Structured Streaming jobs.
+
+The reference is a cron-driven micro-batch streaming system (SURVEY.md
+§2.8): hourly appends, windowed incremental aggregation, idempotent
+upserts, late-data tolerance, client-side rate limiting. These are its
+native Structured Streaming re-expressions:
+
+* :func:`hourly_summary_stream` — T1 tumbling window + T2 idempotent upsert
+  + T4 late-data watermark over a stream of richlist snapshot rows
+  (≅ ``update_rich_list_summary`` + hourly stats, ``function.sql:2-94,
+  858-948``) — file-source micro-batches stand in for the hourly cron.
+* :func:`politeness_stream` — T8 rate limiting as a *custom stateful
+  operator*: ``applyInPandasWithState`` keeps a per-host fetched-so-far
+  counter across micro-batches, so the per-host budget holds over the
+  whole stream, not just within one batch (``validator.py:123,181-182``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.udfs import canonical_label_col
+from ..schemas import RICHLIST
+
+SUMMARY_KEYS = ["grouped_label", "window_start"]
+
+
+def hourly_summary_stream(
+    spark: SparkSession,
+    snapshots_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming hourly summary: per (canonical label, 1h window) totals.
+
+    * watermark bounds state like the reference's banded late tolerance
+      (``function.sql:160-165``) — snapshots later than ``watermark`` are
+      dropped from open windows;
+    * ``foreachBatch`` performs the idempotent keyed upsert the reference
+      does with ON CONFLICT (``function.sql:892-897``): recompute replaces
+      rows for the affected keys (MERGE INTO on Iceberg).
+
+    Returns the StreamingQuery (caller awaits / stops).
+    """
+    stream = (
+        spark.readStream.schema(RICHLIST)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(snapshots_dir)
+    )
+    agg = (
+        stream.withWatermark("snapshot_date", watermark)
+        .groupBy(
+            F.window("snapshot_date", "1 hour").alias("w"),
+            canonical_label_col(F.col("label")).alias("grouped_label"),
+        )
+        .agg(
+            F.count("*").alias("count"),
+            F.sum(F.col("balance_xrp").cast("decimal(20,6)")).alias("total_balance"),
+            F.sum(F.col("escrow_xrp").cast("decimal(20,6)")).alias("total_escrow"),
+            F.sum(
+                F.col("balance_xrp").cast("decimal(20,6)")
+                + F.col("escrow_xrp").cast("decimal(20,6)")
+            ).alias("total_xrp"),
+        )
+        .select(
+            "grouped_label",
+            F.col("w.start").alias("window_start"),
+            "count", "total_balance", "total_escrow", "total_xrp",
+        )
+    )
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        # keyed upsert emulation: union old+new, keep the newest row per key
+        # (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE)
+        sp = batch.sparkSession
+        new = batch.withColumn("_b", F.lit(batch_id))
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            old = sp.read.parquet(out_dir)
+            merged = old.unionByName(new)
+        else:
+            merged = new
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*SUMMARY_KEYS).orderBy(F.col("_b").desc())
+        final = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        tmp = out_dir + ".tmp"
+        final.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful politeness (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_POLITE_OUT = (
+    "host string, url string, url_hash long, slot int, selected boolean, "
+    "fetch_delay_s double"
+)
+_POLITE_STATE = "fetched long"
+
+
+def _polite_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Per-host budget across ALL micro-batches: state carries the running
+    fetched count; rows past the budget are emitted unselected (deferred)."""
+    (host,) = key
+    fetched = state.get[0] if state.exists else 0
+    budget = 16  # reference batch_size, validator.py:123
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["depth", "discovery_ts", "url_hash"])
+        n = len(pdf)
+        slots = range(fetched + 1, fetched + n + 1)
+        rows = pd.DataFrame(
+            {
+                "host": host,
+                "url": pdf["url"].values,
+                "url_hash": pdf["url_hash"].values,
+                "slot": list(slots),
+                "selected": [s <= budget for s in slots],
+                "fetch_delay_s": [
+                    float(max(s - 1, 0)) * float(pdf["crawl_delay_s"].iloc[0])
+                    for s in slots
+                ],
+            }
+        )
+        fetched += int(rows["selected"].sum())
+        out.append(rows)
+    state.update((fetched,))
+    for rows in out:
+        yield rows
+
+
+def politeness_stream(
+    spark: SparkSession,
+    frontier_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful streaming operator: token-bucket politeness whose
+    per-host budget persists across micro-batches via
+    ``applyInPandasWithState`` (north_rule politeness ledger as stream
+    state). File micro-batches model successive frontier deliveries."""
+    schema = (
+        "url string, url_hash long, host string, depth int, "
+        "discovery_ts timestamp, crawl_delay_s double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frontier_dir)
+    )
+    assigned = stream.groupBy("host").applyInPandasWithState(
+        _polite_fn,
+        outputStructType=_POLITE_OUT,
+        stateStructType=_POLITE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        assigned.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
