@@ -609,6 +609,74 @@ def _q_embedding_neardups(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_f1_parse_amounts(spark, sf):
+    """F1/F2 (scraper.py:64-78) as an oracle-checked batch: strip XRP/','/%
+    and coerce, errors/''/'-' -> 0.0."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        parse_percentage_udf,
+        parse_xrp_amount_udf,
+    )
+
+    cells = _fix(spark, sf, "amounts")
+    return cells.select(
+        "cell_id",
+        parse_xrp_amount_udf("amount_text").alias("amount"),
+        parse_percentage_udf("pct_text").alias("pct"),
+    )
+
+
+def _q_f11_interval_shift(spark, sf):
+    """F11 interval arithmetic (function.sql:161-163): the banded lookback
+    bounds for each event timestamp."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 70 MINUTES")).alias("band_lo"),
+        (F.col("ts") - F.expr("INTERVAL 45 MINUTES")).alias("band_hi"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("plus_3h"),
+    )
+
+
+def _q_w2_summary_view_id(spark, sf):
+    """W2 (table.sql:446-449): ROW_NUMBER() OVER (ORDER BY total_xrp DESC)
+    as a synthetic view id."""
+    s_ = jobs.rich_list_summary(_fix(spark, sf, "richlist"))
+    w = Window.orderBy(F.col("total_xrp").desc(), F.col("grouped_label").asc())
+    return s_.select(
+        "grouped_label", F.col("total_xrp").cast("decimal(38,6)").alias("total_xrp")
+    ).withColumn("id", F.row_number().over(w))
+
+
+def _q_token_jaccard_pairs(spark, sf):
+    """Exact token-set Jaccard near-dup pairs, blocked by source (the
+    verification stage behind MinHash; JVM array ops only)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    j = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))) / F.size(
+        F.array_union(F.col("a.t"), F.col("b.t"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
 def _q_media_plumbing(spark, sf):
     d = _t(spark, sf, "documents")
     media = d.select(
@@ -679,6 +747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_neardups": _q_embedding_neardups,
         "media_plumbing": _q_media_plumbing,
+        "f1_parse_amounts": _q_f1_parse_amounts,
+        "f11_interval_shift": _q_f11_interval_shift,
+        "w2_summary_view_id": _q_w2_summary_view_id,
+        "token_jaccard_pairs": _q_token_jaccard_pairs,
     }
 
 
@@ -1179,7 +1251,49 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes
             FROM documents
-        """
+        """,
+        "f1_parse_amounts": f"""
+            SELECT cell_id,
+                COALESCE(CASE WHEN trim(replace(replace(amount_text, 'XRP', ''),
+                                               ',', '')) IN ('', '-') THEN 0.0
+                    ELSE TRY_CAST(trim(replace(replace(amount_text, 'XRP', ''),
+                                               ',', '')) AS DOUBLE) END, 0.0)
+                    AS amount,
+                COALESCE(CASE WHEN trim(replace(pct_text, '%', '')) IN ('', '-')
+                    THEN 0.0
+                    ELSE TRY_CAST(trim(replace(pct_text, '%', '')) AS DOUBLE) END,
+                    0.0) AS pct
+            FROM read_parquet('{REPO}/data/crawl_sf0.01/amounts.parquet')
+        """,
+        "f11_interval_shift": """
+            SELECT event_id,
+                ts - INTERVAL 70 MINUTE AS band_lo,
+                ts - INTERVAL 45 MINUTE AS band_hi,
+                ts + INTERVAL 3 HOUR AS plus_3h
+            FROM events
+        """,
+        "w2_summary_view_id": f"""
+            WITH s AS ({{SUMMARY_SQL}})
+            SELECT grouped_label,
+                CAST(total_xrp AS DECIMAL(38,6)) AS total_xrp,
+                CAST(ROW_NUMBER() OVER (ORDER BY total_xrp DESC, grouped_label)
+                     AS INT) AS id
+            FROM s WHERE created_at = (SELECT max(created_at) FROM s)
+        """.format(SUMMARY_SQL=SUMMARY_SQL),
+        "token_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+            FROM toks a JOIN toks b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.t, b.t))) >= 0.8
+        """,
         # minhash_neardups / simhash_neardups / lang_id / ann_lsh: genuinely
         # non-SQL (seeded LSH internals) → rows-only check by design.
     }

@@ -347,8 +347,9 @@ class CrawlRun:
             self.bootstrap(seeds)
             last = 0
         for r in range(last + 1, n_rounds + 1):
-            frontier = self._frontier(r - 1)
-            if frontier is None or not frontier.take(1):
+            # empty-frontier check from parquet footers (no Spark job)
+            n_front = self.catalog.row_count("frontier", r - 1)
+            if not n_front:
                 break
             self.run_round(r)
             last = r

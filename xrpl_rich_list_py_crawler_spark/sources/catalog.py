@@ -132,6 +132,22 @@ class SnapshotCatalog:
             return None
         return self.read_round(spark, table, r)
 
+    def row_count(self, table: str, round_n: int) -> int | None:
+        """Row count from Parquet footers (pyarrow, driver-side, no Spark
+        job) — the Iceberg-manifest-statistics analog. Used by the round
+        loop's empty-frontier check so it costs zero cluster work."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        d = self._table_dir(table, round_n)
+        if not os.path.isdir(d):
+            return None
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
     def expire_rounds(self, keep_last: int) -> list[int]:
         """Retention ≅ cleanup_old_rich_list_data (function.sql:408-422) /
         Iceberg expire_snapshots: drop all but the last ``keep_last``

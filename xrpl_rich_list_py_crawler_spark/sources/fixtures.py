@@ -314,13 +314,36 @@ def generate_crawl_fixtures(sf: str, out_dir: str | None = None) -> str:
     richlist, categories = generate_richlist()
     richlist.to_parquet(os.path.join(out, "richlist.parquet"), index=False)
     categories.to_parquet(os.path.join(out, "categories.parquet"), index=False)
+    generate_amounts().to_parquet(os.path.join(out, "amounts.parquet"), index=False)
     return out
+
+
+def generate_amounts(n: int = 500, seed: int = SEED) -> pd.DataFrame:
+    """Stringly-typed scraped cells for the F1/F2 parser goldens
+    (``scraper.py:64-78`` input shapes): amounts with 'XRP' suffix and
+    thousands separators, percentages with '%', plus every edge case the
+    reference's error handling covers."""
+    rng = np.random.RandomState(seed + 7)
+    rows = []
+    edge = [
+        ("", ""), ("-", "-"), ("garbage", "x%"), ("1e3", " 0.001 %"),
+        ("XRP 42", "42%"), ("  7 ", "7 %"), ("-55,000", "-5%"),
+        ("1,234.56 XRP", "12.5%"),
+    ]
+    for a, p in edge:
+        rows.append({"cell_id": len(rows), "amount_text": a, "pct_text": p})
+    for _ in range(n - len(rows)):
+        v = float(rng.rand() * 10**rng.randint(0, 8))
+        amt = f"{v:,.6f} XRP" if rng.rand() < 0.8 else f"{v:,.2f}"
+        pct = f"{rng.rand() * 100:.4f}%"
+        rows.append({"cell_id": len(rows), "amount_text": amt, "pct_text": pct})
+    return pd.DataFrame(rows)
 
 
 def ensure_crawl_fixtures(sf: str) -> str:
     """Generate fixtures for ``sf`` if not already on disk; return dir."""
     out = crawl_fixture_dir(sf)
-    expected = ["pages", "seeds", "robots", "richlist", "categories"]
+    expected = ["pages", "seeds", "robots", "richlist", "categories", "amounts"]
     if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in expected):
         return out
     return generate_crawl_fixtures(sf, out)
