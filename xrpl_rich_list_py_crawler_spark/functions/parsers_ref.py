@@ -84,14 +84,17 @@ def extract_text(html: bytes) -> str:
     if m:
         parts.append(m.group(1))
     parts.extend(_PARA_RE.findall(html))
-    return b"\n".join(parts).decode("utf-8")
+    # errors="replace": malformed bytes must not kill a crawl task
+    # (scraper.py:230-233 keep-going policy); valid utf-8 — the golden
+    # invariant's domain — is unaffected byte-for-byte.
+    return b"\n".join(parts).decode("utf-8", errors="replace")
 
 
 def extract_links(html: bytes) -> list[str]:
     """All ``<a href>`` targets, document order, raw (pre-canonicalization)."""
     if html is None:
         return []
-    return [m.decode("utf-8") for m in _LINK_RE.findall(html)]
+    return [m.decode("utf-8", errors="replace") for m in _LINK_RE.findall(html)]
 
 
 # ---------------------------------------------------------------------------

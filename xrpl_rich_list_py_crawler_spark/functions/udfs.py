@@ -89,7 +89,7 @@ def _extract_text_one(html: bytes) -> str:
     if m:
         parts.append(m.group(1))
     parts.extend(_PARA_RE.findall(html))
-    return b"\n".join(parts).decode("utf-8")
+    return b"\n".join(parts).decode("utf-8", errors="replace")
 
 
 @pandas_udf(StringType())
@@ -106,7 +106,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def extract_links_udf(html: pd.Series) -> pd.Series:
     """All <a href> targets per page, document order, raw."""
     return html.map(
-        lambda b: [m.decode("utf-8") for m in _LINK_RE.findall(b)],
+        lambda b: [m.decode("utf-8", errors="replace") for m in _LINK_RE.findall(b)],
         na_action="ignore",
     )
 

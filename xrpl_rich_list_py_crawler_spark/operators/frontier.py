@@ -50,7 +50,10 @@ def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 16)
 
 
 def global_rank(
-    df: DataFrame, rank_col: str = "rank", n_partitions: int | None = None
+    df: DataFrame,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Distributed global dense rank 1..N in the frontier ORDER.
 
@@ -74,6 +77,9 @@ def global_rank(
     # (AQE may coalesce differently per action), so the offset branch and the
     # rank branch must read the same materialized pids, not recompute them.
     with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    if cache_registry is not None:
+        # caller unpersists after consuming the result (per-round hygiene)
+        cache_registry.append(with_pid)
     counts = with_pid.groupBy("_pid").count()
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

@@ -197,12 +197,14 @@ class CrawlRun:
         parsed = parsed.persist()
 
         # 5. ranked results (two-phase distributed rank, no global window)
+        _caches: list = []
         results = global_rank(
             parsed.select(
                 "url", "url_hash", "host", "depth", "host_rank",
                 "discovery_ts", "fetch_delay_s", "text", "n_links", "fetch_ok",
             ),
             rank_col="rank",
+            cache_registry=_caches,
         ).select(
             F.lit(round_n).alias("round"),
             "rank", "url", "url_hash", "host", "depth", "host_rank",
@@ -335,6 +337,8 @@ class CrawlRun:
         gated.unpersist()
         parsed.unpersist()
         next_frontier.unpersist()
+        for c in _caches:
+            c.unpersist()
         return out
 
     def run(self, n_rounds: int, seeds: DataFrame | None = None) -> int:
