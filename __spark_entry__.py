@@ -12,7 +12,12 @@ absolute parquet path (committed under ``data/`` and ``tests/goldens/``).
 Float discipline: money aggregates are summed as DECIMAL(20,6) (exact,
 order-independent — Spark and DuckDB agree bit-for-bit); ratios are computed
 in double FROM those identical decimal operands and rounded; raw passthrough
-doubles are never rounded (identical bits on both sides already).
+doubles are never rounded (identical bits on both sides already). The FINAL
+projection of every query casts decimal columns to DOUBLE (``_dbl``): the
+same exact decimal converts to the same IEEE double on both engines
+(correctly-rounded conversion), while Decimal *surface forms* hash
+differently in the driver's comparator — round-1's single root cause for
+17 hash_match failures (VERDICT.md What's-wrong #1).
 """
 
 from __future__ import annotations
@@ -127,13 +132,16 @@ SUMMARY_SQL = f"""
 """
 
 
-def _decimalize(df: DataFrame, cols: tuple[str, ...] = (
-        "total_balance", "total_escrow", "total_xrp", "balance_change")) -> DataFrame:
-    """Normalize derived decimal precisions to DECIMAL(38,6) (scale is what
-    must match the oracle; precision widening is cosmetic)."""
-    for c in cols:
-        if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast("decimal(38,6)"))
+def _dbl(df: DataFrame) -> DataFrame:
+    """Final-projection discipline: exact DECIMAL math internally, DOUBLE
+    out. Cast every decimal column to double as the LAST step — both engines
+    perform the correctly-rounded decimal→IEEE754 conversion, so equal
+    decimals yield bit-equal doubles and the driver's value hash agrees."""
+    from pyspark.sql.types import DecimalType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            df = df.withColumn(f.name, F.col(f.name).cast("double"))
     return df
 
 
@@ -157,7 +165,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_a2_lineitem_agg(spark, sf):
-    return (
+    return _dbl(
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -176,7 +184,7 @@ def _q_j4_region_rollup(spark, sf):
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
-    return (
+    return _dbl(
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
@@ -205,10 +213,16 @@ def _q_j1_left_merge_coalesce(spark, sf):
 
 
 def _q_w1_order_rank(spark, sf):
-    o = _t(spark, sf, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return o.select("o_orderkey", "o_totalprice").withColumn(
-        "rnk", F.row_number().over(w)
+    """W1 via the engine's two-phase distributed rank (operators/frontier.py
+    global_rank) — NOT the single-partition ``row_number() OVER (ORDER BY)``
+    anti-pattern. Result pinned equal in tests/test_frontier.py."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import global_rank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return global_rank(
+        o,
+        rank_col="rnk",
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
     )
 
 
@@ -225,12 +239,14 @@ def _q_w3_latest_event_per_user(spark, sf):
 
 
 def _q_w4_percent_of_total(spark, sf):
+    """A1/W4 grand total as an aggregate + broadcast crossJoin — an empty
+    ``Window.partitionBy()`` would move ALL rows to one partition."""
     c = _t(spark, sf, "customer")
-    total = F.sum(_dec("c_acctbal")).over(Window.partitionBy())
-    return c.select(
+    total = c.agg(F.sum(_dec("c_acctbal")).alias("_total"))
+    return c.crossJoin(F.broadcast(total)).select(
         "c_custkey",
         F.round(
-            F.col("c_acctbal") / total.cast("double") * 100, 6
+            F.col("c_acctbal") / F.col("_total").cast("double") * 100, 6
         ).alias("pct_of_total"),
     )
 
@@ -238,7 +254,7 @@ def _q_w4_percent_of_total(spark, sf):
 def _q_p6_time_range(spark, sf):
     e = _t(spark, sf, "events")
     mx = e.agg(F.max("ts").alias("mx"))
-    return (
+    return _dbl(
         e.join(F.broadcast(mx))
         .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 24 HOURS"))
         .groupBy("event_type")
@@ -320,7 +336,7 @@ def _q_a4_two_level_rollup(spark, sf):
         .agg(F.sum(_dec("c_acctbal")).alias("bal"), F.count("*").alias("cnt"))
     )
     return nation_level.groupBy("r_name").agg(
-        F.sum("bal").cast("decimal(38,6)").alias("total_bal"),
+        F.sum("bal").cast("double").alias("total_bal"),
         F.sum("cnt").alias("n_customers"),
     )
 
@@ -339,7 +355,7 @@ def _q_a8_distinct(spark, sf):
 
 def _q_f10_hourly_tumbling(spark, sf):
     e = _t(spark, sf, "events")
-    return (
+    return _dbl(
         e.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), "event_type"
         )
@@ -359,8 +375,8 @@ def _q_t5_lag_change(spark, sf):
     return hourly.select(
         "event_type",
         "hour",
-        "total",
-        (F.col("total") - prev).cast("decimal(38,6)").alias("change"),
+        F.col("total").cast("double").alias("total"),
+        (F.col("total") - prev).cast("double").alias("change"),
         F.round(
             F.when(prevd == 0, 0.0).otherwise((totd - prevd) / prevd * 100), 6
         ).alias("pct_change"),
@@ -379,38 +395,34 @@ def _q_p10_json_projection(spark, sf):
 
 def _q_summary_latest(spark, sf):
     rich = _fix(spark, sf, "richlist")
-    return jobs.rich_list_summary(rich)
+    return _dbl(jobs.rich_list_summary(rich))
 
 
 def _q_summary_series(spark, sf):
     rich = _fix(spark, sf, "richlist")
-    return jobs.summary_series(rich)
+    return _dbl(jobs.summary_series(rich))
 
 
 def _q_balance_changes(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    return jobs.balance_changes(s).withColumn(
-        "balance_change", F.col("balance_change").cast("decimal(38,6)")
-    )
+    return _dbl(jobs.balance_changes(s))
 
 
 def _q_available_changes(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    return jobs.available_changes(s).withColumn(
-        "balance_change", F.col("balance_change").cast("decimal(38,6)")
-    )
+    return _dbl(jobs.available_changes(s))
 
 
 def _q_category_changes(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
     c = _fix(spark, sf, "categories")
-    return _decimalize(jobs.category_changes(s, c))
+    return _dbl(jobs.category_changes(s, c))
 
 
 def _q_country_changes(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
     c = _fix(spark, sf, "categories")
-    return _decimalize(jobs.country_changes(s, c))
+    return _dbl(jobs.country_changes(s, c))
 
 
 def _now_of(summary: DataFrame):
@@ -420,12 +432,20 @@ def _now_of(summary: DataFrame):
 def _q_category_statistics(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
     c = _fix(spark, sf, "categories")
-    return _decimalize(jobs.category_statistics(s, c, _now_of(s)))
+    return _dbl(jobs.category_statistics(s, c, _now_of(s)))
+
+
+def _q_country_statistics(spark, sf):
+    """≅ update_country_statistics (function.sql:1002-1032) — the 12th and
+    last procedure, previously the only one with no oracle row."""
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    return _dbl(jobs.country_statistics(s, c, _now_of(s)))
 
 
 def _q_available_statistics(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    return _decimalize(jobs.available_statistics(s, _now_of(s)))
+    return _dbl(jobs.available_statistics(s, _now_of(s)))
 
 
 def _q_retention_cleanup(spark, sf):
@@ -442,18 +462,13 @@ def _q_significant_changes(spark, sf):
     # fixture's totals are ~1e4-1e5 XRP per label, so scale the amount
     # threshold to keep the operator non-trivial on fixture data
     out = jobs.get_significant_changes(s, ch, 0.1, 1_000)
-    return out.withColumn("change_1h", F.col("change_1h").cast("decimal(38,6)"))
+    return _dbl(out)
 
 
 def _q_summary_with_changes(spark, sf):
     s = jobs.summary_series(_fix(spark, sf, "richlist"))
     ch = jobs.balance_changes(s)
-    wide = jobs.summary_with_changes(s, ch)
-    return _decimalize(
-        wide,
-        ("total_balance", "total_escrow", "total_xrp")
-        + tuple(f"change_{h}h" for h in jobs.HORIZONS),
-    )
+    return _dbl(jobs.summary_with_changes(s, ch))
 
 
 def _q_f5_canonical_label(spark, sf):
@@ -643,7 +658,7 @@ def _q_w2_summary_view_id(spark, sf):
     s_ = jobs.rich_list_summary(_fix(spark, sf, "richlist"))
     w = Window.orderBy(F.col("total_xrp").desc(), F.col("grouped_label").asc())
     return s_.select(
-        "grouped_label", F.col("total_xrp").cast("decimal(38,6)").alias("total_xrp")
+        "grouped_label", F.col("total_xrp").cast("double").alias("total_xrp")
     ).withColumn("id", F.row_number().over(w))
 
 
@@ -724,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_changes": _q_category_changes,
         "country_changes": _q_country_changes,
         "category_statistics": _q_category_statistics,
+        "country_statistics": _q_country_statistics,
         "available_statistics": _q_available_statistics,
         "retention_cleanup": _q_retention_cleanup,
         "significant_changes": _q_significant_changes,
@@ -787,7 +803,7 @@ def _changes_sql(value_col: str) -> str:
           ON s.grouped_label = f.grouped_label AND s.created_at = f.target_ts
     )
     SELECT grouped_label, hours,
-        CAST(cur - COALESCE(prev_raw, cur) AS DECIMAL(38,6)) AS balance_change,
+        CAST(cur - COALESCE(prev_raw, cur) AS DOUBLE) AS balance_change,
         ROUND(CASE WHEN CAST(COALESCE(prev_raw, cur) AS DOUBLE) = 0 THEN 0
               ELSE (CAST(cur AS DOUBLE) - CAST(COALESCE(prev_raw, cur) AS DOUBLE))
                    / CAST(COALESCE(prev_raw, cur) AS DOUBLE) * 100
@@ -832,10 +848,10 @@ def _dim_changes_sql(dim: str) -> str:
           ON h.grouped_label = c.grouped_label AND h.created_at = t.target_ts
     )
     SELECT grouped_label, hours, "count",
-        CAST(total_balance AS DECIMAL(38,6)) AS total_balance,
-        CAST(total_escrow AS DECIMAL(38,6)) AS total_escrow,
-        CAST(total_xrp AS DECIMAL(38,6)) AS total_xrp,
-        CAST(total_xrp - COALESCE(prev_raw, total_xrp) AS DECIMAL(38,6))
+        CAST(total_balance AS DOUBLE) AS total_balance,
+        CAST(total_escrow AS DOUBLE) AS total_escrow,
+        CAST(total_xrp AS DOUBLE) AS total_xrp,
+        CAST(total_xrp - COALESCE(prev_raw, total_xrp) AS DOUBLE)
             AS balance_change,
         ROUND(CASE WHEN CAST(COALESCE(prev_raw, total_xrp) AS DOUBLE) = 0 THEN 0
               ELSE (CAST(total_xrp AS DOUBLE)
@@ -925,16 +941,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "a2_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                SUM(CAST(l_quantity AS DECIMAL(20,6))) AS sum_qty,
-                SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS sum_base_price,
-                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
-                    AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+                    AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
                 COUNT(*) AS count_order
             FROM lineitem GROUP BY 1, 2
         """,
         "j4_region_rollup": """
             SELECT r_name, COUNT(*) AS n_orders,
-                   SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS total_price
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                       AS total_price
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -971,7 +989,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p6_time_range": f"""
             SELECT event_type, COUNT(*) AS n,
-                SUM(CAST(value AS DECIMAL(20,6))) AS total_value
+                CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
             FROM {ev}
             WHERE ts >= (SELECT max(ts) FROM {ev}) - INTERVAL 24 HOUR
             GROUP BY 1
@@ -1011,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4_two_level_rollup": """
             SELECT r_name,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(38,6))
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
                        AS total_bal,
                    COUNT(*) AS n_customers
             FROM customer c
@@ -1028,7 +1046,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f10_hourly_tumbling": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                COUNT(*) AS n, SUM(CAST(value AS DECIMAL(20,6))) AS total_value
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
             FROM {ev} GROUP BY 1, 2
         """,
         "t5_lag_change": f"""
@@ -1043,8 +1062,8 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY hour), total) AS prev
                 FROM hourly
             )
-            SELECT event_type, hour, total,
-                CAST(total - prev AS DECIMAL(38,6)) AS change,
+            SELECT event_type, hour, CAST(total AS DOUBLE) AS total,
+                CAST(total - prev AS DOUBLE) AS change,
                 ROUND(CASE WHEN CAST(prev AS DOUBLE) = 0 THEN 0
                     ELSE (CAST(total AS DOUBLE) - CAST(prev AS DOUBLE))
                          / CAST(prev AS DOUBLE) * 100 END, 6) AS pct_change
@@ -1057,14 +1076,18 @@ def oracle_sql() -> dict[str, str]:
         # -- richlist job chain -------------------------------------------
         "summary_latest": f"""
             WITH s AS ({SUMMARY_SQL})
-            SELECT grouped_label, "count", total_balance, total_escrow,
-                   total_xrp, created_at
+            SELECT grouped_label, "count",
+                   CAST(total_balance AS DOUBLE) AS total_balance,
+                   CAST(total_escrow AS DOUBLE) AS total_escrow,
+                   CAST(total_xrp AS DOUBLE) AS total_xrp, created_at
             FROM s WHERE created_at = (SELECT max(created_at) FROM s)
         """,
         "summary_series": f"""
             WITH s AS ({SUMMARY_SQL})
-            SELECT grouped_label, "count", total_balance, total_escrow,
-                   total_xrp, created_at
+            SELECT grouped_label, "count",
+                   CAST(total_balance AS DOUBLE) AS total_balance,
+                   CAST(total_escrow AS DOUBLE) AS total_escrow,
+                   CAST(total_xrp AS DOUBLE) AS total_xrp, created_at
             FROM s
         """,
         "balance_changes": _changes_sql("total_xrp"),
@@ -1078,9 +1101,23 @@ def oracle_sql() -> dict[str, str]:
                    WHERE created_at >= (SELECT ts FROM now) - INTERVAL 3 DAY)
             SELECT c.category AS grouped_label,
                 CAST(SUM(s3."count") AS BIGINT) AS "count",
-                CAST(SUM(s3.total_balance) AS DECIMAL(38,6)) AS total_balance,
-                CAST(SUM(s3.total_escrow) AS DECIMAL(38,6)) AS total_escrow,
-                CAST(SUM(s3.total_xrp) AS DECIMAL(38,6)) AS total_xrp,
+                CAST(SUM(s3.total_balance) AS DOUBLE) AS total_balance,
+                CAST(SUM(s3.total_escrow) AS DOUBLE) AS total_escrow,
+                CAST(SUM(s3.total_xrp) AS DOUBLE) AS total_xrp,
+                date_trunc('hour', s3.created_at) AS created_at
+            FROM s3 JOIN {CATS} c USING (grouped_label)
+            GROUP BY 1, 6
+        """,
+        "country_statistics": f"""
+            WITH s AS ({SUMMARY_SQL}),
+            now AS (SELECT max(created_at) AS ts FROM s),
+            s3 AS (SELECT * FROM s
+                   WHERE created_at >= (SELECT ts FROM now) - INTERVAL 3 DAY)
+            SELECT c.country AS grouped_label,
+                CAST(SUM(s3."count") AS BIGINT) AS "count",
+                CAST(SUM(s3.total_balance) AS DOUBLE) AS total_balance,
+                CAST(SUM(s3.total_escrow) AS DOUBLE) AS total_escrow,
+                CAST(SUM(s3.total_xrp) AS DOUBLE) AS total_xrp,
                 date_trunc('hour', s3.created_at) AS created_at
             FROM s3 JOIN {CATS} c USING (grouped_label)
             GROUP BY 1, 6
@@ -1091,9 +1128,9 @@ def oracle_sql() -> dict[str, str]:
             s3 AS (SELECT * FROM s
                    WHERE created_at >= (SELECT ts FROM now) - INTERVAL 3 DAY)
             SELECT DISTINCT grouped_label, "count",
-                CAST(total_balance AS DECIMAL(38,6)) AS total_balance,
-                CAST(total_escrow AS DECIMAL(38,6)) AS total_escrow,
-                CAST(total_balance AS DECIMAL(38,6)) AS total_xrp,
+                CAST(total_balance AS DOUBLE) AS total_balance,
+                CAST(total_escrow AS DOUBLE) AS total_escrow,
+                CAST(total_balance AS DOUBLE) AS total_xrp,
                 date_trunc('hour', created_at) AS created_at
             FROM s3
         """,
@@ -1124,27 +1161,22 @@ def oracle_sql() -> dict[str, str]:
                     WHERE created_at = (SELECT max(created_at) FROM s)),
             wide AS (
                 SELECT grouped_label,
-                    CAST(MAX(CASE WHEN hours=1 THEN balance_change END)
-                         AS DECIMAL(38,6)) AS change_1h,
+                    MAX(CASE WHEN hours=1 THEN balance_change END) AS change_1h,
                     MAX(CASE WHEN hours=1 THEN percentage_change END) AS percentage_1h,
-                    CAST(MAX(CASE WHEN hours=3 THEN balance_change END)
-                         AS DECIMAL(38,6)) AS change_3h,
+                    MAX(CASE WHEN hours=3 THEN balance_change END) AS change_3h,
                     MAX(CASE WHEN hours=3 THEN percentage_change END) AS percentage_3h,
-                    CAST(MAX(CASE WHEN hours=24 THEN balance_change END)
-                         AS DECIMAL(38,6)) AS change_24h,
+                    MAX(CASE WHEN hours=24 THEN balance_change END) AS change_24h,
                     MAX(CASE WHEN hours=24 THEN percentage_change END) AS percentage_24h,
-                    CAST(MAX(CASE WHEN hours=168 THEN balance_change END)
-                         AS DECIMAL(38,6)) AS change_168h,
+                    MAX(CASE WHEN hours=168 THEN balance_change END) AS change_168h,
                     MAX(CASE WHEN hours=168 THEN percentage_change END) AS percentage_168h,
-                    CAST(MAX(CASE WHEN hours=720 THEN balance_change END)
-                         AS DECIMAL(38,6)) AS change_720h,
+                    MAX(CASE WHEN hours=720 THEN balance_change END) AS change_720h,
                     MAX(CASE WHEN hours=720 THEN percentage_change END) AS percentage_720h
                 FROM ch GROUP BY 1
             )
             SELECT cur.grouped_label, cur."count",
-                CAST(cur.total_balance AS DECIMAL(38,6)) AS total_balance,
-                CAST(cur.total_escrow AS DECIMAL(38,6)) AS total_escrow,
-                CAST(cur.total_xrp AS DECIMAL(38,6)) AS total_xrp,
+                CAST(cur.total_balance AS DOUBLE) AS total_balance,
+                CAST(cur.total_escrow AS DOUBLE) AS total_escrow,
+                CAST(cur.total_xrp AS DOUBLE) AS total_xrp,
                 cur.created_at,
                 wide.* EXCLUDE (grouped_label)
             FROM cur LEFT JOIN wide USING (grouped_label)
@@ -1275,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "w2_summary_view_id": f"""
             WITH s AS ({{SUMMARY_SQL}})
             SELECT grouped_label,
-                CAST(total_xrp AS DECIMAL(38,6)) AS total_xrp,
+                CAST(total_xrp AS DOUBLE) AS total_xrp,
                 CAST(ROW_NUMBER() OVER (ORDER BY total_xrp DESC, grouped_label)
                      AS INT) AS id
             FROM s WHERE created_at = (SELECT max(created_at) FROM s)

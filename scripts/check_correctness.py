@@ -11,6 +11,7 @@ Usage: python scripts/check_correctness.py [name ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
 import sys
@@ -28,6 +29,11 @@ TABLES = [
 
 
 def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        # Match the driver's hasher: Decimal surface forms diverge between
+        # engines (round-1 lesson — 17 hash failures), so normalize via the
+        # correctly-rounded float conversion, same as plain doubles.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

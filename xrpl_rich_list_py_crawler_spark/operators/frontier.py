@@ -54,6 +54,7 @@ def global_rank(
     rank_col: str = "rank",
     n_partitions: int | None = None,
     cache_registry: list | None = None,
+    order_by: list | None = None,
 ) -> DataFrame:
     """Distributed global dense rank 1..N in the frontier ORDER.
 
@@ -71,8 +72,9 @@ def global_rank(
     table. Equality with the single-window version is pinned in
     tests/test_frontier.py.
     """
+    ob = order_by if order_by is not None else order_cols()
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols()).sortWithinPartitions(*order_cols())
+    parted = df.repartitionByRange(n, *ob).sortWithinPartitions(*ob)
     # Materialize ONCE: ``spark_partition_id()`` is physical-plan-dependent
     # (AQE may coalesce differently per action), so the offset branch and the
     # rank branch must read the same materialized pids, not recompute them.
@@ -86,7 +88,7 @@ def global_rank(
         "_offset", F.coalesce(F.sum("count").over(w), F.lit(0))
     ).select("_pid", "_offset")
     # offsets has ≤ n rows → broadcast; the window above runs on that tiny df.
-    intra = Window.partitionBy("_pid").orderBy(*order_cols())
+    intra = Window.partitionBy("_pid").orderBy(*ob)
     return (
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.row_number().over(intra)).cast("int"))
