@@ -571,20 +571,39 @@ def _q_doc_fingerprints(spark, sf):
 
 
 def _q_minhash_neardups(spark, sf):
+    """MinHash+LSH candidates → EXACT char-9-gram Jaccard verification.
+
+    Oracle-checkable by construction: the emitted pairs are exactly those
+    with true char-gram Jaccard ≥ 0.5 (the fixture distribution is bimodal —
+    noise < 0.15, dups > 0.9 — and LSH recall at 16 bands × 4 rows is
+    1-(1-j⁴)¹⁶ ≈ 1-4e-8 at j=0.9; verified exhaustively at sf0.001/0.01)."""
     d = _t(spark, sf, "documents")
     pairs = dd.minhash_lsh_candidates(d, bands=16, n_hashes=64)
-    return dd.minhash_jaccard_estimate(d, pairs).filter(
-        F.col("jaccard_est") >= 0.5
-    ).select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+    return (
+        dd.chargram_jaccard_pairs(d, pairs, n=9, stride=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def _q_simhash_neardups(spark, sf):
-    return dd.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash chunk-blocked candidates (hamming ≤ 7 via 8-chunk pigeonhole)
+    → the same exact char-9-gram verification as minhash_neardups: a second,
+    independent candidate engine certified against the same exact truth
+    (truth pairs measure hamming ≤ 5 on the fixtures; 7 is the guarantee
+    bound the 8-chunk blocking covers exhaustively)."""
+    d = _t(spark, sf, "documents")
+    pairs = dd.simhash_near_dups(d, max_hamming=7).select("id_a", "id_b")
+    return (
+        dd.chargram_jaccard_pairs(d, pairs, n=9, stride=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def _q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", ts.lang_id_udf()(F.col("text")).alias("lang_pred"))
+    return d.select("doc_id", ts.lang_id_col(F.col("text")).alias("lang_pred"))
 
 
 def _q_ann_bruteforce(spark, sf):
@@ -663,32 +682,14 @@ def _q_w2_summary_view_id(spark, sf):
 
 
 def _q_token_jaccard_pairs(spark, sf):
-    """Exact token-set Jaccard near-dup pairs, blocked by source (the
-    verification stage behind MinHash; JVM array ops only)."""
+    """EXACT token-set Jaccard self-join via prefix filtering (SSJoin) —
+    the round-1 all-pairs-within-source wrapper is gone. The prefix-filter
+    theorem gives a MATHEMATICAL 100% recall guarantee, so the all-pairs
+    SQL oracle matches by construction, while the Spark plan only ever
+    pairs docs sharing a rare prefix token (linear-ish shuffles)."""
     d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
-    )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    j = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))) / F.size(
-        F.array_union(F.col("a.t"), F.col("b.t"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("jaccard", F.round(j, 6))
-        .filter(F.col("jaccard") >= 0.8)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            "jaccard",
-        )
+    return dd.jaccard_similarity_join(d, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -934,6 +935,28 @@ _POLITENESS_SQL = f"""
             AS fetch_delay_s
     FROM allowed
 """
+
+
+#: exact char-9-gram Jaccard near-dup pairs — the shared truth both the
+#: MinHash and the SimHash candidate engines are verified against
+_CHARGRAM_PAIRS_SQL = r"""
+    WITH grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(length(text) - 8, 1) + 1, 3),
+            i -> substr(text, CAST(i AS INT), 9))) AS g
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+"""
+
+#: the deterministic hyperplanes ann_lsh uses (dim=64, 6 planes, seed 42) —
+#: rounded literals so Spark and DuckDB evaluate identical doubles
+_ANN_PLANES = sim.hyperplanes(64, 6)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1314,18 +1337,51 @@ def oracle_sql() -> dict[str, str]:
         """.format(SUMMARY_SQL=SUMMARY_SQL),
         "token_jaccard_pairs": r"""
             WITH toks AS (
-                SELECT doc_id, source,
+                SELECT doc_id,
                     list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
                 FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
-            FROM toks a JOIN toks b
-              ON a.source = b.source AND a.doc_id < b.doc_id
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.t, b.t))) >= 0.8
         """,
-        # minhash_neardups / simhash_neardups / lang_id / ann_lsh: genuinely
-        # non-SQL (seeded LSH internals) → rows-only check by design.
+        # round-1's four rows-only queries, now exactly oracle-checkable:
+        # minhash/simhash emit pairs verified with EXACT char-9-gram Jaccard
+        # (candidate recall proven on the bimodal fixture), lang_id is pure
+        # Column ops with a CASE twin, ann_lsh's hyperplane buckets are
+        # literal-plane expressions both engines evaluate identically.
+        "minhash_neardups": _CHARGRAM_PAIRS_SQL,
+        "simhash_neardups": _CHARGRAM_PAIRS_SQL,
+        "lang_id": f"""
+            SELECT doc_id, {ts.lang_id_sql('text')} AS lang_pred
+            FROM documents
+        """,
+        "ann_lsh": f"""
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                         FROM embeddings),
+            bkted AS (
+                SELECT vec_id, embedding,
+                       {sim.bucket_sql('embedding', _ANN_PLANES)} AS bkt
+                FROM emb
+            ),
+            q AS (SELECT vec_id AS q_id, embedding AS q_vec, bkt
+                  FROM bkted WHERE vec_id < 5),
+            scored AS (
+                SELECT q.q_id, e.vec_id,
+                    list_cosine_similarity(e.embedding, q.q_vec) AS cosine
+                FROM bkted e JOIN q USING (bkt)
+                WHERE e.vec_id != q.q_id
+            ),
+            ranked AS (
+                SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
     }

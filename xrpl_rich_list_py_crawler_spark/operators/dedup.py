@@ -57,7 +57,11 @@ _MERSENNE = (1 << 61) - 1
 def _shingles(text: str, k: int) -> np.ndarray:
     b = text.encode("utf-8")
     if len(b) < k:
-        return np.array([hash(b) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        # deterministic short-text hash: builtin hash() is PYTHONHASHSEED-
+        # salted and would make signatures vary across workers/runs
+        return np.array(
+            [int.from_bytes(b.ljust(8, b"\0")[:8], "little")], dtype=np.uint64
+        )
     # rolling byte k-grams hashed via numpy view tricks
     arr = np.frombuffer(b, dtype=np.uint8)
     n = len(arr) - k + 1
@@ -200,22 +204,26 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ k.
 
-    Block on 4 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
-    chunk identical), pair within blocks, verify with bit_count — the
-    standard scalable simhash join (shuffle on chunk keys, no O(n²))."""
+    Block on ``max_hamming + 1`` bit-chunks (pigeonhole: distance ≤ k over
+    k+1 chunks ⇒ at least one chunk identical), pair within blocks, verify
+    with bit_count — the standard scalable simhash join (shuffle on chunk
+    keys, no O(n²))."""
+    n_chunks = max_hamming + 1
+    width = -(-64 // n_chunks)  # ceil; last chunk may be narrower
     sim = simhash_udf()
     sigs = df.select(id_col, sim(F.col(text_col)).alias("sim"))
+    chunk_cols = []
+    for i in range(n_chunks):
+        lo = i * width
+        bits = min(width, 64 - lo)
+        mask = (1 << bits) - 1
+        chunk_cols.append(
+            F.shiftrightunsigned("sim", lo).bitwiseAND(F.lit(mask))
+        )
     chunks = sigs.select(
         id_col,
         "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sim", i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ),
+        F.posexplode(F.array(*chunk_cols)),
     ).select(id_col, "sim", F.col("pos").alias("chunk"), F.col("col").alias("key"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
@@ -277,4 +285,140 @@ def ngram_jaccard_pairs(
             .otherwise(F.col("inter") / F.col("uni"))
             .alias("jaccard"),
         )
+    )
+
+
+def char_ngrams_col(text, n: int = 9, stride: int = 1):
+    """Distinct character n-grams of a string column, pure JVM.
+
+    Portable across engines: DuckDB's
+    ``list_distinct(list_transform(range(...), i -> substr(text, i, n)))``
+    computes the identical set, so exact char-gram Jaccard is oracle-able.
+    ``stride > 1`` samples every stride-th position — same bimodal
+    discrimination for near-dup detection at 1/stride the set size (set-op
+    cost per pair drops quadratically)."""
+    t = text if not isinstance(text, str) else F.col(text)
+    start = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)), F.lit(stride)
+    )
+    return F.array_distinct(F.transform(start, lambda i: t.substr(i, F.lit(n))))
+
+
+def chargram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 9, stride: int = 1,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for candidate pairs (the verification
+    stage behind MinHash/SimHash blocking). Integer set sizes divided in
+    double — bit-identical across engines.
+
+    Grams are built only for docs that appear in ``pairs`` (semi-join
+    first): n-gram extraction at char offsets is O(len²) per doc, so
+    restricting it to the candidate set — a tiny fraction of the corpus —
+    is the difference between seconds and minutes even at fixture scale."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # no forced broadcast: at corpus scale the candidate-id set can be
+    # large — let AQE pick broadcast vs shuffle semi join from actual size
+    grams = df.join(ids, id_col, "left_semi").select(
+        id_col, char_ngrams_col(F.col(text_col), n, stride).alias("g")
+    )
+    ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("g", "ga")
+    gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("g", "gb")
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("uni") == 0, 0.0)
+            .otherwise(F.col("inter") / F.col("uni"))
+            .alias("jaccard"),
+        )
+    )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (SSJoin /
+    PPJoin family) — never all-pairs, with a mathematical (not statistical)
+    recall guarantee.
+
+    Sort each doc's distinct tokens by ascending global frequency; any pair
+    with J ≥ θ must share a token within each side's first
+    ``|d| − ⌈θ·|d|⌉ + 1`` tokens (prefix-filter theorem). Candidates are
+    generated by exploding only those prefixes — which are the RAREST
+    tokens, so bucket sizes stay small even on a vocabulary-skewed corpus —
+    then verified with the exact Jaccard. Shuffles: one token-frequency agg,
+    one prefix-bucket join, one verify join; all linear-ish in corpus size.
+    """
+    toks = df.select(
+        id_col,
+        F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    )
+    freq = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    # order each doc's tokens by (freq asc, tok asc) — a global canonical
+    # order shared by every doc, required by the prefix-filter theorem
+    ordered = (
+        toks.select(id_col, F.explode("t").alias("tok"))
+        .join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("freq", "tok"))
+            ).alias("ft"),
+        )
+        .select(
+            id_col,
+            F.transform("ft", lambda s: s["tok"]).alias("sorted_toks"),
+        )
+    )
+    prefix_len = (
+        F.size("sorted_toks")
+        - F.ceil(F.size("sorted_toks") * F.lit(threshold)).cast("int")
+        + F.lit(1)
+    )
+    prefixes = ordered.select(
+        id_col, F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("tok")
+    )
+    a = prefixes.withColumnRenamed(id_col, "id_a")
+    b = prefixes.withColumnRenamed(id_col, "id_b")
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col(id_col).alias("id_a"), F.col("sorted_toks").alias("ta")
+    )
+    sb = ordered.select(
+        F.col(id_col).alias("id_b"), F.col("sorted_toks").alias("tb")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("uni", F.size(F.array_union("ta", "tb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("uni") == 0, 0.0)
+            .otherwise(F.col("inter") / F.col("uni"))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

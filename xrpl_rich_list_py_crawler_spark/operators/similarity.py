@@ -9,7 +9,6 @@ its bucket — the shuffle is (bucket, vector), never the full cross join.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,22 +64,36 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets_udf(dim: int, n_planes: int = 12, seed: int = 42):
-    """Arrow UDF: vector → LSH bucket id (sign pattern over random
-    hyperplanes, fixed seed)."""
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, rounded to 6 decimals so the SAME
+    numeric literals parse to identical doubles in Spark and in SQL oracles."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    return np.round(rng.randn(n_planes, dim), 6)
 
-    @F.pandas_udf("long")
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy())
-        signs = (M @ planes.T) > 0
-        out = np.zeros(len(M), dtype=np.int64)
-        for i in range(n_planes):
-            out |= signs[:, i].astype(np.int64) << i
-        return pd.Series(out)
 
-    return _bucket
+def bucket_col(vec, planes: np.ndarray):
+    """LSH bucket id (sign pattern over ``planes``) as a pure JVM Column.
+
+    The dot product is a sequential left fold (``aggregate`` starting at
+    0.0), which matches the left-associative explicit sum ``bucket_sql``
+    emits — identical summation order ⇒ identical signs on both engines."""
+    b = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = _dot(vec, plane)
+        b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def bucket_sql(vec_expr: str, planes: np.ndarray) -> str:
+    """SQL twin of ``bucket_col`` (1-based array indexing, left-assoc sum)."""
+    terms = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}]*({float(x)!r})" for j, x in enumerate(p)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def lsh_topk(
@@ -99,10 +112,11 @@ def lsh_topk(
     At 10^9 vectors: corpus is hash-partitioned by bucket (a one-time
     repartition, reusable across queries); each query joins one bucket.
     Recall is tunable via n_planes (fewer planes → bigger buckets).
+    Bucketing is pure JVM (``bucket_col``) — no Python in the hot path.
     """
-    bucket = hyperplane_buckets_udf(dim, n_planes)
-    emb_b = embeddings.withColumn("_bkt", bucket(F.col(vec_col)))
-    q_b = queries.withColumn("_bkt", bucket(F.col(q_vec_col)))
+    planes = hyperplanes(dim, n_planes)
+    emb_b = embeddings.withColumn("_bkt", bucket_col(F.col(vec_col), planes))
+    q_b = queries.withColumn("_bkt", bucket_col(F.col(q_vec_col), planes))
     scored = emb_b.join(F.broadcast(q_b), "_bkt").select(
         F.col(q_id_col),
         F.col(id_col),

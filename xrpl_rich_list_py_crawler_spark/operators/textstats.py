@@ -1,15 +1,13 @@
 """Text analysis for web-text corpora: language ID, quality scores,
 token counts, document fingerprints.
 
-Everything oracle-comparable stays in portable JVM expressions (so DuckDB
-can reproduce values bit-for-bit); the n-gram language scorer is an Arrow
-UDF (model table broadcast in the closure).
+Everything — including the language scorer — is portable JVM Column
+expressions, so DuckDB can reproduce values bit-for-bit and nothing here
+leaves whole-stage codegen.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,32 +82,59 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ---------------------------------------------------------------------------
-# language ID: character-frequency heuristic (Arrow UDF)
+# language ID: character-range + stopword heuristic (pure JVM Column ops)
 # ---------------------------------------------------------------------------
 
 #: coarse unicode-range + stopword heuristic: enough to separate en/de/ja
 #: (the three fixture languages) deterministically.
 _DE_MARKERS = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"]
 
+#: hiragana/katakana + CJK unified ideographs — a literal char-class both
+#: Java regex (Spark) and RE2 (DuckDB) interpret identically
+_CJK_CLASS = "[぀-ヿ一-鿿]"
+
+
+def lang_id_col(text: Column) -> Column:
+    """Language guess as a codegen'd Column expression (no Python).
+
+    Rule (mirrors the round-1 Arrow UDF, now whole-stage-codegen and
+    DuckDB-oracle-able): empty/null → 'und'; >10% CJK chars in the first
+    400 chars → 'ja'; else German marker tokens vs English stopword tokens.
+    """
+    head = F.substring(text, 1, 400)
+    n_cjk = F.length(head) - F.length(F.regexp_replace(head, _CJK_CLASS, ""))
+    toks = F.split(F.lower(text), WS)
+    de = F.size(F.filter(toks, lambda t: t.isin(_DE_MARKERS)))
+    en = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS_EN)))
+    return (
+        F.when(text.isNull() | (text == ""), "und")
+        .when(n_cjk > F.length(head) * 0.1, "ja")
+        .when(de > en, "de")
+        .otherwise("en")
+    )
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """The DuckDB rendering of ``lang_id_col`` (independent oracle)."""
+    de = ", ".join(f"'{w}'" for w in _DE_MARKERS)
+    en = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+    head = f"substr({text_expr}, 1, 400)"
+    return f"""
+        CASE WHEN {text_expr} IS NULL OR {text_expr} = '' THEN 'und'
+             WHEN length({head})
+                  - length(regexp_replace({head}, '{_CJK_CLASS}', '', 'g'))
+                  > length({head}) * 0.1 THEN 'ja'
+             WHEN len(list_filter(regexp_split_to_array(lower({text_expr}),
+                                                        '\\s+'),
+                                  t -> t IN ({de})))
+                  > len(list_filter(regexp_split_to_array(lower({text_expr}),
+                                                          '\\s+'),
+                                    t -> t IN ({en}))) THEN 'de'
+             ELSE 'en' END
+    """
+
 
 def lang_id_udf():
-    @F.pandas_udf("string")
-    def _lang(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append("und")
-                continue
-            # CJK?
-            n_cjk = sum(1 for ch in t[:400] if "぀" <= ch <= "ヿ"
-                        or "一" <= ch <= "鿿")
-            if n_cjk > len(t[:400]) * 0.1:
-                out.append("ja")
-                continue
-            toks = t.lower().split()
-            de = sum(tok in _DE_MARKERS for tok in toks)
-            en = sum(tok in _STOPWORDS_EN for tok in toks)
-            out.append("de" if de > en else "en")
-        return pd.Series(out)
-
-    return _lang
+    """Back-compat shim: historical name, now returns the JVM Column
+    function (the Arrow UDF was replaced — VERDICT.md round 1 #3)."""
+    return lang_id_col
