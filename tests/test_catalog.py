@@ -68,12 +68,20 @@ def test_fresh_run_without_seeds_raises(spark, tmp_path):
 
 
 def test_expire_rounds_retention(spark, tmp_path):
-    """≅ cleanup_old_rich_list_data (function.sql:408-422)."""
+    """≅ cleanup_old_rich_list_data (function.sql:408-422): snapshot data
+    expires, but the dedup-key ledger (seen) is NEVER truncated — the
+    reference keeps UNIQUE(address, snapshot_date) while deleting rows, so
+    expired URLs must not become re-fetchable."""
     cat = SnapshotCatalog(str(tmp_path))
     for r in range(1, 6):
-        df = spark.createDataFrame([(r, r)], "url_hash long, round int")
-        cat.commit_round(r, {"seen": df})
+        seen = spark.createDataFrame([(r, r)], "url_hash long, round int")
+        res = spark.createDataFrame([(r,)], "round int")
+        cat.commit_round(r, {"seen": seen, "results": res})
     dropped = cat.expire_rounds(keep_last=2)
     assert dropped == [1, 2, 3]
-    assert cat.read_appended(spark, "seen").count() == 2
-    assert not os.path.exists(os.path.join(str(tmp_path), "seen", "r00001"))
+    # snapshot table expired physically + in the manifest
+    assert cat.read_appended(spark, "results").count() == 2
+    assert not os.path.exists(os.path.join(str(tmp_path), "results", "r00001"))
+    # dedup ledger fully retained
+    assert cat.read_appended(spark, "seen").count() == 5
+    assert os.path.exists(os.path.join(str(tmp_path), "seen", "r00001"))

@@ -61,3 +61,31 @@ def test_empty_seen_passthrough(spark):
     _, cand, _ = _dfs(spark, n_seen=1, n_cand=100, overlap=0)
     assert anti_join_seen(cand, None).count() == 100
     assert anti_join_seen_bloom(spark, cand, None).count() == 100
+
+
+def test_or_merge_executor_side_increment(spark):
+    """Incremental path: base shards OR-merged with increment shards built
+    at the SAME geometry ≡ shards built from the full ledger (no row data
+    ever collected — only n_shards blobs)."""
+    seen, cand, _ = _dfs(spark, n_seen=4000, n_cand=1, overlap=0)
+    inc, _, _ = _dfs(spark, n_seen=1500, n_cand=1, overlap=0)
+    base = build_bloom_shards(seen, n_shards=8, expected_keys=8000)
+    inc_shards = build_bloom_shards(
+        inc, n_shards=8, n_bits_override=base.n_bits
+    )
+    merged = base.or_merge(inc_shards)
+    full = seen.unionByName(inc)
+    # every key of the full ledger must be (maybe-)contained after the merge
+    all_hashes = np.array(
+        [r["url_hash"] for r in full.select("url_hash").collect()],
+        dtype=np.int64,
+    )
+    assert merged.maybe_contains(all_hashes).all()
+    assert merged.n_keys == 5500
+    # geometry mismatch is an error, not silent corruption
+    other = build_bloom_shards(inc, n_shards=8, n_bits_override=base.n_bits * 2)
+    try:
+        base.or_merge(other)
+        raise AssertionError("expected ValueError on geometry mismatch")
+    except ValueError:
+        pass

@@ -265,15 +265,20 @@ class CrawlRun:
             new_seen.select("url_hash")
         )
         if self.use_bloom and self._bloom is not None:
-            import numpy as np
+            from ..operators.seen import build_bloom_shards
 
-            inc = np.array(
-                [r["url_hash"] for r in new_seen.select("url_hash").collect()],
-                dtype=np.int64,
+            # increment shards are built executor-side with the SAME
+            # geometry, then OR-merged blob-wise: only n_shards bitsets
+            # reach the driver — never row data (a round's increment is
+            # per-host-budget × host-count, which at 10^10-frontier scale
+            # is millions of longs; collecting it would OOM the driver)
+            inc_shards = build_bloom_shards(
+                new_seen,
+                n_shards=self._bloom.n_shards,
+                n_hashes=self._bloom.n_hashes,
+                n_bits_override=self._bloom.n_bits,
             )
-            bloom_now = (
-                self._bloom.with_added(inc) if len(inc) else self._bloom
-            )
+            bloom_now = self._bloom.or_merge(inc_shards)
             unseen_merged = anti_join_seen_bloom(
                 self.spark, merged, seen_now, bloom_now
             )

@@ -148,11 +148,26 @@ class SnapshotCatalog:
             for f in glob.glob(os.path.join(d, "*.parquet"))
         )
 
-    def expire_rounds(self, keep_last: int) -> list[int]:
+    #: tables that are DEDUP KEYS, not snapshot data: retention must never
+    #: truncate them or expired URLs would be re-fetched (the reference
+    #: keeps its UNIQUE(address, snapshot_date) key / processed set while
+    #: expiring only snapshot rows)
+    RETAIN_TABLES = ("seen", "frontier")
+
+    def expire_rounds(
+        self, keep_last: int, retain: tuple[str, ...] | None = None
+    ) -> list[int]:
         """Retention ≅ cleanup_old_rich_list_data (function.sql:408-422) /
         Iceberg expire_snapshots: drop all but the last ``keep_last``
         committed rounds of append tables' physical data, manifest first
-        so readers never see a dangling path."""
+        so readers never see a dangling path.
+
+        Tables in ``retain`` (default :data:`RETAIN_TABLES`) keep every
+        round: the ``seen`` ledger is the crawl's dedup key and the
+        ``frontier`` is resume state — expiring either would silently
+        re-fetch previously-crawled URLs after retention kicks in.
+        """
+        retain = self.RETAIN_TABLES if retain is None else retain
         m = self.manifest()
         rounds = m["committed_rounds"]
         if len(rounds) <= keep_last:
@@ -161,13 +176,15 @@ class SnapshotCatalog:
         keep = rounds[-keep_last:]
         m["committed_rounds"] = keep
         for t in m["tables"]:
+            if t in retain:
+                continue
             m["tables"][t]["rounds"] = [
                 r for r in m["tables"][t]["rounds"] if r in keep
             ]
         self._swap_manifest(m)
         for t in os.listdir(self.root):
             tdir = os.path.join(self.root, t)
-            if not os.path.isdir(tdir):
+            if not os.path.isdir(tdir) or t in retain:
                 continue
             for r in drop:
                 rd = os.path.join(tdir, f"r{r:05d}")
