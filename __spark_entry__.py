@@ -471,6 +471,24 @@ def _q_summary_with_changes(spark, sf):
     return _dbl(jobs.summary_with_changes(s, ch))
 
 
+def _q_category_summary_wide(spark, sf):
+    """≅ view xrpl_rich_list_category_summary_with_changes
+    (table.sql:392-449): J8 latest-per-key join-back + horizon pivot + id."""
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    ch = jobs.category_changes(s, c)
+    return _dbl(jobs.dim_summary_with_changes(ch, "category"))
+
+
+def _q_country_summary_wide(spark, sf):
+    """≅ view xrpl_rich_list_country_summary_with_changes
+    (table.sql:452-511)."""
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    c = _fix(spark, sf, "categories")
+    ch = jobs.country_changes(s, c)
+    return _dbl(jobs.dim_summary_with_changes(ch, "country"))
+
+
 def _q_f5_canonical_label(spark, sf):
     rich = _fix(spark, sf, "richlist")
     return (
@@ -745,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cleanup": _q_retention_cleanup,
         "significant_changes": _q_significant_changes,
         "summary_with_changes": _q_summary_with_changes,
+        "category_summary_wide": _q_category_summary_wide,
+        "country_summary_wide": _q_country_summary_wide,
         "f5_canonical_label": _q_f5_canonical_label,
         # crawl engine
         "crawl_round1": _q_crawl_round1,
@@ -861,6 +881,41 @@ def _dim_changes_sql(dim: str) -> str:
             AS percentage_change,
         (SELECT ts FROM latest) AS calculated_at
     FROM joined
+    """
+
+
+def _dim_summary_wide_sql(dim: str) -> str:
+    """DuckDB rendering of the wide reporting views (table.sql:392-511)."""
+    pivots = ",\n               ".join(
+        f"MAX(CASE WHEN hours={h} THEN balance_change END) AS change_{h}h,\n"
+        f"               MAX(CASE WHEN hours={h} THEN percentage_change END)"
+        f" AS percentage_{h}h"
+        for h in (1, 3, 24, 168, 720)
+    )
+    ent_cat = "grouped_label" if dim == "category" else "'-'"
+    ent_cty = "grouped_label" if dim == "country" else "'-'"
+    return f"""
+    WITH ch AS ({_dim_changes_sql(dim)}),
+    lc AS (SELECT grouped_label, MAX(calculated_at) AS ts FROM ch GROUP BY 1),
+    latest AS (
+        SELECT c.* FROM ch c JOIN lc
+          ON c.grouped_label = lc.grouped_label AND c.calculated_at = lc.ts
+    ),
+    wide AS (
+        SELECT grouped_label, "count", total_balance, total_escrow,
+               total_xrp, calculated_at,
+               {pivots}
+        FROM latest GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY total_xrp DESC, grouped_label)
+                AS INT) AS id,
+        grouped_label, "count", total_balance, total_escrow, total_xrp,
+        calculated_at AS created_at, total_xrp AS show_total_xrp,
+        {ent_cat} AS entity_category, {ent_cty} AS entity_country,
+        change_1h, percentage_1h, change_3h, percentage_3h,
+        change_24h, percentage_24h, change_168h, percentage_168h,
+        change_720h, percentage_720h
+    FROM wide
     """
 
 
@@ -1205,6 +1260,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cur LEFT JOIN wide USING (grouped_label)
         """,
         # -- crawl engine ---------------------------------------------------
+        "category_summary_wide": _dim_summary_wide_sql("category"),
+        "country_summary_wide": _dim_summary_wide_sql("country"),
         "crawl_round1": f"""
             SELECT rank, url, host, depth, fetch_ok, n_links, text
             FROM {G_ROUND1}

@@ -55,6 +55,52 @@ def test_streaming_summary_upsert_idempotent(spark, crawl_sf0001, tmp_path):
     assert got.count() == got.select("grouped_label", "window_start").distinct().count()
 
 
+def test_streaming_upsert_overwrites_only_affected_windows(spark, tmp_path):
+    """The MERGE-INTO emulation must be a keyed partition overwrite: a
+    batch touching window W2 must not rewrite window W1's files (round 1
+    rewrote the whole output per micro-batch)."""
+    import glob
+
+    epoch = datetime(2026, 1, 1)
+    src = str(tmp_path / "snapshots")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snap(hour, path):
+        pdf = pd.DataFrame(
+            {
+                "address": ["rA", "rB"],
+                "label": ["Ripple", "Binance"],
+                "balance_xrp": [10.0, 20.0],
+                "escrow_xrp": [1.0, 2.0],
+                "snapshot_date": [epoch + timedelta(hours=hour)] * 2,
+            }
+        )
+        pdf["snapshot_date"] = pdf["snapshot_date"].astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    # run 1: only window W1 exists
+    snap(0, os.path.join(src, "s0.parquet"))
+    hourly_summary_stream(spark, src, out, ckpt).awaitTermination(300)
+    w1_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "window_start=*", "*.parquet"))
+    }
+    assert w1_files, "window-1 partition written"
+    # run 2 (same checkpoint): a new file lands in window W2 only
+    snap(1, os.path.join(src, "s1.parquet"))
+    hourly_summary_stream(spark, src, out, ckpt).awaitTermination(300)
+    for f, mtime in w1_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime, (
+            f"untouched window rewritten: {f}"
+        )
+    # both windows readable, keys unique
+    got = spark.read.parquet(out)
+    assert got.select("window_start").distinct().count() == 2
+    assert got.count() == got.select("grouped_label", "window_start").distinct().count()
+
+
 def test_politeness_stream_budget_across_batches(spark, tmp_path):
     """Two micro-batches of 10 urls each for one host: only 16 total may be
     selected (budget persists in state across batches)."""

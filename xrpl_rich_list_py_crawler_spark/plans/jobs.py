@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import canonical_label_col, safe_ratio_col
+from ..operators.asof import latest_per_key
 
 HORIZONS = [1, 3, 24, 168, 720]
 
@@ -367,6 +368,56 @@ def summary_with_changes(summary: DataFrame, changes: DataFrame) -> DataFrame:
     for old, new in renames.items():
         wide = wide.withColumnRenamed(old, new)
     return cur.join(wide, "grouped_label", "left")
+
+
+def dim_summary_with_changes(changes: DataFrame, dim: str) -> DataFrame:
+    """≅ views ``xrpl_rich_list_category_summary_with_changes`` /
+    ``…country_summary_with_changes`` (``table.sql:392-449, 452-511``):
+    latest ``calculated_at`` per dimension value (J8 latest-per-key +
+    join-back), horizons pivoted wide (ONE groupBy().pivot() instead of the
+    reference's five self-left-joins), presentation decorations, and a
+    ROW_NUMBER id by descending total_xrp.
+
+    The id window is a global window over the already-aggregated dimension
+    table (≤ |categories| rows — hundreds), not over row-level data, so a
+    plain window is the right plan here.
+    """
+    latest_keys = latest_per_key(
+        changes.select("grouped_label", "calculated_at").distinct(),
+        ["grouped_label"],
+        "calculated_at",
+    )
+    latest = changes.join(
+        F.broadcast(latest_keys), ["grouped_label", "calculated_at"]
+    )
+    wide = (
+        latest.groupBy(
+            "grouped_label", "count", "total_balance", "total_escrow",
+            "total_xrp", "calculated_at",
+        )
+        .pivot("hours", HORIZONS)
+        .agg(
+            F.first("balance_change").alias("change"),
+            F.first("percentage_change").alias("percentage"),
+        )
+    )
+    for h in HORIZONS:
+        wide = wide.withColumnRenamed(f"{h}_change", f"change_{h}h")
+        wide = wide.withColumnRenamed(f"{h}_percentage", f"percentage_{h}h")
+    ent_cat = F.col("grouped_label") if dim == "category" else F.lit("-")
+    ent_cty = F.col("grouped_label") if dim == "country" else F.lit("-")
+    decorated = wide.select(
+        "grouped_label", "count", "total_balance", "total_escrow", "total_xrp",
+        F.col("calculated_at").alias("created_at"),
+        F.col("total_xrp").alias("show_total_xrp"),
+        ent_cat.alias("entity_category"),
+        ent_cty.alias("entity_country"),
+        *[c for h in HORIZONS for c in (f"change_{h}h", f"percentage_{h}h")],
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_xrp").desc(), F.col("grouped_label").asc())
+    return decorated.withColumn("id", F.row_number().over(w))
 
 
 def get_significant_changes(

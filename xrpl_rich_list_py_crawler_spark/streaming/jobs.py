@@ -78,12 +78,27 @@ def hourly_summary_stream(
     )
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
-        # keyed upsert emulation: union old+new, keep the newest row per key
-        # (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE)
+        # keyed upsert emulation (Iceberg: MERGE INTO ... WHEN MATCHED
+        # UPDATE) via DYNAMIC PARTITION OVERWRITE on window_start: only the
+        # batch's affected windows are read back, merged, and rewritten —
+        # untouched windows' files are never touched. Round 1 rewrote the
+        # ENTIRE accumulated output per micro-batch (O(total state), plus a
+        # non-atomic double rewrite); cost is now O(batch's windows).
         sp = batch.sparkSession
-        new = batch.withColumn("_b", F.lit(batch_id))
+        new = batch.withColumn("_b", F.lit(batch_id)).persist()
+        # the batch's distinct windows: bounded by the watermark horizon —
+        # a justified scalar collect, never row data
+        wins = [r["window_start"] for r in new.select("window_start").distinct().collect()]
+        if not wins:
+            new.unpersist()
+            return
         if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-            old = sp.read.parquet(out_dir)
+            old = (
+                sp.read.parquet(out_dir)
+                # partition pruning: only affected windows are scanned
+                .filter(F.col("window_start").isin(wins))
+                .select(*new.columns)
+            )
             merged = old.unionByName(new)
         else:
             merged = new
@@ -95,9 +110,23 @@ def hourly_summary_stream(
             .filter("_rn = 1")
             .drop("_rn")
         )
-        tmp = out_dir + ".tmp"
-        final.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+        # stage the merged slice first: `final` lazily READS out_dir, so
+        # writing it straight back is a self-read-overwrite (a task retry
+        # after partition replacement could read deleted files). The stage
+        # holds only the batch's windows — still O(batch), never O(total).
+        import shutil
+
+        staging = f"{out_dir}.stage-{batch_id}"
+        final.write.mode("overwrite").parquet(staging)
+        (
+            sp.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(out_dir)
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        new.unpersist()
 
     return (
         agg.writeStream.outputMode("update")
