@@ -562,6 +562,55 @@ def _q_robots_denied(spark, sf):
     return pol.apply_robots(seeds, robots).filter(F.col("robots_denied")).select("url")
 
 
+def _q_trustline_rich_list(spark, sf):
+    """The RLUSD trustline chain end-to-end (scanner-rlusd.py:24-96):
+    S4 struct-subfield projection from the JSON payload, P2 currency
+    equality, P3 abs-positive filter, W1 rank by balance (two-phase
+    global_rank), A1/W4 percent-of-supply — the variant-columns path the
+    round-1 coverage map absorbed into generic operators without a
+    demonstrating query (VERDICT.md What's-missing #4)."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import global_rank
+    from xrpl_rich_list_py_crawler_spark.sources.fixtures import RLUSD_HEX
+
+    schema = (
+        "specification struct<currency:string,counterparty:string>, "
+        "state struct<balance:string>, "
+        "counterparty struct<`limit`:string,ripplingDisabled:boolean>"
+    )
+    tl = _fix(spark, sf, "trustlines")
+    lines = (
+        tl.select(F.from_json("payload", schema).alias("j"))
+        .filter(F.col("j.specification.currency") == RLUSD_HEX)
+        .select(
+            F.col("j.specification.counterparty").alias("address"),
+            F.abs(F.col("j.state.balance").cast("double")).alias("balance_rlusd"),
+            F.col("j.counterparty.limit").alias("trust_limit"),
+            F.coalesce(
+                F.col("j.counterparty.ripplingDisabled"), F.lit(False)
+            ).alias("rippling_disabled"),
+        )
+        .filter(F.col("balance_rlusd") > 0)
+    )
+    total = lines.agg(
+        F.sum(_dec("balance_rlusd")).cast("double").alias("_t")
+    )
+    ranked = global_rank(
+        lines,
+        rank_col="rank",
+        order_by=[F.col("balance_rlusd").desc(), F.col("address").asc()],
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "address",
+        "balance_rlusd",
+        "trust_limit",
+        F.round(F.col("balance_rlusd") / F.col("_t") * 100, 6).alias(
+            "percentage"
+        ),
+        "rippling_disabled",
+    )
+
+
 # -- documents / embeddings (training-data ops) -------------------------------
 
 
@@ -769,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl engine
         "crawl_round1": _q_crawl_round1,
         "crawl_seen_after3": _q_crawl_seen_after3,
+        "trustline_rich_list": _q_trustline_rich_list,
         "url_canonicalization": _q_url_canonicalization,
         "politeness_assignment": _q_politeness_assignment,
         "robots_denied": _q_robots_denied,
@@ -1267,6 +1317,33 @@ def oracle_sql() -> dict[str, str]:
             FROM {G_ROUND1}
         """,
         "crawl_seen_after3": f"SELECT url FROM {G_SEEN3}",
+        "trustline_rich_list": f"""
+            WITH lines AS (
+                SELECT
+                    json_extract_string(payload, '$.specification.counterparty')
+                        AS address,
+                    abs(CAST(json_extract_string(payload, '$.state.balance')
+                             AS DOUBLE)) AS balance_rlusd,
+                    json_extract_string(payload, '$.counterparty.limit')
+                        AS trust_limit,
+                    COALESCE(CAST(json_extract_string(
+                        payload, '$.counterparty.ripplingDisabled')
+                        AS BOOLEAN), FALSE) AS rippling_disabled
+                FROM read_parquet('{REPO}/data/crawl_sf0.01/trustlines.parquet')
+                WHERE json_extract_string(payload, '$.specification.currency')
+                    = '524C555344000000000000000000000000000000'
+            ),
+            pos AS (SELECT * FROM lines WHERE balance_rlusd > 0),
+            tot AS (SELECT CAST(SUM(CAST(balance_rlusd AS DECIMAL(20,6)))
+                                AS DOUBLE) AS t FROM pos)
+            SELECT CAST(ROW_NUMBER() OVER (
+                        ORDER BY balance_rlusd DESC, address) AS INT) AS rank,
+                address, balance_rlusd, trust_limit,
+                ROUND(balance_rlusd / (SELECT t FROM tot) * 100, 6)
+                    AS percentage,
+                rippling_disabled
+            FROM pos
+        """,
         "url_canonicalization": _CANON_SQL.format(src=PAGES),
         "politeness_assignment": _POLITENESS_SQL,
         "robots_denied": f"""

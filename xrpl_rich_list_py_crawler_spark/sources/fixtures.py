@@ -315,6 +315,9 @@ def generate_crawl_fixtures(sf: str, out_dir: str | None = None) -> str:
     richlist.to_parquet(os.path.join(out, "richlist.parquet"), index=False)
     categories.to_parquet(os.path.join(out, "categories.parquet"), index=False)
     generate_amounts().to_parquet(os.path.join(out, "amounts.parquet"), index=False)
+    generate_trustlines().to_parquet(
+        os.path.join(out, "trustlines.parquet"), index=False
+    )
     return out
 
 
@@ -340,10 +343,52 @@ def generate_amounts(n: int = 500, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+#: RLUSD currency code as the ledger hex string (scanner-rlusd.py:44)
+RLUSD_HEX = "524C555344000000000000000000000000000000"
+
+
+def generate_trustlines(n: int = 400, seed: int = SEED) -> pd.DataFrame:
+    """Trustline API payloads for the RLUSD scanner chain
+    (``scanner-rlusd.py:24-96``): nested JSON with specification/state/
+    counterparty subobjects, mixed currencies, issuer-perspective negative
+    balances, zero-balance lines, string limits, ripplingDisabled flags."""
+    import json as _json
+
+    rng = np.random.RandomState(seed + 11)
+    currencies = [RLUSD_HEX, "USD", "EUR", "5553444300000000000000000000000000000000"]
+    rows = []
+    for i in range(n):
+        cur = currencies[0] if rng.rand() < 0.7 else currencies[1 + rng.randint(3)]
+        mag = float(rng.rand() * 10 ** rng.randint(0, 7))
+        # issuer-perspective balances are negative; some lines are empty
+        bal = 0.0 if rng.rand() < 0.1 else -mag if rng.rand() < 0.8 else mag
+        payload = {
+            "specification": {
+                "currency": cur,
+                "counterparty": f"r{'%033x' % rng.randint(0, 2**62)}",
+            },
+            "state": {"balance": f"{bal:.6f}"},
+            "counterparty": {
+                "limit": f"{float(rng.randint(1, 10) * 10**8):.1f}",
+                "ripplingDisabled": bool(rng.rand() < 0.5),
+            },
+        }
+        # ~5% of lines omit the optional counterparty flags (API reality)
+        if rng.rand() < 0.05:
+            del payload["counterparty"]["ripplingDisabled"]
+        rows.append(
+            {"line_id": i, "payload": _json.dumps(payload, sort_keys=True)}
+        )
+    return pd.DataFrame(rows)
+
+
 def ensure_crawl_fixtures(sf: str) -> str:
     """Generate fixtures for ``sf`` if not already on disk; return dir."""
     out = crawl_fixture_dir(sf)
-    expected = ["pages", "seeds", "robots", "richlist", "categories", "amounts"]
+    expected = [
+        "pages", "seeds", "robots", "richlist", "categories", "amounts",
+        "trustlines",
+    ]
     if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in expected):
         return out
     return generate_crawl_fixtures(sf, out)
