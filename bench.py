@@ -35,9 +35,18 @@ def _sf_name(sf_dir: str) -> str:
 def build_spark():
     from pyspark.sql import SparkSession
 
+    # shuffle spill to tmpfs: this VM's disk is shared (a non-scaling term
+    # that pollutes parallelism measurements); a real cluster has per-node
+    # local disks. Falls back to the default tmp dir if /dev/shm is absent.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    builder = SparkSession.builder.master(f"local[{CPUS}]")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("bench")
+        builder.appName("bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

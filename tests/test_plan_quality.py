@@ -103,3 +103,47 @@ def test_summary_partial_aggregation(spark, crawl_sf0001):
     assert "partial_sum" in plan          # map-side combine
     # shuffle keyed by the (computed) grouping expression, not a raw-row move
     assert "hashpartitioning(_groupingexpression" in plan
+
+
+def test_lang_id_has_no_python_eval(spark, sf_dir):
+    """Round-2 rewrite: lang_id must be pure Column ops — no Python worker
+    in the plan (ArrowEvalPython/BatchEvalPython)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["lang_id"](spark, sf_dir))
+    assert "EvalPython" not in plan
+
+
+def test_ann_lsh_buckets_are_jvm(spark, sf_dir):
+    """Hyperplane bucketing must stay JVM-side (round-2 rewrite) and join
+    the corpus to the broadcast query buckets."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["ann_lsh"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_similarity_join_no_cartesian(spark, sf_dir):
+    """The prefix-filter set-similarity join must never degenerate to an
+    all-pairs product — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(jaccard_similarity_join(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trustline_rank_is_two_phase(spark, sf_dir):
+    """trustline_rich_list must rank via range repartition + intra-partition
+    window (global_rank), not a single-partition global window."""
+    import __spark_entry__ as m
+
+    q = m.queries()["trustline_rich_list"](spark, sf_dir)
+    plan = _plan(q)
+    assert "rangepartitioning" in plan
+    # the row_number window runs per _pid partition, never SinglePartition
+    assert "_pid" in plan
