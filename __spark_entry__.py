@@ -471,6 +471,69 @@ def _q_summary_with_changes(spark, sf):
     return _dbl(jobs.summary_with_changes(s, ch))
 
 
+def _q_f3_drops_to_xrp(spark, sf):
+    """F3 drops→XRP (loader.py:83-84): exact decimal division by 10^6."""
+    from xrpl_rich_list_py_crawler_spark.functions.presentation import (
+        drops_to_xrp,
+    )
+
+    o = _t(spark, sf, "orders")
+    drops = (F.col("o_orderkey") * 1000 + 7).cast("long")
+    return o.select(
+        "o_orderkey",
+        drops.alias("drops"),
+        drops_to_xrp(drops).cast("double").alias("xrp"),
+    )
+
+
+def _q_f4_format_label(spark, sf):
+    """F4 format_label (loader.py:86-93): Unknown fallback + 'name (desc)'
+    concat, exercised over the fixture labels with a deterministic desc."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import format_label_col
+
+    rich = _fix(spark, sf, "richlist")
+    labels = rich.select("label").distinct()
+    desc = (
+        F.when(F.length("label") % 3 == 0, F.lit("svc"))
+        .when(F.length("label") % 3 == 1, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return labels.select(
+        "label",
+        desc.alias("desc"),
+        format_label_col(F.col("label"), desc).alias("formatted"),
+    )
+
+
+def _q_p9_enum_check(spark, sf):
+    """P9 CHECK-constraint job (table.sql:84-97): per-category counts with
+    the validity verdict the enum CHECK would give."""
+    enum = [
+        "Major Contributor", "Exchange", "Casino/Gambling",
+        "Payment Service", "DeFi Protocol", "Trading Service", "NFT/Gaming",
+        "Custody/Institution", "Individual", "Other",
+    ]
+    cats = _fix(spark, sf, "categories")
+    return (
+        cats.groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .withColumn("is_valid", F.col("category").isin(enum))
+    )
+
+
+def _q_alert_lines(spark, sf):
+    """S9/F16 alert formatting (post-alert.py:70-86): signed thousands-
+    grouped amounts over the significant-changes output."""
+    from xrpl_rich_list_py_crawler_spark.functions.presentation import (
+        format_alert_lines,
+    )
+
+    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    ch = jobs.balance_changes(s)
+    sig = jobs.get_significant_changes(s, ch, 0.1, 1_000)
+    return _dbl(format_alert_lines(sig))
+
+
 def _q_category_summary_wide(spark, sf):
     """≅ view xrpl_rich_list_category_summary_with_changes
     (table.sql:392-449): J8 latest-per-key join-back + horizon pivot + id."""
@@ -814,6 +877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_with_changes": _q_summary_with_changes,
         "category_summary_wide": _q_category_summary_wide,
         "country_summary_wide": _q_country_summary_wide,
+        "f3_drops_to_xrp": _q_f3_drops_to_xrp,
+        "f4_format_label": _q_f4_format_label,
+        "p9_enum_check": _q_p9_enum_check,
+        "alert_lines": _q_alert_lines,
         "f5_canonical_label": _q_f5_canonical_label,
         # crawl engine
         "crawl_round1": _q_crawl_round1,
@@ -1312,6 +1379,58 @@ def oracle_sql() -> dict[str, str]:
         # -- crawl engine ---------------------------------------------------
         "category_summary_wide": _dim_summary_wide_sql("category"),
         "country_summary_wide": _dim_summary_wide_sql("country"),
+        "f3_drops_to_xrp": """
+            SELECT o_orderkey,
+                CAST(o_orderkey * 1000 + 7 AS BIGINT) AS drops,
+                CAST(o_orderkey * 1000 + 7 AS DOUBLE) / 1000000 AS xrp
+            FROM orders
+        """,
+        "f4_format_label": f"""
+            WITH labels AS (SELECT DISTINCT label FROM {RICH}),
+            d AS (
+                SELECT label,
+                    CASE WHEN length(label) % 3 = 0 THEN 'svc'
+                         WHEN length(label) % 3 = 1 THEN ''
+                         ELSE NULL END AS "desc"
+                FROM labels
+            )
+            SELECT label, "desc",
+                CASE WHEN label IS NULL OR label = '' OR label = 'Unknown'
+                        THEN 'Unknown'
+                     WHEN "desc" IS NOT NULL AND "desc" != ''
+                        THEN label || ' (' || "desc" || ')'
+                     ELSE label END AS formatted
+            FROM d
+        """,
+        "p9_enum_check": f"""
+            SELECT category, COUNT(*) AS n,
+                category IN ('Major Contributor', 'Exchange',
+                    'Casino/Gambling', 'Payment Service', 'DeFi Protocol',
+                    'Trading Service', 'NFT/Gaming', 'Custody/Institution',
+                    'Individual', 'Other') AS is_valid
+            FROM {CATS} GROUP BY 1
+        """,
+        "alert_lines": f"""
+            WITH ch AS ({_changes_sql("total_xrp")}),
+            sig AS (
+                SELECT grouped_label, balance_change AS change_1h,
+                       percentage_change AS percentage_1h
+                FROM ch
+                WHERE hours = 1 AND balance_change IS NOT NULL
+                  AND ABS(percentage_change) >= 0.1
+                  AND ABS(balance_change) >= 1000
+                ORDER BY ABS(percentage_change) DESC LIMIT 5
+            )
+            SELECT grouped_label, change_1h, percentage_1h,
+                grouped_label || ': '
+                || CASE WHEN change_1h >= 0 THEN '+' ELSE '' END
+                || format('{{:,}}', CAST(round(change_1h) AS BIGINT))
+                || ' XRP ('
+                || CASE WHEN percentage_1h >= 0 THEN '+' ELSE '' END
+                || printf('%.2f', round(percentage_1h, 2))
+                || '%)' AS line
+            FROM sig
+        """,
         "crawl_round1": f"""
             SELECT rank, url, host, depth, fetch_ok, n_links, text
             FROM {G_ROUND1}

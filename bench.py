@@ -227,6 +227,54 @@ def bench_fetch_dedup(spark, sf_dir: str, n: int = 60_000_000) -> dict:
     }
 
 
+def _canon_url_hash_col(spark, n: int, step: int, slices: int = 32):
+    """Synthetic frontier URL → JVM canonicalization (fragment strip,
+    scheme/host lowering, query-param sort) → xxhash64 — the engine's real
+    per-URL dedup-key work (functions/udfs.py canonicalize_url semantics,
+    expressed as codegen Column ops for the kernel)."""
+    from pyspark.sql import functions as F
+
+    url = F.concat(
+        F.lit("HTTPS://H"), (F.col("id") % 1000).cast("string"),
+        F.lit(".Example.COM/p/"), F.col("id").cast("string"),
+        F.lit("?z="), (F.col("id") % 89).cast("string"),
+        F.lit("&a="), (F.col("id") % 97).cast("string"), F.lit("#f"),
+    )
+    nofrag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(nofrag, "://", 1))
+    rest = F.substring_index(nofrag, "://", -1)
+    host = F.lower(F.substring_index(rest, "/", 1))
+    pathq = rest.substr(F.length(host) + 1, F.length(rest))
+    path = F.substring_index(pathq, "?", 1)
+    q = F.substring_index(pathq, "?", -1)
+    qsorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    canon = F.concat(scheme, F.lit("://"), host, path, F.lit("?"), qsorted)
+    return spark.range(0, n, step, slices).select(
+        F.xxhash64(canon).alias("url_hash")
+    )
+
+
+def bench_canon_dedup(spark, sf_dir: str, n: int = 24_000_000) -> dict:
+    """The full per-URL dedup path: canonicalize (JVM string ops) + hash +
+    seen anti-join. CPU-dominated (unlike the hash-only kernel, whose
+    anti-join is memory-bandwidth-bound) — this is the per-round work
+    profile of a crawl that canonicalizes every discovered link, and the
+    primary kernel for the N-vs-4N scaling evidence."""
+    import time as _t
+
+    cand = _canon_url_hash_col(spark, n, 1)
+    seen = _canon_url_hash_col(spark, n, 3)
+    t0 = _t.time()
+    unseen = cand.join(seen, "url_hash", "left_anti").count()
+    wall = _t.time() - t0
+    return {
+        "sec": wall,
+        "urls": n,
+        "unseen": int(unseen),
+        "urls_per_sec": n / wall if wall else 0.0,
+    }
+
+
 HEADLINE = [
     "a2_lineitem_agg",
     "j4_region_rollup",
@@ -258,6 +306,8 @@ def main() -> None:
     times["corpus_parse"] = round(parse["sec"], 3)
     dedup = bench_fetch_dedup(spark, SF_DIR)
     times["fetch_dedup_kernel"] = round(dedup["sec"], 3)
+    canon = bench_canon_dedup(spark, SF_DIR)
+    times["canon_dedup_kernel"] = round(canon["sec"], 3)
 
     for name in HEADLINE:
         fn = qs[name]
@@ -278,6 +328,7 @@ def main() -> None:
         "crawl_urls_fetched": crawl["urls_fetched"],
         "parse_pages_per_sec": round(parse["pages_per_sec"], 1),
         "dedup_urls_per_sec": round(dedup["urls_per_sec"], 1),
+        "canon_dedup_urls_per_sec": round(canon["urls_per_sec"], 1),
     }
     spark.stop()
     print(json.dumps(out))
