@@ -762,6 +762,21 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF ANN (fixed coarse quantizer; assign → probe top-2 cells → rank).
+    Fully oracle-checkable: centroid literals evaluate identically in SQL."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.ivf_topk(emb, q, dim=64, k=5, n_cells=16, nprobe=2)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def _q_embedding_neardups(spark, sf):
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -899,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_neardups": _q_embedding_neardups,
         "media_plumbing": _q_media_plumbing,
         "f1_parse_amounts": _q_f1_parse_amounts,
@@ -1129,6 +1145,9 @@ _CHARGRAM_PAIRS_SQL = r"""
 #: the deterministic hyperplanes ann_lsh uses (dim=64, 6 planes, seed 42) —
 #: rounded literals so Spark and DuckDB evaluate identical doubles
 _ANN_PLANES = sim.hyperplanes(64, 6)
+
+#: the IVF coarse quantizer ann_ivf uses (16 unit-norm centroids, seed 7)
+_IVF_CENTROIDS = sim.ivf_centroids(64, 16)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1588,6 +1607,45 @@ def oracle_sql() -> dict[str, str]:
                      AS INT) AS id
             FROM s WHERE created_at = (SELECT max(created_at) FROM s)
         """.format(SUMMARY_SQL=SUMMARY_SQL),
+        "ann_ivf": f"""
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                         FROM embeddings),
+            scored_emb AS (
+                SELECT vec_id, embedding,
+                    {sim.centroid_scores_sql('embedding', _IVF_CENTROIDS)} AS s
+                FROM emb
+            ),
+            celled AS (
+                SELECT vec_id, embedding,
+                    CAST(list_position(s, list_max(s)) AS INT) AS cell
+                FROM scored_emb
+            ),
+            q AS (SELECT vec_id AS q_id, embedding AS q_vec, s
+                  FROM scored_emb WHERE vec_id < 5),
+            q_cells AS (
+                SELECT q_id, q_vec, CAST(t.range AS INT) AS cell,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY q_id
+                        ORDER BY s[CAST(t.range AS INT)] DESC, t.range ASC
+                    ) AS rn
+                FROM q, range(1, 17) t
+            ),
+            probes AS (SELECT q_id, q_vec, cell FROM q_cells WHERE rn <= 2),
+            cand AS (
+                SELECT p.q_id, e.vec_id,
+                    list_cosine_similarity(e.embedding, p.q_vec) AS cosine
+                FROM celled e JOIN probes p USING (cell)
+                WHERE e.vec_id != p.q_id
+            ),
+            ranked AS (
+                SELECT q_id, vec_id, cosine, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                FROM cand
+            )
+            SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
         "token_jaccard_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,

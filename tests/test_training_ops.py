@@ -118,6 +118,17 @@ def test_lsh_topk_recall(spark):
     assert any(r["vec_id"] == 1 and r["rank"] == 1 for r in got)
 
 
+def test_ivf_topk_recall(spark):
+    """IVF: near-identical vectors land in the same coarse cell, so the
+    planted near-dup of vec 0 is its top-1 at nprobe=2."""
+    df, _ = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = sim.ivf_topk(df, q, dim=16, k=3, n_cells=8, nprobe=2).collect()
+    assert any(r["vec_id"] == 1 and r["rank"] == 1 for r in got)
+
+
 def test_cosine_near_dup_pairs_blocked(spark):
     df, _ = _embeddings(spark)
     out = sim.cosine_near_dup_pairs(df, threshold=0.99, block_col="label").collect()

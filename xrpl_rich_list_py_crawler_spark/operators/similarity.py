@@ -132,6 +132,96 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids, rounded to 6
+    decimals (same literal-portability contract as :func:`hyperplanes`).
+
+    Real IVF trains centroids offline (k-means over a sample) and ships
+    them to the engine as parameters; this fixed quantizer stands in for
+    that parameter — the ENGINE-side dataflow (assign → probe → rank) is
+    identical either way."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
+def centroid_scores_col(vec, centroids: np.ndarray):
+    """Array of <vec, centroid_i> dot products, pure JVM sequential folds
+    (left-assoc — matches :func:`centroid_scores_sql` exactly)."""
+    dots = []
+    for c in centroids:
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        dots.append(_dot(vec, plane))
+    return F.array(*dots)
+
+
+def centroid_scores_sql(vec_expr: str, centroids: np.ndarray) -> str:
+    """SQL twin of ``centroid_scores_col``: a list literal of explicit
+    left-associative sums (1-based array indexing)."""
+    terms = []
+    for c in centroids:
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}]*({float(x)!r})" for j, x in enumerate(c)
+        )
+        terms.append(f"({dot})")
+    return "[" + ", ".join(terms) + "]"
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    cell (argmax centroid dot), probe each query's top-``nprobe`` cells.
+
+    At 10^9 vectors: the corpus is hash-partitioned (or bucketed) by
+    ``_cell`` once; each query scans nprobe/n_cells of the data. The
+    scatter is a broadcast of (query × nprobe) rows; scoring stays in
+    whole-stage codegen. Recall tunes with nprobe — the standard IVF
+    trade-off."""
+    cents = ivf_centroids(dim, n_cells)
+    scores = centroid_scores_col(F.col(vec_col), cents)
+    emb_cell = embeddings.withColumn(
+        "_cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    q_scores = queries.withColumn(
+        "_s", centroid_scores_col(F.col(q_vec_col), cents)
+    )
+    exploded = q_scores.select(
+        q_id_col, q_vec_col, F.posexplode("_s").alias("_pos0", "_score")
+    ).withColumn("_cell", (F.col("_pos0") + 1).cast("int"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("_score").desc(), F.col("_cell").asc()
+    )
+    q_cells = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "_cell")
+    )
+    scored = emb_cell.join(F.broadcast(q_cells), "_cell").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(q_id_col))
+    rw = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
