@@ -156,12 +156,14 @@ def build_bloom_shards(
     bitset) row — the shuffle moves longs, the collect moves n_shards blobs.
 
     ``n_bits_override`` pins the geometry (for building an increment bundle
-    that will be :meth:`BloomShards.or_merge`-d into an existing one).
+    that will be :meth:`BloomShards.or_merge`-d into an existing one); in
+    that mode no sizing ``count()`` job runs — key counts ride back on the
+    per-shard rows instead (one Spark job per increment, not two).
     """
-    total = seen.count()
     if n_bits_override is not None:
         n_bits = n_bits_override
     else:
+        total = seen.count()
         sized_for = max(total, expected_keys or 0)
         n_bits = max(min_bits, int(bits_per_key * max(sized_for, 1) / n_shards))
         n_bits = 1 << int(np.ceil(np.log2(n_bits)))  # power of two → cheap mod
@@ -171,13 +173,17 @@ def build_bloom_shards(
         pos = _positions(pdf["url_hash"].to_numpy(), n_bits, n_hashes)
         _set_bits(bits, pos)
         return pd.DataFrame(
-            {"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]}
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bits": [bits.tobytes()],
+                "n": [len(pdf)],
+            }
         )
 
     built = (
         seen.select("url_hash", F.pmod("url_hash", F.lit(n_shards)).alias("shard"))
         .groupBy("shard")
-        .applyInPandas(_build, "shard int, bits binary")
+        .applyInPandas(_build, "shard int, bits binary, n long")
         .collect()
     )
     return BloomShards(
@@ -185,7 +191,7 @@ def build_bloom_shards(
         n_bits=n_bits,
         n_hashes=n_hashes,
         shards={r["shard"]: bytes(r["bits"]) for r in built},
-        n_keys=total,
+        n_keys=sum(r["n"] for r in built),
     )
 
 

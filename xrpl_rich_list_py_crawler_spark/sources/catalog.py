@@ -70,17 +70,26 @@ class SnapshotCatalog:
         """Atomically publish one round's table set.
 
         Data is fully written (tmp dirs) before any rename; the manifest
-        swap is the commit point.
+        swap is the commit point. The per-table writes run CONCURRENTLY
+        (driver threads over one SparkContext — Spark's fair-scheduling
+        pattern): a round's tables are independent DAG branches off shared
+        persisted frames, so overlapping them removes ~len(tables)-1
+        sequential job barriers per round.
         """
-        finals = []
-        for name, df in tables.items():
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             final = self._table_dir(name, round_n)
             tmp = final + ".tmp"
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             df.write.mode("overwrite").parquet(tmp)
-            finals.append((tmp, final))
+            return (tmp, final)
+
+        with ThreadPoolExecutor(max_workers=max(len(tables), 1)) as ex:
+            finals = list(ex.map(_write, tables.items()))
         for tmp, final in finals:
             if os.path.exists(final):
                 shutil.rmtree(final)
