@@ -838,6 +838,18 @@ def _q_token_jaccard_pairs(spark, sf):
     )
 
 
+def _q_corpus_curation(spark, sf):
+    """The full training-data curation pass, end-to-end: language ID +
+    quality features + exact dedup + verified near-dup + keep decision,
+    composed from the engine's oracle-checked operators (one query = the
+    per-batch pipeline a 100 TB corpus runs)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    return curate_corpus(_t(spark, sf, "documents"))
+
+
 def _q_media_plumbing(spark, sf):
     d = _t(spark, sf, "documents")
     media = d.select(
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardups": _q_embedding_neardups,
+        "corpus_curation": _q_corpus_curation,
         "media_plumbing": _q_media_plumbing,
         "f1_parse_amounts": _q_f1_parse_amounts,
         "f11_interval_shift": _q_f11_interval_shift,
@@ -1571,6 +1584,30 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "corpus_curation": rf"""
+            WITH pairs AS ({_CHARGRAM_PAIRS_SQL}),
+            near_ids AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+            base AS (
+                SELECT doc_id,
+                    {ts.lang_id_sql('text')} AS lang_pred,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS n_tokens,
+                    ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                        CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                   '', 'g')) AS DOUBLE)
+                        / length(text) END, 6) AS punct_ratio,
+                    doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+                        AS is_exact_dup
+                FROM documents
+            )
+            SELECT b.doc_id, b.lang_pred, b.n_tokens, b.punct_ratio,
+                b.is_exact_dup,
+                (n.doc_id IS NOT NULL) AS is_near_dup,
+                (NOT b.is_exact_dup AND n.doc_id IS NULL
+                 AND b.n_tokens >= 10 AND b.punct_ratio <= 0.3) AS keep
+            FROM base b LEFT JOIN near_ids n USING (doc_id)
         """,
         "media_plumbing": """
             SELECT doc_id AS media_id,

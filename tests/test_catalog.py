@@ -85,3 +85,40 @@ def test_expire_rounds_retention(spark, tmp_path):
     # dedup ledger fully retained
     assert cat.read_appended(spark, "seen").count() == 5
     assert os.path.exists(os.path.join(str(tmp_path), "seen", "r00001"))
+
+
+def test_compact_rounds_preserves_rows(spark, tmp_path):
+    """Small-files maintenance (Iceberg rewrite_data_files analog): the
+    seen ledger is retained forever, so compaction must merge increments
+    without changing the visible row multiset, and land atomically under a
+    new generation dirname."""
+    cat = SnapshotCatalog(str(tmp_path))
+    for r in range(1, 6):
+        seen = spark.createDataFrame(
+            [(r * 10 + i, r) for i in range(3)], "url_hash long, round int"
+        )
+        cat.commit_round(r, {"seen": seen})
+    before = sorted(
+        (r["url_hash"], r["round"])
+        for r in cat.read_appended(spark, "seen").collect()
+    )
+    merged = cat.compact_rounds(spark, "seen")
+    assert merged == [1, 2, 3, 4]
+    after = sorted(
+        (r["url_hash"], r["round"])
+        for r in cat.read_appended(spark, "seen").collect()
+    )
+    assert after == before
+    # physical layout: only the compacted generation remains
+    assert sorted(os.listdir(os.path.join(str(tmp_path), "seen"))) == [
+        "r00005_g1"
+    ]
+    assert cat.manifest()["tables"]["seen"]["rounds"] == [5]
+    assert cat.row_count("seen", 5) == 15
+    # appends continue after compaction; a second compaction bumps the gen
+    cat.commit_round(6, {"seen": spark.createDataFrame(
+        [(99, 6)], "url_hash long, round int")})
+    assert cat.read_appended(spark, "seen").count() == 16
+    assert cat.compact_rounds(spark, "seen") == [5]
+    assert cat.manifest()["tables"]["seen"]["dirs"]["6"] == "r00006_g1"
+    assert cat.read_appended(spark, "seen").count() == 16

@@ -107,3 +107,27 @@ def test_pyfiles_zip_contains_package(tmp_path):
     assert "xrpl_rich_list_py_crawler_spark/__init__.py" in names
     assert "xrpl_rich_list_py_crawler_spark/plans/rounds.py" in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_orc_and_jsonl_interchange_roundtrip(spark, tmp_path):
+    """S5/S6 beyond CSV: ORC (built-in columnar) and JSONL exports round-trip
+    with identical rows under an enforced schema."""
+    from xrpl_rich_list_py_crawler_spark.sources.io import (
+        read_interchange,
+        write_interchange,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -2.25, False), (3, None, 0.0, None)],
+        "id long, name string, v double, flag boolean",
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ("orc", "json"):
+        p = str(tmp_path / f"x_{fmt}")
+        write_interchange(df, p, fmt)
+        back = read_interchange(spark, p, fmt, schema=df.schema)
+        assert sorted(map(tuple, back.collect())) == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_interchange(df, str(tmp_path / "nope"), "avro-nope")

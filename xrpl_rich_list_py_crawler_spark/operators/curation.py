@@ -1,0 +1,66 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs per document batch.
+
+One pass over a ``documents``-shaped table produces, per doc: language
+guess, token/quality features, exact-duplicate and near-duplicate verdicts,
+and the final ``keep`` decision. Every stage is one of the engine's
+oracle-checked operators (textstats Column ops, md5 exact dedup,
+MinHash-LSH + exact char-gram verification), composed so the whole output
+is still exactly reproducible in SQL.
+
+Scale shape: two key-partitioned shuffles (md5 groups for exact dedup, the
+LSH band buckets for near-dup candidates) plus broadcast-size semi joins of
+the near-dup id set — no all-pairs work anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import textstats as ts
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document curation verdicts.
+
+    * ``is_exact_dup``: not the lowest-id representative of its exact
+      content hash (≅ the reference's UNIQUE-key dedup, ``table.sql:13``).
+    * ``is_near_dup``: the higher-id member of a verified near-dup pair
+      (MinHash-LSH candidates → exact strided char-9-gram Jaccard ≥
+      threshold) — the lower id stays canonical.
+    * ``keep``: neither duplicate, ≥ ``min_tokens`` tokens, and punctuation
+      ratio ≤ ``max_punct_ratio``.
+    """
+    t = F.col(text_col)
+    w = Window.partitionBy(F.md5(t))
+    base = df.select(
+        id_col,
+        ts.lang_id_col(t).alias("lang_pred"),
+        ts.token_count_col(t).alias("n_tokens"),
+        F.round(ts.punct_ratio_col(t), 6).alias("punct_ratio"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_exact_dup"),
+    )
+    pairs = dd.chargram_jaccard_pairs(
+        df, dd.minhash_lsh_candidates(df, text_col=text_col, id_col=id_col),
+        text_col=text_col, id_col=id_col, n=9, stride=3,
+    ).filter(F.col("jaccard") >= near_dup_threshold)
+    near_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    flagged = base.join(
+        near_ids.withColumn("_nd", F.lit(True)), id_col, "left"
+    ).withColumn("is_near_dup", F.coalesce(F.col("_nd"), F.lit(False))).drop("_nd")
+    return flagged.withColumn(
+        "keep",
+        ~F.col("is_exact_dup")
+        & ~F.col("is_near_dup")
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio),
+    )

@@ -61,8 +61,15 @@ class SnapshotCatalog:
 
     # -- paths -------------------------------------------------------------
 
-    def _table_dir(self, table: str, round_n: int) -> str:
-        return os.path.join(self.root, table, f"r{round_n:05d}")
+    def _table_dir(self, table: str, round_n: int, m: dict | None = None) -> str:
+        """Physical dir for a (table, round). Compaction rewrites a round
+        under a new GENERATION dirname recorded in the manifest (Iceberg
+        data-file versioning analog), so the manifest swap stays the only
+        commit point; un-compacted rounds use the default ``r{N:05d}``."""
+        m = m if m is not None else self.manifest()
+        dirs = m.get("tables", {}).get(table, {}).get("dirs", {})
+        name = dirs.get(str(round_n), f"r{round_n:05d}")
+        return os.path.join(self.root, table, name)
 
     # -- commit ------------------------------------------------------------
 
@@ -124,7 +131,7 @@ class SnapshotCatalog:
             rounds = [r for r in rounds if r <= up_to_round]
         if not rounds:
             return None
-        paths = [self._table_dir(table, r) for r in rounds]
+        paths = [self._table_dir(table, r, m) for r in rounds]
         dfs = [spark.read.parquet(p) for p in paths]
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
@@ -191,12 +198,69 @@ class SnapshotCatalog:
                 r for r in m["tables"][t]["rounds"] if r in keep
             ]
         self._swap_manifest(m)
-        for t in os.listdir(self.root):
-            tdir = os.path.join(self.root, t)
-            if not os.path.isdir(tdir) or t in retain:
+        for t, meta in list(m["tables"].items()):
+            if t in retain:
                 continue
+            dirs = meta.get("dirs", {})
             for r in drop:
-                rd = os.path.join(tdir, f"r{r:05d}")
+                rd = os.path.join(
+                    self.root, t, dirs.get(str(r), f"r{r:05d}")
+                )
                 if os.path.exists(rd):
                     shutil.rmtree(rd)
         return drop
+
+    def compact_rounds(
+        self,
+        spark: SparkSession,
+        table: str,
+        up_to_round: int | None = None,
+        target_files: int = 1,
+    ) -> list[int]:
+        """Small-files maintenance ≅ Iceberg ``rewrite_data_files``: merge
+        an append table's committed round increments (≤ ``up_to_round``)
+        into one coalesced directory owned by the newest merged round.
+
+        The crawl's ``seen`` ledger is retained forever (it is the dedup
+        key), so its round count grows without bound — compaction is what
+        keeps ``read_appended`` from uniting thousands of tiny files. The
+        rewrite lands under a NEW generation dirname; the manifest swap is
+        the single commit point (a crash before it leaves the old manifest
+        + old dirs fully intact), and old dirs are deleted only after.
+        Readers see the identical row multiset before and after.
+        """
+        m = self.manifest()
+        meta = m["tables"].get(table)
+        if meta is None:
+            return []
+        rounds = sorted(meta["rounds"])
+        if up_to_round is not None:
+            rounds = [r for r in rounds if r <= up_to_round]
+        if len(rounds) <= 1:
+            return []
+        dest = rounds[-1]
+        dirs = meta.setdefault("dirs", {})
+        old_paths = [self._table_dir(table, r, m) for r in rounds]
+        cur_name = dirs.get(str(dest), f"r{dest:05d}")
+        gen = int(cur_name.rsplit("_g", 1)[1]) + 1 if "_g" in cur_name else 1
+        new_name = f"r{dest:05d}_g{gen}"
+        new_dir = os.path.join(self.root, table, new_name)
+        tmp = new_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [spark.read.parquet(p) for p in old_paths],
+        )
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, new_dir)
+        merged_away = rounds[:-1]
+        meta["rounds"] = [r for r in meta["rounds"] if r not in merged_away]
+        for r in merged_away:
+            dirs.pop(str(r), None)
+        dirs[str(dest)] = new_name
+        self._swap_manifest(m)  # commit point
+        for p in old_paths:
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        return merged_away

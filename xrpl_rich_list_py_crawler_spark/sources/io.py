@@ -87,3 +87,28 @@ def preflight_source_health(pages: DataFrame, sample: int = 100) -> dict:
         "rows": probe["n"],
         "error_rate": float(err_rate),
     }
+
+
+# ---------------------------------------------------------------------------
+# columnar interchange beyond Parquet (ORC / JSONL)
+# ---------------------------------------------------------------------------
+
+
+def write_interchange(df: DataFrame, path: str, fmt: str = "orc") -> None:
+    """Columnar/JSONL export for downstream systems that don't read the
+    catalog's Parquet (ORC is built into Spark; JSONL for line-oriented
+    consumers). Schema-on-write, executor-parallel."""
+    if fmt not in ("orc", "json", "parquet"):
+        raise ValueError(f"unsupported interchange format: {fmt}")
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
+def read_interchange(
+    spark: SparkSession, path: str, fmt: str = "orc", schema=None
+) -> DataFrame:
+    """Read an interchange export back with an enforced schema (JSONL is
+    schema-on-read and MUST be pinned — inference reorders and widens)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
