@@ -122,3 +122,33 @@ def test_compact_rounds_preserves_rows(spark, tmp_path):
     assert cat.compact_rounds(spark, "seen") == [5]
     assert cat.manifest()["tables"]["seen"]["dirs"]["6"] == "r00006_g1"
     assert cat.read_appended(spark, "seen").count() == 16
+
+
+def test_crawl_with_seen_compaction_equivalent(spark, crawl_sf0001, tmp_path):
+    """A crawl that compacts its seen ledger mid-run must produce the
+    identical results and seen set as one that never compacts."""
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(crawl_sf0001, "robots.parquet"))
+    seeds = spark.read.parquet(os.path.join(crawl_sf0001, "seeds.parquet"))
+
+    def crawl(root, compact_every):
+        cat = SnapshotCatalog(str(tmp_path / root))
+        CrawlRun(spark, cat, pages, robots).run(
+            3, seeds, compact_seen_every=compact_every
+        )
+        res = sorted(
+            (r["round"], r["rank"], r["url"])
+            for r in cat.read_appended(spark, "results").collect()
+        )
+        seen = sorted(
+            r["url_hash"] for r in cat.read_appended(spark, "seen").collect()
+        )
+        return cat, res, seen
+
+    cat_a, res_a, seen_a = crawl("plain", None)
+    cat_b, res_b, seen_b = crawl("compacted", 1)
+    assert res_a == res_b
+    assert seen_a == seen_b
+    # the compacted catalog really did merge: one seen dir per ledger
+    assert len(os.listdir(os.path.join(str(tmp_path), "compacted", "seen"))) \
+        < len(os.listdir(os.path.join(str(tmp_path), "plain", "seen")))

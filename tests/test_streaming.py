@@ -139,3 +139,42 @@ def test_politeness_stream_budget_across_batches(spark, tmp_path):
     assert by_slot[1]["fetch_delay_s"] == 0.0
     assert by_slot[3]["fetch_delay_s"] == 4.0  # (3-1) * 2.0s crawl delay
     assert not by_slot[17]["selected"]
+
+
+def test_frontier_dedup_stream_first_sighting_wins(spark, tmp_path):
+    """J2 as a stream: keyed dedup state spans micro-batches AND restarts
+    (checkpointed), so a url_hash is emitted exactly once."""
+    from xrpl_rich_list_py_crawler_spark.streaming import frontier_dedup_stream
+
+    epoch = datetime(2026, 1, 1)
+    src = str(tmp_path / "frontier")
+    os.makedirs(src)
+
+    def deliver(name, hashes, hour):
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://a.com/p/{h}" for h in hashes],
+                "url_hash": hashes,
+                "host": "a.com",
+                "depth": 0,
+                "discovery_ts": [epoch + timedelta(hours=hour)] * len(hashes),
+            }
+        )
+        pdf["depth"] = pdf["depth"].astype("int32")
+        pdf["discovery_ts"] = pdf["discovery_ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"{name}.parquet"))
+
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    deliver("b0", [1, 2, 3], 0)
+    deliver("b1", [2, 3, 4, 5], 1)  # 2,3 are re-sightings
+    q = frontier_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = sorted(r["url_hash"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
+    # restart with new deliveries: state survives the checkpoint
+    deliver("b2", [5, 6], 2)
+    q = frontier_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = sorted(r["url_hash"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5, 6]

@@ -346,9 +346,23 @@ class CrawlRun:
             c.unpersist()
         return out
 
-    def run(self, n_rounds: int, seeds: DataFrame | None = None) -> int:
+    def run(
+        self,
+        n_rounds: int,
+        seeds: DataFrame | None = None,
+        compact_seen_every: int | None = None,
+    ) -> int:
         """Run (or resume) up to ``n_rounds`` crawl rounds; returns the last
-        committed round. Resume = start after ``catalog.last_round()``."""
+        committed round. Resume = start after ``catalog.last_round()``.
+
+        ``compact_seen_every=k`` runs the catalog's small-files maintenance
+        on the seen ledger every k rounds: the ledger is append-only and
+        exempt from retention (it IS the dedup key), so over a long crawl
+        its round count grows without bound and each round's bloom rebuild /
+        exact repair would otherwise union thousands of tiny files.
+        Compaction preserves the row multiset (tests pin crawl-result
+        equivalence), so crawl behavior is unchanged.
+        """
         last = self.catalog.last_round()
         if last is None:
             if seeds is None:
@@ -362,4 +376,6 @@ class CrawlRun:
                 break
             self.run_round(r)
             last = r
+            if compact_seen_every and r % compact_seen_every == 0:
+                self.catalog.compact_rounds(self.spark, "seen", up_to_round=r)
         return last

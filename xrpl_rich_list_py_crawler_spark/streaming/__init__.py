@@ -1,3 +1,7 @@
 """Structured Streaming variants of the micro-batch jobs."""
 
-from .jobs import hourly_summary_stream, politeness_stream  # noqa: F401
+from .jobs import (  # noqa: F401
+    frontier_dedup_stream,
+    hourly_summary_stream,
+    politeness_stream,
+)

@@ -183,6 +183,47 @@ def _polite_fn(
         yield rows
 
 
+def frontier_dedup_stream(
+    spark: SparkSession,
+    frontier_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming URL-seen dedup: first sighting of each ``url_hash`` wins
+    across ALL micro-batches (J2 as a stream).
+
+    Uses Structured Streaming's native keyed dedup state
+    (``dropDuplicates`` on a streaming frame) — the engine-managed analog
+    of the batch bloom+ledger path. The watermark on ``discovery_ts``
+    bounds state exactly like the reference's banded late tolerance: a URL
+    re-discovered later than the watermark horizon may re-emit, which is
+    the deliberate state/recall trade-off every streaming dedup makes
+    (the batch ledger remains the exact truth).
+    """
+    schema = (
+        "url string, url_hash long, host string, depth int, "
+        "discovery_ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frontier_dir)
+    )
+    deduped = stream.withWatermark("discovery_ts", watermark).dropDuplicates(
+        ["url_hash"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def politeness_stream(
     spark: SparkSession,
     frontier_dir: str,
