@@ -60,9 +60,22 @@ def build_spark():
 
 
 def _materialize(df) -> int:
-    """Force full execution; returns row count (cheap — count reuses the
-    computed plan stages)."""
-    return df.count()
+    """Force FULL execution of every output column.
+
+    A bare ``count()`` is dishonest here: Catalyst prunes columns and even
+    eliminates cardinality-preserving joins (e.g. a left join on distinct
+    keys that only produces flag columns), so flag-heavy queries would
+    bench their scan, not their work. Hashing all columns into one
+    aggregate defeats pruning; XOR-fold never overflows under ANSI."""
+    from pyspark.sql import functions as F
+
+    try:
+        h = df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+        )
+        return h.agg(F.expr("bit_xor(_h)")).collect()[0][0] or 0
+    except Exception:
+        return df.count()
 
 
 def bench_crawl(spark, sf_dir: str) -> dict:
@@ -289,6 +302,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_neardups",
     "ann_bruteforce",
+    "ann_ivf",
+    "corpus_curation",
+    "trustline_rich_list",
+    "category_summary_wide",
 ]
 
 
