@@ -101,6 +101,42 @@ def test_streaming_upsert_overwrites_only_affected_windows(spark, tmp_path):
     assert got.count() == got.select("grouped_label", "window_start").distinct().count()
 
 
+def test_streaming_upsert_keeps_groups_not_updated_later(spark, tmp_path):
+    """Regression (round-2 flake root cause): a group whose rows ALL arrive
+    in an early batch must survive later batches that rewrite its window —
+    i.e. the sink must actually read back previously-written rows (dynamic
+    partition overwrite writes no _SUCCESS marker, which silently disabled
+    the merge path and dropped such groups)."""
+    epoch = datetime(2026, 1, 1)
+    src = str(tmp_path / "snapshots")
+    os.makedirs(src)
+
+    def snap(name, label):
+        pdf = pd.DataFrame(
+            {
+                "address": ["rX"],
+                "label": [label],
+                "balance_xrp": [10.0],
+                "escrow_xrp": [0.0],
+                "snapshot_date": [epoch],  # SAME window for both batches
+            }
+        )
+        pdf["snapshot_date"] = pdf["snapshot_date"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"{name}.parquet"))
+
+    snap("b0", "OnlyEarly")
+    snap("b1", "LaterLabel")
+    out = str(tmp_path / "out")
+    q = hourly_summary_stream(
+        spark, src, out, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    labels = sorted(
+        r["grouped_label"] for r in spark.read.parquet(out).collect()
+    )
+    assert labels == ["LaterLabel", "OnlyEarly"]
+
+
 def test_politeness_stream_budget_across_batches(spark, tmp_path):
     """Two micro-batches of 10 urls each for one host: only 16 total may be
     selected (budget persists in state across batches)."""

@@ -92,7 +92,14 @@ def hourly_summary_stream(
         if not wins:
             new.unpersist()
             return
-        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        # NOTE: dynamic partition overwrite does NOT write a _SUCCESS marker
+        # at the output root (verified empirically) — probing it left the
+        # merge path dead and update-mode re-emissions masked the data loss
+        # until a group's rows all landed in one early batch. Probe for
+        # partition directories instead.
+        import glob
+
+        if glob.glob(os.path.join(out_dir, "window_start=*")):
             old = (
                 sp.read.parquet(out_dir)
                 # partition pruning: only affected windows are scanned
