@@ -200,3 +200,43 @@ def test_multimodal_unknown_kind_raises(spark):
     )
     with pytest.raises(Exception, match="no decoder"):
         extract_features(media).collect()
+
+
+def test_jaccard_similarity_join_equals_brute_force(spark):
+    """The prefix-filter theorem is a recall GUARANTEE, not a heuristic:
+    the set-similarity self-join must equal the all-pairs result exactly,
+    including boundary pairs at the ceil() prefix-length edges."""
+    import random
+
+    vocab = [f"w{i}" for i in range(30)]
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    rows += [(100, rows[0][1]), (101, rows[1][1] + " extraword")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("t")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    j = F.size(F.array_intersect("a.t", "b.t")) / F.size(
+        F.array_union("a.t", "b.t")
+    )
+    for theta in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dd.jaccard_similarity_join(docs, theta).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"], round(r["j"], 9))
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                j.alias("j"),
+            )
+            .filter(F.col("j") >= theta)
+            .collect()
+        }
+        assert got == brute, f"theta={theta}"
