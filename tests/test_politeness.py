@@ -89,3 +89,30 @@ def test_token_bucket_budget_and_delay(spark):
     # priority: depth asc first
     sel = [r for r in a if r["selected"]]
     assert [r["depth"] for r in sel] == sorted(r["depth"] for r in sel)
+
+
+def test_apply_robots_active_only_equivalent(spark, crawl_sf0001):
+    """The active-host-slice broadcast (the 10^8-host scale variant) must
+    be semantically identical to broadcasting the full dimension."""
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        apply_robots,
+    )
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import seeds_to_frontier
+
+    seeds = seeds_to_frontier(
+        spark.read.parquet(os.path.join(crawl_sf0001, "seeds.parquet"))
+    )
+    robots = spark.read.parquet(os.path.join(crawl_sf0001, "robots.parquet"))
+    cols = ["url", "robots_denied", "crawl_delay_s", "max_fetches_per_round"]
+    full = sorted(map(tuple, apply_robots(seeds, robots).select(*cols).collect()))
+    active = sorted(
+        map(
+            tuple,
+            apply_robots(seeds, robots, active_only=True)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert full == active

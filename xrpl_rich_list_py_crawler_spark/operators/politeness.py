@@ -27,13 +27,21 @@ def priority_cols(df: DataFrame) -> list:
     ]
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(
+    candidates: DataFrame, robots: DataFrame, active_only: bool = False
+) -> DataFrame:
     """Annotate candidates with ``robots_denied`` + politeness params.
 
     ``robots`` is a small per-host dimension → broadcast hash join (J3).
     A URL is denied when any disallow prefix matches its path; hosts absent
     from the dimension default to allow / delay 1s / budget 16
     (≅ defaults at ``enricher-rlusd.py:95-100``).
+
+    ``active_only``: at a 10^8-host corpus the FULL dimension is several
+    GB — too big to broadcast. The scale variant semi-joins the dim to the
+    round's active hosts first (bounded by per-round host fan-out, far
+    smaller), then broadcasts that slice. Semantics are identical (the
+    left join only ever matches active hosts anyway); a test pins it.
     """
     path = F.regexp_replace(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
     path = F.when(path == "", "/").otherwise(path)
@@ -41,15 +49,17 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.col("disallow_prefixes"),
         lambda p: F.col("_path").startswith(p),
     )
+    dim = robots.select(
+        "host", "disallow_prefixes", "crawl_delay_s", "max_fetches_per_round"
+    )
+    if active_only:
+        dim = dim.join(
+            candidates.select("host").distinct(), "host", "left_semi"
+        )
     return (
         candidates.withColumn("_path", path)
         .join(
-            F.broadcast(
-                robots.select(
-                    "host", "disallow_prefixes", "crawl_delay_s",
-                    "max_fetches_per_round",
-                )
-            ),
+            F.broadcast(dim),
             "host",
             "left",
         )
