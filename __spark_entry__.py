@@ -838,6 +838,23 @@ def _q_token_jaccard_pairs(spark, sf):
     )
 
 
+def _q_embedding_neardups_lsh(spark, sf):
+    """Embedding near-dups blocked by LSH bucket instead of a data label —
+    the principled 10^9-vector shape (block = hyperplane sign pattern, the
+    corpus is bucketable once). Exactly oracle-able because the oracle
+    computes the SAME literal-plane buckets and the same blocked-join
+    semantics."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    bucketed = emb.withColumn(
+        "_bkt", sim.bucket_col(F.col("embedding"), _ANN_PLANES)
+    )
+    return sim.cosine_near_dup_pairs(
+        bucketed, threshold=0.2, block_col="_bkt"
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_corpus_curation(spark, sf):
     """The full training-data curation pass, end-to-end: language ID +
     quality features + exact dedup + verified near-dup + keep decision,
@@ -928,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardups": _q_embedding_neardups,
+        "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "corpus_curation": _q_corpus_curation,
         "media_plumbing": _q_media_plumbing,
         "f1_parse_amounts": _q_f1_parse_amounts,
@@ -1584,6 +1602,21 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "embedding_neardups_lsh": f"""
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                         FROM embeddings),
+            bkted AS (
+                SELECT vec_id, embedding,
+                       {sim.bucket_sql('embedding', _ANN_PLANES)} AS bkt
+                FROM emb
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+                    AS cosine
+            FROM bkted a JOIN bkted b
+              ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
         """,
         "corpus_curation": rf"""
             WITH pairs AS ({_CHARGRAM_PAIRS_SQL}),
