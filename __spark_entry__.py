@@ -884,6 +884,31 @@ def _q_media_plumbing(spark, sf):
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def _q_media_frames(spark, sf):
+    """Frame-sampling plumbing (video payload → fixed-stride chunk rows via
+    mapInPandas). The fake frame extraction is byte slicing, so the oracle
+    reproduces it exactly with blob substring arithmetic."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return sample_frames(media, every_n_bytes=64).select(
+        "media_id",
+        "frame_no",
+        F.length("frame").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/joins/aggs/windows over the standard tables
@@ -948,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "corpus_curation": _q_corpus_curation,
         "media_plumbing": _q_media_plumbing,
+        "media_frames": _q_media_frames,
         "f1_parse_amounts": _q_f1_parse_amounts,
         "f11_interval_shift": _q_f11_interval_shift,
         "w2_summary_view_id": _q_w2_summary_view_id,
@@ -1648,6 +1674,26 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes
             FROM documents
+        """,
+        "media_frames": """
+            WITH media AS (
+                SELECT doc_id AS media_id, encode(text) AS payload
+                FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+            ),
+            nums AS (
+                -- DuckDB has no BLOB substring: slice in hex space instead
+                -- (2 chars per byte, alignment preserved)
+                SELECT media_id, hex(payload) AS ph,
+                    unnest(range(0, CAST(ceil(greatest(octet_length(payload),
+                                                       1) / 64.0) AS BIGINT)))
+                        AS fno
+                FROM media
+            )
+            SELECT media_id, CAST(fno AS INT) AS frame_no,
+                CAST(length(substring(ph, CAST(fno * 128 + 1 AS INT), 128))
+                     / 2 AS INT) AS n_bytes,
+                substring(ph, CAST(fno * 128 + 1 AS INT), 128) AS frame_hex
+            FROM nums
         """,
         "f1_parse_amounts": f"""
             SELECT cell_id,
