@@ -86,6 +86,17 @@ def _fix(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
 
 
+def _fix_shared(spark: SparkSession, name: str) -> DataFrame:
+    """Read an sf-INDEPENDENT fixture table (amounts, trustlines, richlist,
+    categories — only ``pages`` scales with sf) from the sf0.01 dir, the
+    exact file every oracle SQL string hard-codes. Keeps the Spark side and
+    the DuckDB oracle reading identical bytes at any bench/test sf, so a
+    future sf-dependent fixture change cannot silently diverge
+    (ADVICE r02: trustline oracle path)."""
+    d = ensure_crawl_fixtures("sf0.01")
+    return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+
+
 _CRAWL_CACHE: dict[str, SnapshotCatalog] = {}
 
 
@@ -640,7 +651,7 @@ def _q_trustline_rich_list(spark, sf):
         "state struct<balance:string>, "
         "counterparty struct<`limit`:string,ripplingDisabled:boolean>"
     )
-    tl = _fix(spark, sf, "trustlines")
+    tl = _fix_shared(spark, "trustlines")
     lines = (
         tl.select(F.from_json("payload", schema).alias("j"))
         .filter(F.col("j.specification.currency") == RLUSD_HEX)
@@ -796,7 +807,7 @@ def _q_f1_parse_amounts(spark, sf):
         parse_xrp_amount_udf,
     )
 
-    cells = _fix(spark, sf, "amounts")
+    cells = _fix_shared(spark, "amounts")
     return cells.select(
         "cell_id",
         parse_xrp_amount_udf("amount_text").alias("amount"),
@@ -910,28 +921,43 @@ def _q_media_frames(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered queries, one per SURVEY.md §2 operator.
+
+    ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
+    dict entries per round, so entries are rotated round-over-round to get
+    every query a hard driver row. Round 3 promotes the 13 entries that
+    were unsampled in r02 (the ANN/curation/multimodal tail) to the front
+    and demotes 13 long-stable trivially-green entries (each green in BOTH
+    r01 and r02) to the tail. Rotate again next round to re-confirm the
+    demoted set.
+    """
     return {
-        # scans/filters/joins/aggs/windows over the standard tables
+        # --- r02-unsampled tail, promoted for hard driver verification ---
+        "lang_id": _q_lang_id,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_neardups": _q_embedding_neardups,
+        "embedding_neardups_lsh": _q_embedding_neardups_lsh,
+        "corpus_curation": _q_corpus_curation,
+        "media_plumbing": _q_media_plumbing,
+        "media_frames": _q_media_frames,
+        "f1_parse_amounts": _q_f1_parse_amounts,
+        "f11_interval_shift": _q_f11_interval_shift,
+        "w2_summary_view_id": _q_w2_summary_view_id,
+        "token_jaccard_pairs": _q_token_jaccard_pairs,
+        # --- scans/filters/joins/aggs/windows over the standard tables ---
         "a2_lineitem_agg": _q_a2_lineitem_agg,
         "j4_region_rollup": _q_j4_region_rollup,
-        "j2_customers_without_orders": _q_j2_customers_without_orders,
         "j1_left_merge_coalesce": _q_j1_left_merge_coalesce,
         "w1_order_rank": _q_w1_order_rank,
-        "w3_latest_event_per_user": _q_w3_latest_event_per_user,
-        "w4_percent_of_total": _q_w4_percent_of_total,
-        "p6_time_range": _q_p6_time_range,
         "j5_asof_user_value": _q_j5_asof_user_value,
-        "j6_banded_asof": _q_j6_banded_asof,
         "j7_pivot": _q_j7_pivot,
-        "o5_unpivot": _q_o5_unpivot,
-        "o3_top5_orders": _q_o3_top5_orders,
         "a4_two_level_rollup": _q_a4_two_level_rollup,
-        "a5_max_per_group": _q_a5_max_per_group,
-        "a8_distinct": _q_a8_distinct,
         "f10_hourly_tumbling": _q_f10_hourly_tumbling,
         "t5_lag_change": _q_t5_lag_change,
         "p10_json_projection": _q_p10_json_projection,
-        # the function.sql job chain over the richlist fixture
+        # --- the function.sql job chain over the richlist fixture ---
         "summary_latest": _q_summary_latest,
         "summary_series": _q_summary_series,
         "balance_changes": _q_balance_changes,
@@ -946,38 +972,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_with_changes": _q_summary_with_changes,
         "category_summary_wide": _q_category_summary_wide,
         "country_summary_wide": _q_country_summary_wide,
-        "f3_drops_to_xrp": _q_f3_drops_to_xrp,
-        "f4_format_label": _q_f4_format_label,
-        "p9_enum_check": _q_p9_enum_check,
         "alert_lines": _q_alert_lines,
-        "f5_canonical_label": _q_f5_canonical_label,
-        # crawl engine
+        # --- crawl engine ---
         "crawl_round1": _q_crawl_round1,
         "crawl_seen_after3": _q_crawl_seen_after3,
         "trustline_rich_list": _q_trustline_rich_list,
         "url_canonicalization": _q_url_canonicalization,
         "politeness_assignment": _q_politeness_assignment,
         "robots_denied": _q_robots_denied,
-        # training-data ops
+        # --- training-data ops ---
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_counts_by_lang": _q_token_counts_by_lang,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
         "simhash_neardups": _q_simhash_neardups,
-        "lang_id": _q_lang_id,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "embedding_neardups": _q_embedding_neardups,
-        "embedding_neardups_lsh": _q_embedding_neardups_lsh,
-        "corpus_curation": _q_corpus_curation,
-        "media_plumbing": _q_media_plumbing,
-        "media_frames": _q_media_frames,
-        "f1_parse_amounts": _q_f1_parse_amounts,
-        "f11_interval_shift": _q_f11_interval_shift,
-        "w2_summary_view_id": _q_w2_summary_view_id,
-        "token_jaccard_pairs": _q_token_jaccard_pairs,
+        # --- demoted tail: green in BOTH r01 and r02 driver runs ---
+        "j2_customers_without_orders": _q_j2_customers_without_orders,
+        "w3_latest_event_per_user": _q_w3_latest_event_per_user,
+        "w4_percent_of_total": _q_w4_percent_of_total,
+        "p6_time_range": _q_p6_time_range,
+        "j6_banded_asof": _q_j6_banded_asof,
+        "o5_unpivot": _q_o5_unpivot,
+        "o3_top5_orders": _q_o3_top5_orders,
+        "a5_max_per_group": _q_a5_max_per_group,
+        "a8_distinct": _q_a8_distinct,
+        "f3_drops_to_xrp": _q_f3_drops_to_xrp,
+        "f4_format_label": _q_f4_format_label,
+        "p9_enum_check": _q_p9_enum_check,
+        "f5_canonical_label": _q_f5_canonical_label,
     }
 
 

@@ -240,3 +240,135 @@ def test_jaccard_similarity_join_equals_brute_force(spark):
             .collect()
         }
         assert got == brute, f"theta={theta}"
+
+
+# ---------------------------------------------------------------------------
+# bucket-size caps: boilerplate clusters must not explode candidate counts
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_chunk_bounds_partition_all_bits():
+    """Chunk layout is an exact ≥1-bit partition of the 64 signature bits
+    for every legal max_hamming — the naive ceil-width layout degenerated
+    to zero-width chunks (key 0 for all rows ⇒ O(n²) cross pairs) at
+    max_hamming ≥ 16 (ADVICE r02)."""
+    for k in (0, 3, 10, 15, 16, 31, 63):
+        bounds = dd._simhash_chunk_bounds(k)
+        assert len(bounds) == k + 1
+        assert all(bits >= 1 for _, bits in bounds), (k, bounds)
+        assert sum(bits for _, bits in bounds) == 64
+        # contiguous, non-overlapping
+        lo = 0
+        for chunk_lo, bits in bounds:
+            assert chunk_lo == lo
+            lo += bits
+    with pytest.raises(ValueError):
+        dd._simhash_chunk_bounds(64)
+    with pytest.raises(ValueError):
+        dd._simhash_chunk_bounds(-1)
+
+
+def test_bucket_cap_identical_docs_linear_candidates(spark):
+    """Adversarial boilerplate cluster: 1000 byte-identical docs. Uncapped
+    LSH would emit k(k-1)/2 ≈ 500k candidate pairs from every band bucket;
+    with a cap the identical-signature collapse emits exactly k-1 star
+    pairs whose edges keep the whole cluster in ONE connected component
+    (keep-one dedup downstream is unchanged)."""
+    k = 1000
+    docs = spark.createDataFrame(
+        [(i, "boilerplate navbar footer copyright terms privacy") for i in range(k)],
+        "doc_id long, text string",
+    )
+    mh = dd.minhash_lsh_candidates(docs, max_bucket_size=50).collect()
+    assert len(mh) == k - 1
+    # star edges: every non-rep doc is connected to the min-id rep
+    assert {r["id_a"] for r in mh} == {0}
+    assert {r["id_b"] for r in mh} == set(range(1, k))
+
+    sh = dd.simhash_near_dups(docs, max_hamming=3, max_bucket_size=50).collect()
+    assert len(sh) == k - 1
+    assert all(r["hamming"] == 0 for r in sh)
+    assert {r["id_b"] for r in sh} == set(range(1, k))
+
+
+def _components(n_ids, pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    groups = {}
+    for i in n_ids:
+        groups.setdefault(find(i), set()).add(i)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_bucket_cap_preserves_small_case_results(docs):
+    """On the regular docs fixture (no oversize buckets) the capped paths
+    yield the SAME connected components as uncapped — identical-signature
+    members are represented through their star rep (doc 1 pairs with 2/3
+    via 0), so keep-one-per-component dedup is unchanged."""
+    ids = [r["doc_id"] for r in docs.collect()]
+    base_mh = {(r["id_a"], r["id_b"])
+               for r in dd.minhash_lsh_candidates(docs).collect()}
+    cap_mh = {(r["id_a"], r["id_b"])
+              for r in dd.minhash_lsh_candidates(docs, max_bucket_size=100).collect()}
+    assert _components(ids, cap_mh) == _components(ids, base_mh)
+    # capping never invents edges outside the uncapped transitive closure
+    assert all(
+        any(a in c and b in c for c in _components(ids, base_mh))
+        for a, b in cap_mh
+    )
+    base_sh = {(r["id_a"], r["id_b"])
+               for r in dd.simhash_near_dups(docs, max_hamming=10).collect()}
+    cap_sh = {(r["id_a"], r["id_b"])
+              for r in dd.simhash_near_dups(docs, max_hamming=10,
+                                            max_bucket_size=100).collect()}
+    assert _components(ids, cap_sh) == _components(ids, base_sh)
+
+
+def test_bucket_cap_salt_split_never_invents_pairs(spark):
+    """Near-identical (not byte-identical) cluster: unique suffix per doc
+    defeats the signature collapse, so the salt-split stage engages. The
+    capped candidate set must be a subset of the uncapped one (capping can
+    only drop, never invent) and still non-empty."""
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog variant {i}")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dd.minhash_lsh_candidates(docs).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dd.minhash_lsh_candidates(docs, max_bucket_size=10).collect()}
+    assert capped and capped <= uncapped
+
+
+def test_curation_cap_preserves_flags(spark):
+    """curate_corpus with a bucket cap must produce the same per-doc
+    verdicts as uncapped on a corpus with an identical-doc group plus
+    near-dup outsiders (the star-collapse flag-preservation argument)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = (
+        [(i, base) for i in range(5, 15)]            # identical group, rep=5
+        + [(2, base.replace("quick", "swift"))]       # outsider below rep
+        + [(20, base.replace("dog", "cat"))]          # outsider above group
+        + [(30, "entirely different words about parquet arrow batches and shuffles here")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "is_exact_dup", "is_near_dup", "keep"]
+    uncapped = {r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"], r["keep"])
+                for r in curate_corpus(docs).select(cols).collect()}
+    capped = {r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"], r["keep"])
+              for r in curate_corpus(docs, max_bucket_size=3).select(cols).collect()}
+    assert capped == uncapped
+    assert uncapped[30][2]          # unrelated doc kept
+    assert not uncapped[7][2]       # group member dropped

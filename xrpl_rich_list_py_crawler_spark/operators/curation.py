@@ -29,6 +29,7 @@ def curate_corpus(
     min_tokens: int = 10,
     max_punct_ratio: float = 0.3,
     near_dup_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Per-document curation verdicts.
 
@@ -39,6 +40,16 @@ def curate_corpus(
       threshold) — the lower id stays canonical.
     * ``keep``: neither duplicate, ≥ ``min_tokens`` tokens, and punctuation
       ratio ≤ ``max_punct_ratio``.
+
+    ``max_bucket_size`` (recommended at corpus scale, e.g. 500) bounds
+    LSH bucket pair generation against boilerplate clusters — see
+    :func:`..operators.dedup.minhash_lsh_candidates`. Identical docs are
+    star-collapsed, which preserves the ``is_near_dup`` flag set exactly:
+    star pairs flag every group member above the group min (as the full
+    within-group pair set would), and an outsider's pair with the group
+    rep flags the same larger side every within-group pairing would have
+    flagged. Only residual salt-splits can drop flags, and their mass is
+    logged. Default ``None`` = exact, SQL-oracle-identical behavior.
     """
     t = F.col(text_col)
     w = Window.partitionBy(F.md5(t))
@@ -50,7 +61,11 @@ def curate_corpus(
         (F.col(id_col) != F.min(id_col).over(w)).alias("is_exact_dup"),
     )
     pairs = dd.chargram_jaccard_pairs(
-        df, dd.minhash_lsh_candidates(df, text_col=text_col, id_col=id_col),
+        df,
+        dd.minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col,
+            max_bucket_size=max_bucket_size,
+        ),
         text_col=text_col, id_col=id_col, n=9, stride=3,
     ).filter(F.col("jaccard") >= near_dup_threshold)
     near_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()

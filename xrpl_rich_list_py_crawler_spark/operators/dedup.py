@@ -18,11 +18,15 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+_log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # exact dedup (hash-groupBy)
@@ -104,6 +108,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (id_a < id_b, distinct).
 
@@ -111,10 +116,52 @@ def minhash_lsh_candidates(
     explode to (band, bucket) → self-pair within buckets. The only wide
     operation is the groupBy on band-buckets; candidate generation never
     compares across buckets.
+
+    ``max_bucket_size`` bounds per-bucket pair generation — the 100 TB
+    scale guard against boilerplate clusters (k near-identical docs in one
+    bucket would otherwise emit k²/2 candidates). Two recall-aware stages:
+
+    1. **Identical-signature collapse (lossless for dedup):** docs sharing
+       the FULL minhash signature are emitted as star pairs
+       ``(min_id, other)`` — est. Jaccard 1.0 by construction — and only
+       the min-id representative enters banding. A k-identical cluster
+       costs k−1 pairs, and star edges preserve the connected component
+       exactly, so keep-one-per-component dedup downstream is unchanged.
+    2. **Salt-split of residual oversize buckets (bounded recall trade):**
+       any remaining (band, bucket) group larger than the cap is split
+       into ⌈n/cap⌉ deterministic salt groups; pairs generate within salt
+       groups only. A true near-dup pair is dropped only if EVERY band
+       that buckets it together is oversize AND every such band's salt
+       separates it — each band salts independently
+       (``xxhash64(band, id)``), so survival chance compounds across
+       bands. The split mass (buckets and rows affected) is computed and
+       logged — never silently dropped.
+
+    With ``max_bucket_size=None`` (default) behavior is exactly the
+    uncapped classic band trick — byte-identical to the SQL-twin oracle.
     """
     r = n_hashes // bands
     sig = minhash_signatures_udf(n_hashes, shingle_k)
     with_sig = df.select(id_col, sig(F.col(text_col)).alias("sig"))
+
+    star_pairs = None
+    if max_bucket_size is not None:
+        # stage 1: collapse identical full signatures → star pairs + reps
+        keyed = with_sig.withColumn(
+            "_sigkey", F.xxhash64(F.col("sig").cast("array<string>").cast("string"))
+        )
+        reps = keyed.groupBy("_sigkey").agg(F.min(id_col).alias("_rep"))
+        star_pairs = (
+            keyed.join(reps, "_sigkey")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        with_sig = (
+            keyed.join(reps, "_sigkey")
+            .filter(F.col(id_col) == F.col("_rep"))
+            .select(id_col, "sig")
+        )
+
     band_cols = [
         F.xxhash64(
             F.lit(b), F.slice("sig", b * r + 1, r).cast("array<string>").cast("string")
@@ -126,20 +173,48 @@ def minhash_lsh_candidates(
     buckets = banded.select(
         id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
     )
+
+    join_keys = [("band", "band"), ("bucket", "bucket")]
+    if max_bucket_size is not None:
+        # stage 2: salt-split residual oversize buckets
+        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        split = sizes.withColumn(
+            "_nsplit",
+            F.when(
+                F.col("_n") > max_bucket_size,
+                F.ceil(F.col("_n") / max_bucket_size).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        over = split.filter(F.col("_nsplit") > 1).agg(
+            F.count("*").alias("buckets"), F.sum("_n").alias("rows")
+        ).collect()[0]
+        if over["buckets"]:
+            _log.info(
+                "minhash LSH cap: salt-split %d oversize buckets "
+                "(%d rows) at cap=%d",
+                over["buckets"], over["rows"], max_bucket_size,
+            )
+        buckets = buckets.join(split.select("band", "bucket", "_nsplit"),
+                               ["band", "bucket"]).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("band"), F.col(id_col)), F.col("_nsplit")),
+        )
+        join_keys.append(("_salt", "_salt"))
+
     a = buckets.alias("a")
     b = buckets.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for ka, kb in join_keys:
+        cond = cond & (F.col(f"a.{ka}") == F.col(f"b.{kb}"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs).distinct()
     return pairs
 
 
@@ -198,24 +273,67 @@ def simhash_udf(n_bits: int = 64, shingle_k: int = 6):
     return _sim
 
 
+def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """Partition the 64 signature bits into exactly ``max_hamming + 1``
+    chunks of ≥ 1 bit each, as (lo, bits) pairs.
+
+    The naive ``width = ceil(64 / n_chunks)`` layout produces ZERO-width
+    trailing chunks for max_hamming ≥ 16 (lo ≥ 64 ⇒ mask 0 ⇒ every row
+    keys to 0 ⇒ candidate generation degenerates to the full cross
+    product). Distributing the remainder instead keeps all n_chunks
+    non-empty, so the pigeonhole recall guarantee (distance ≤ k over k+1
+    disjoint chunks ⇒ some chunk identical) holds exactly for any
+    max_hamming ≤ 63 (ADVICE r02, dedup.py:215)."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n_chunks)
+    bounds, lo = [], 0
+    for i in range(n_chunks):
+        bits = base + (1 if i < extra else 0)
+        bounds.append((lo, bits))
+        lo += bits
+    return bounds
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ k.
 
     Block on ``max_hamming + 1`` bit-chunks (pigeonhole: distance ≤ k over
     k+1 chunks ⇒ at least one chunk identical), pair within blocks, verify
     with bit_count — the standard scalable simhash join (shuffle on chunk
-    keys, no O(n²))."""
-    n_chunks = max_hamming + 1
-    width = -(-64 // n_chunks)  # ceil; last chunk may be narrower
+    keys, no O(n²)).
+
+    ``max_bucket_size`` bounds per-block pair generation against
+    boilerplate clusters, mirroring :func:`minhash_lsh_candidates`:
+    identical full signatures collapse to a min-id representative with
+    star pairs (hamming 0, lossless for component connectivity), then any
+    residual oversize (chunk, key) block is salt-split with its mass
+    logged. Default ``None`` = exact classic behavior (oracle-identical).
+    """
     sim = simhash_udf()
     sigs = df.select(id_col, sim(F.col(text_col)).alias("sim"))
+
+    star_pairs = None
+    if max_bucket_size is not None:
+        reps = sigs.groupBy("sim").agg(F.min(id_col).alias("_rep"))
+        joined = sigs.join(reps, "sim")
+        star_pairs = (
+            joined.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        sigs = joined.filter(F.col(id_col) == F.col("_rep")).select(id_col, "sim")
+
     chunk_cols = []
-    for i in range(n_chunks):
-        lo = i * width
-        bits = min(width, 64 - lo)
+    for lo, bits in _simhash_chunk_bounds(max_hamming):
         mask = (1 << bits) - 1
         chunk_cols.append(
             F.shiftrightunsigned("sim", lo).bitwiseAND(F.lit(mask))
@@ -225,14 +343,39 @@ def simhash_near_dups(
         "sim",
         F.posexplode(F.array(*chunk_cols)),
     ).select(id_col, "sim", F.col("pos").alias("chunk"), F.col("col").alias("key"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    join_keys = [("chunk", "chunk"), ("key", "key")]
+    if max_bucket_size is not None:
+        sizes = chunks.groupBy("chunk", "key").agg(F.count("*").alias("_n"))
+        split = sizes.withColumn(
+            "_nsplit",
+            F.when(
+                F.col("_n") > max_bucket_size,
+                F.ceil(F.col("_n") / max_bucket_size).cast("int"),
+            ).otherwise(F.lit(1)),
         )
+        over = split.filter(F.col("_nsplit") > 1).agg(
+            F.count("*").alias("buckets"), F.sum("_n").alias("rows")
+        ).collect()[0]
+        if over["buckets"]:
+            _log.info(
+                "simhash cap: salt-split %d oversize blocks (%d rows) "
+                "at cap=%d",
+                over["buckets"], over["rows"], max_bucket_size,
+            )
+        chunks = chunks.join(split.select("chunk", "key", "_nsplit"),
+                             ["chunk", "key"]).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("chunk"), F.col(id_col)), F.col("_nsplit")),
+        )
+        join_keys.append(("_salt", "_salt"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for ka, kb in join_keys:
+        cond = cond & (F.col(f"a.{ka}") == F.col(f"b.{kb}"))
+    pairs = (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -243,6 +386,9 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs).distinct()
+    return pairs
 
 
 # ---------------------------------------------------------------------------
