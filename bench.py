@@ -153,8 +153,7 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
 
     from xrpl_rich_list_py_crawler_spark.functions.udfs import (
         canonicalize_url_udf,
-        extract_links_udf,
-        extract_text_udf,
+        extract_page_udf,
         host_col,
     )
     from xrpl_rich_list_py_crawler_spark.sources.fixtures import (
@@ -171,12 +170,13 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
         F.broadcast(spark.range(repeat).select(F.col("id").alias("_rep")))
     ).repartition(par * 3)
     t0 = time.time()
+    # fused text+links extraction: the html blob crosses JVM<->Python once
+    # (same kernel run_round uses since round 3)
     parsed = (
-        pages.withColumn("text2", extract_text_udf("html"))
-        .withColumn("links", extract_links_udf("html"))
+        pages.withColumn("_ex", extract_page_udf("html"))
         .select(
-            F.length("text2").alias("text_len"),
-            F.explode_outer("links").alias("raw"),
+            F.length(F.col("_ex.text")).alias("text_len"),
+            F.explode_outer(F.col("_ex.links")).alias("raw"),
         )
         .withColumn("canon", canonicalize_url_udf("raw"))
         .select("text_len", F.xxhash64("canon").alias("h"),

@@ -60,6 +60,37 @@ def test_extract_links_udf_matches_ref(spark, crawl_sf0001):
         assert got[r.url] == extract_links(bytes(r.html))
 
 
+def test_extract_page_udf_fused_equals_singles(spark, crawl_sf0001):
+    """The fused one-Arrow-pass extractor (run_round's hot path since r3)
+    must be byte-identical to the single-purpose UDFs AND evaluate its
+    Python UDF exactly once despite two struct-field references."""
+    from xrpl_rich_list_py_crawler_spark.functions import extract_page_udf
+
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    fused = (
+        pages.withColumn("_ex", extract_page_udf("html"))
+        .select(
+            "url",
+            F.col("_ex.text").alias("ft"),
+            F.col("_ex.links").alias("fl"),
+        )
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("extract_page_udf") == 1
+    singles = pages.select(
+        "url",
+        extract_text_udf("html").alias("st"),
+        extract_links_udf("html").alias("sl"),
+    )
+    mism = (
+        fused.join(singles, "url")
+        .filter((F.col("ft") != F.col("st")) | (F.col("fl") != F.col("sl")))
+        .count()
+    )
+    assert mism == 0
+
+
 CANON_CASES = [
     ("https://H1.Example1.COM/p/5", "https://h1.example1.com/p/5"),
     ("https://h1.example1.com:443/p/5", "https://h1.example1.com/p/5"),

@@ -15,6 +15,7 @@ from .udfs import (  # noqa: F401
     canonical_label_col,
     canonicalize_url_udf,
     extract_links_udf,
+    extract_page_udf,
     extract_text_udf,
     format_label_col,
     parse_percentage_udf,

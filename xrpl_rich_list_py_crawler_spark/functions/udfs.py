@@ -12,7 +12,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .parsers_ref import (
     LABEL_CASE_BRANCHES,
@@ -109,6 +115,41 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
         lambda b: [m.decode("utf-8", errors="replace") for m in _LINK_RE.findall(b)],
         na_action="ignore",
     )
+
+
+# explicit StructType: a DDL return-type string would be parsed at import
+# time and require an active SparkContext (Spark 4.1 gotcha)
+_PAGE_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+@pandas_udf(_PAGE_STRUCT)
+def extract_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused text + link extraction in ONE Arrow pass.
+
+    The html blob is ~99% of a page row's bytes; calling
+    ``extract_text_udf`` and ``extract_links_udf`` separately ships it
+    across the JVM↔Python Arrow channel twice. This struct-returning UDF
+    pays the transfer once and runs both regex walks on the bytes while
+    they're hot. Field outputs are byte-identical to the single-purpose
+    UDFs (pinned in tests/test_parsers.py), which remain for callers that
+    need only one side.
+    """
+    texts, links = [], []
+    for b in html:
+        if b is None:
+            texts.append(None)
+            links.append(None)
+            continue
+        texts.append(_extract_text_one(b))
+        links.append(
+            [m.decode("utf-8", errors="replace") for m in _LINK_RE.findall(b)]
+        )
+    return pd.DataFrame({"text": texts, "links": links})
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     canonicalize_url_udf,
-    extract_links_udf,
-    extract_text_udf,
+    extract_page_udf,
     host_col,
 )
 from ..operators.frontier import global_rank
@@ -177,22 +176,22 @@ class CrawlRun:
             "left",
         ).withColumn("fetch_ok", F.col("html").isNotNull())
 
-        # 4. Arrow-UDF extraction (byte-identical text invariant)
+        # 4. Arrow-UDF extraction (byte-identical text invariant). Fused
+        # text+links in ONE struct-returning UDF so the html blob crosses
+        # the JVM↔Python Arrow channel once, not twice.
         parsed = (
             fetched.withColumn(
-                "text",
-                F.when(F.col("fetch_ok"), extract_text_udf("html")),
+                "_ex", F.when(F.col("fetch_ok"), extract_page_udf("html"))
             )
+            .withColumn("text", F.col("_ex.text"))
             .withColumn(
                 "links",
-                F.when(F.col("fetch_ok"), extract_links_udf("html")).otherwise(
-                    F.array().cast("array<string>")
-                ),
+                F.coalesce(F.col("_ex.links"), F.array().cast("array<string>")),
             )
             .withColumn("n_links", F.size("links").cast("int"))
             # html dies here: the blob must not ride the cache or any later
             # shuffle (at 100 TB the binary column is ~99% of the bytes)
-            .drop("html", "canon_url")
+            .drop("html", "canon_url", "_ex")
         )
         parsed = parsed.persist()
 
