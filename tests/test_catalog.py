@@ -152,3 +152,40 @@ def test_crawl_with_seen_compaction_equivalent(spark, crawl_sf0001, tmp_path):
     # the compacted catalog really did merge: one seen dir per ledger
     assert len(os.listdir(os.path.join(str(tmp_path), "compacted", "seen"))) \
         < len(os.listdir(os.path.join(str(tmp_path), "plain", "seen")))
+
+
+def test_compact_rounds_retry_after_crash_window(spark, tmp_path):
+    """If a prior compaction died after renaming the generation dir but
+    before the manifest swap, the uncommitted dir must not wedge the retry
+    (os.rename onto a non-empty dir raises)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    for r in range(1, 4):
+        cat.commit_round(r, {"seen": spark.createDataFrame(
+            [(r, r)], "url_hash long, round int")})
+    # simulate the crash leftovers: the dir a retry will want to create
+    leftover = os.path.join(str(tmp_path), "seen", "r00003_g1")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "junk.parquet"), "w") as f:
+        f.write("torn")
+    assert cat.compact_rounds(spark, "seen") == [1, 2]
+    rows = sorted(r["url_hash"] for r in cat.read_appended(spark, "seen").collect())
+    assert rows == [1, 2, 3]
+
+
+def test_read_appended_below_compaction_floor_raises(spark, tmp_path):
+    """compact_rounds reassigns merged rows to the newest merged round, so
+    an as-of read below the compaction floor would silently lose history —
+    it must raise instead."""
+    cat = SnapshotCatalog(str(tmp_path))
+    for r in range(1, 5):
+        cat.commit_round(r, {"seen": spark.createDataFrame(
+            [(r, r)], "url_hash long, round int")})
+    cat.compact_rounds(spark, "seen", up_to_round=3)
+    # reads at/above the floor still work
+    assert cat.read_appended(spark, "seen", up_to_round=3).count() == 3
+    assert cat.read_appended(spark, "seen", up_to_round=4).count() == 4
+    assert cat.read_appended(spark, "seen").count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction floor"):
+        cat.read_appended(spark, "seen", up_to_round=2)

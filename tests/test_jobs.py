@@ -126,3 +126,21 @@ def test_summary_with_changes_wide_shape(summary):
         assert f"change_{h}h" in cols and f"percentage_{h}h" in cols
     latest = summary.agg(F.max("created_at")).collect()[0][0]
     assert wide.count() == summary.filter(F.col("created_at") == latest).count()
+
+
+def test_refresh_chain_analyze_runs_last(spark, rich, cats):
+    """T9 + U6: the refresh chain ends with the ANALYZE analog
+    (uploader.py:303-326 invokes analyze_rich_list_tables last), reporting
+    row stats for every table the chain rewrote."""
+    from xrpl_rich_list_py_crawler_spark.plans.pipeline import refresh_analytics
+
+    res = refresh_analytics(spark, rich, cats)
+    assert res.steps_run[-1] == "analyze_tables"
+    stats = {r["table"]: r["rows"] for r in res.table_stats.collect()}
+    assert set(stats) == {
+        "summary", "balance_changes", "available_changes",
+        "category_changes", "country_changes", "category_statistics",
+        "country_statistics", "available_statistics",
+    }
+    assert stats["summary"] == res.summary.count()
+    assert all(n >= 0 for n in stats.values())

@@ -116,3 +116,39 @@ def test_apply_robots_active_only_equivalent(spark, crawl_sf0001):
         )
     )
     assert full == active
+
+
+def test_crawl_run_auto_selects_active_only(spark, crawl_sf0001, tmp_path):
+    """CrawlRun flips to the active-host robots slice automatically when
+    the dim exceeds the broadcast ceiling, and a sliced run commits the
+    identical round-1 results (urls + text) as the full-broadcast run."""
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import CrawlRun
+    from xrpl_rich_list_py_crawler_spark.sources.catalog import SnapshotCatalog
+
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(crawl_sf0001, "robots.parquet"))
+    seeds = spark.read.parquet(os.path.join(crawl_sf0001, "seeds.parquet"))
+
+    # auto threshold: tiny dim stays full-broadcast ...
+    cat_a = SnapshotCatalog(str(tmp_path / "a"))
+    run_a = CrawlRun(spark, cat_a, pages, robots)
+    assert run_a.robots_active_only is False
+    # ... and a dim above a (test-lowered) ceiling flips to the slice
+    orig = CrawlRun.ROBOTS_BROADCAST_MAX_HOSTS
+    try:
+        CrawlRun.ROBOTS_BROADCAST_MAX_HOSTS = 1
+        cat_b = SnapshotCatalog(str(tmp_path / "b"))
+        run_b = CrawlRun(spark, cat_b, pages, robots)
+        assert run_b.robots_active_only is True
+    finally:
+        CrawlRun.ROBOTS_BROADCAST_MAX_HOSTS = orig
+
+    run_a.run(1, seeds)
+    run_b.run(1, seeds)
+    rows = lambda c: sorted(
+        (r["rank"], r["url"], r["text"])
+        for r in c.read_appended(spark, "results").collect()
+    )
+    assert rows(cat_b) == rows(cat_a)

@@ -31,6 +31,7 @@ class RefreshResult:
     category_statistics: DataFrame
     country_statistics: DataFrame
     available_statistics: DataFrame
+    table_stats: DataFrame | None = None
     steps_run: list[str] = field(default_factory=list)
 
 
@@ -85,6 +86,25 @@ def refresh_analytics(
             "available_statistics",
             lambda: jobs.available_statistics(summary, now)),
         steps_run=steps,
+    )
+    # ANALYZE runs LAST, exactly as uploader.py:303-326 invokes
+    # analyze_rich_list_tables after cleanup (function.sql:1064-1082):
+    # planner stats refresh over every table the chain just rewrote.
+    res.table_stats = step(
+        "analyze_tables",
+        lambda: jobs.analyze_tables(
+            spark,
+            {
+                "summary": res.summary,
+                "balance_changes": res.balance_changes,
+                "available_changes": res.available_changes,
+                "category_changes": res.category_changes,
+                "country_changes": res.country_changes,
+                "category_statistics": res.category_statistics,
+                "country_statistics": res.country_statistics,
+                "available_statistics": res.available_statistics,
+            },
+        ),
     )
     return res
 

@@ -84,6 +84,12 @@ class CrawlRun:
     generalized).
     """
 
+    #: robots dims with more hosts than this are semi-join-sliced to the
+    #: round's active hosts before broadcasting (apply_robots active_only):
+    #: ~1M hosts ≈ 100s of MB serialized — the practical broadcast ceiling;
+    #: a 10^8-host dim must never ship whole to every executor
+    ROBOTS_BROADCAST_MAX_HOSTS = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -92,12 +98,20 @@ class CrawlRun:
         robots: DataFrame,
         use_bloom: bool = True,
         job_id: str = "crawl",
+        robots_active_only: bool | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.robots = robots
         self.use_bloom = use_bloom
         self.job_id = job_id
+        # decide the robots-join strategy ONCE per run (the dim is fixed):
+        # count is one cheap job against a tiny-schema dim
+        if robots_active_only is None:
+            robots_active_only = (
+                robots.count() > self.ROBOTS_BROADCAST_MAX_HOSTS
+            )
+        self.robots_active_only = robots_active_only
         # cache the keyed corpus: every round's fetch join and each commit
         # action reuses it (cluster deployment: a bucketed table instead)
         self.pages_idx = index_pages(pages).persist()
@@ -164,7 +178,9 @@ class CrawlRun:
         # 2. robots gate (broadcast dim) + politeness token bucket (window).
         # ``gated`` feeds denied/selected/deferred/results/metrics — persist
         # once so the four table writes don't re-run the anti-join + window.
-        gated = assign_politeness_gated(apply_robots(unseen, self.robots)).persist()
+        gated = assign_politeness_gated(
+            apply_robots(unseen, self.robots, active_only=self.robots_active_only)
+        ).persist()
         denied = gated.filter(F.col("robots_denied"))
         selected = gated.filter(~F.col("robots_denied") & F.col("selected"))
         deferred = gated.filter(~F.col("robots_denied") & ~F.col("selected"))

@@ -124,10 +124,26 @@ class SnapshotCatalog:
 
         Only manifest-listed rounds are read — uncommitted/torn dirs are
         invisible (snapshot isolation).
+
+        As-of reads (``up_to_round``) are only valid above the table's
+        compaction floor: :meth:`compact_rounds` reassigns merged rows to
+        the newest merged round, so a read below it would silently return
+        nothing for the merged history. Such reads raise instead of
+        lying (ADVICE r02). The crawl loop always reads up to the latest
+        round and compacts behind itself, so it never trips this.
         """
         m = self.manifest()
-        rounds = m["tables"].get(table, {}).get("rounds", [])
+        meta = m["tables"].get(table, {})
+        rounds = meta.get("rounds", [])
         if up_to_round is not None:
+            floor = meta.get("compacted_through", 0)
+            if up_to_round < floor:
+                raise ValueError(
+                    f"as-of read of '{table}' at round {up_to_round} is below "
+                    f"its compaction floor {floor}: rows from rounds ≤ {floor} "
+                    f"were merged into round {floor} by compact_rounds and "
+                    "can no longer be separated by round"
+                )
             rounds = [r for r in rounds if r <= up_to_round]
         if not rounds:
             return None
@@ -248,6 +264,13 @@ class SnapshotCatalog:
         tmp = new_dir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        if os.path.exists(new_dir):
+            # crash window: a prior attempt renamed tmp -> new_dir but died
+            # before the manifest swap. The dir is by construction
+            # uncommitted (the manifest still points at the old name), so a
+            # retry must clear it or os.rename onto a non-empty dir raises
+            # and wedges compaction permanently (ADVICE r02).
+            shutil.rmtree(new_dir)
         df = reduce(
             lambda a, b: a.unionByName(b),
             [spark.read.parquet(p) for p in old_paths],
@@ -259,6 +282,8 @@ class SnapshotCatalog:
         for r in merged_away:
             dirs.pop(str(r), None)
         dirs[str(dest)] = new_name
+        # as-of reads below dest can no longer separate the merged history
+        meta["compacted_through"] = max(meta.get("compacted_through", 0), dest)
         self._swap_manifest(m)  # commit point
         for p in old_paths:
             if os.path.exists(p):

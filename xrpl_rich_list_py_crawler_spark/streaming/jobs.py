@@ -201,13 +201,16 @@ def frontier_dedup_stream(
     """Streaming URL-seen dedup: first sighting of each ``url_hash`` wins
     across ALL micro-batches (J2 as a stream).
 
-    Uses Structured Streaming's native keyed dedup state
-    (``dropDuplicates`` on a streaming frame) — the engine-managed analog
-    of the batch bloom+ledger path. The watermark on ``discovery_ts``
-    bounds state exactly like the reference's banded late tolerance: a URL
-    re-discovered later than the watermark horizon may re-emit, which is
-    the deliberate state/recall trade-off every streaming dedup makes
-    (the batch ledger remains the exact truth).
+    Uses Structured Streaming's native keyed dedup state via
+    ``dropDuplicatesWithinWatermark`` — the engine-managed analog of the
+    batch bloom+ledger path. Plain ``dropDuplicates(['url_hash'])`` would
+    NEVER evict state (the watermark only bounds dedup state when the
+    event-time column is part of the dedup key), so a long-running stream
+    would grow without bound (ADVICE r02). The within-watermark variant
+    evicts keys once the watermark passes them: a URL re-discovered later
+    than the horizon may re-emit, which is the deliberate state/recall
+    trade-off every streaming dedup makes (the batch ledger remains the
+    exact truth).
     """
     schema = (
         "url string, url_hash long, host string, depth int, "
@@ -218,9 +221,9 @@ def frontier_dedup_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(frontier_dir)
     )
-    deduped = stream.withWatermark("discovery_ts", watermark).dropDuplicates(
-        ["url_hash"]
-    )
+    deduped = stream.withWatermark(
+        "discovery_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url_hash"])
     return (
         deduped.writeStream.outputMode("append")
         .format("parquet")
