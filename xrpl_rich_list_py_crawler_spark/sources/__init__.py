@@ -3,3 +3,8 @@ catalog (Parquet + JSON-manifest emulation of Iceberg atomic commits)."""
 
 from .fixtures import ensure_crawl_fixtures, generate_crawl_fixtures  # noqa: F401
 from .catalog import SnapshotCatalog  # noqa: F401
+from .iceberg_catalog import (  # noqa: F401
+    IcebergSnapshotCatalog,
+    IcebergUnavailable,
+    iceberg_available,
+)
