@@ -82,6 +82,7 @@ def test_refresh_analytics_chain(spark, crawl_sf0001):
         "validate_categories", "summary", "balance_changes",
         "available_changes", "category_changes", "country_changes",
         "category_statistics", "country_statistics", "available_statistics",
+        "analyze_tables",
     ]
     assert res.balance_changes.count() > 0
     assert res.category_statistics.count() > 0

@@ -99,12 +99,17 @@ class CrawlRun:
         use_bloom: bool = True,
         job_id: str = "crawl",
         robots_active_only: bool | None = None,
+        transport=None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.robots = robots
         self.use_bloom = use_bloom
         self.job_id = job_id
+        # optional live-fetch transport (sources/http_fetch.py): when set,
+        # step 3 fetches through host-partitioned mapInPandas instead of
+        # the corpus equi join — same output schema either way
+        self.transport = transport
         # decide the robots-join strategy ONCE per run (the dim is fixed):
         # count is one cheap job against a tiny-schema dim
         if robots_active_only is None:
@@ -185,12 +190,19 @@ class CrawlRun:
         selected = gated.filter(~F.col("robots_denied") & F.col("selected"))
         deferred = gated.filter(~F.col("robots_denied") & ~F.col("selected"))
 
-        # 3. "fetch" = equi join against the keyed corpus (left: missing = 404)
-        fetched = selected.join(
-            self.pages_idx.withColumnRenamed("warc_ts", "_page_ts"),
-            "url_hash",
-            "left",
-        ).withColumn("fetch_ok", F.col("html").isNotNull())
+        # 3. "fetch" = equi join against the keyed corpus (left: missing =
+        # 404), or the live host-partitioned mapInPandas fetcher when a
+        # transport is injected (reference loader.py:28-54 deployment path)
+        if self.transport is not None:
+            from ..sources.http_fetch import http_fetch
+
+            fetched = http_fetch(selected, self.transport)
+        else:
+            fetched = selected.join(
+                self.pages_idx.withColumnRenamed("warc_ts", "_page_ts"),
+                "url_hash",
+                "left",
+            ).withColumn("fetch_ok", F.col("html").isNotNull())
 
         # 4. Arrow-UDF extraction (byte-identical text invariant). Fused
         # text+links in ONE struct-returning UDF so the html blob crosses

@@ -8,3 +8,8 @@ from .iceberg_catalog import (  # noqa: F401
     IcebergUnavailable,
     iceberg_available,
 )
+from .http_fetch import (  # noqa: F401
+    corpus_transport,
+    http_fetch,
+    urllib_transport,
+)
