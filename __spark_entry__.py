@@ -727,6 +727,28 @@ def _q_minhash_neardups(spark, sf):
     )
 
 
+def _q_neardup_components(spark, sf):
+    """Keep-one-per-component dedup verdicts: verified minhash near-dup
+    pairs (the minhash_neardups truth set) → iterative min-label
+    connected components (operators/dedup.py:connected_components) →
+    (doc, component=min member id, is_canonical). The oracle recomputes
+    the same components with a recursive CTE over the exact char-gram
+    pair set — certifying the distributed label propagation against
+    closed-form transitive closure."""
+    d = _t(spark, sf, "documents")
+    pairs = (
+        dd.chargram_jaccard_pairs(
+            d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
+            n=9, stride=3,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return dd.connected_components(d.select("doc_id"), pairs).select(
+        "doc_id", F.col("comp").alias("component"), "is_canonical"
+    )
+
+
 def _q_simhash_neardups(spark, sf):
     """SimHash chunk-blocked candidates (hamming ≤ 7 via 8-chunk pigeonhole)
     → the same exact char-9-gram verification as minhash_neardups: a second,
@@ -986,8 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": _q_token_counts_by_lang,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
+        "neardup_components": _q_neardup_components,  # NEW in r3: head slot
+        # --- demoted tail: green in r01+r02 driver runs (simhash r02) ---
         "simhash_neardups": _q_simhash_neardups,
-        # --- demoted tail: green in BOTH r01 and r02 driver runs ---
         "j2_customers_without_orders": _q_j2_customers_without_orders,
         "w3_latest_event_per_user": _q_w3_latest_event_per_user,
         "w4_percent_of_total": _q_w4_percent_of_total,
@@ -1805,6 +1828,32 @@ def oracle_sql() -> dict[str, str]:
         # literal-plane expressions both engines evaluate identically.
         "minhash_neardups": _CHARGRAM_PAIRS_SQL,
         "simhash_neardups": _CHARGRAM_PAIRS_SQL,
+        "neardup_components": r"""
+            WITH RECURSIVE grams AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(length(text) - 8, 1) + 1, 3),
+                    i -> substr(text, CAST(i AS INT), 9))) AS g
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+                   MIN(comp) = id AS is_canonical
+            FROM reach GROUP BY id
+        """,
         "lang_id": f"""
             SELECT doc_id, {ts.lang_id_sql('text')} AS lang_pred
             FROM documents

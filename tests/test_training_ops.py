@@ -372,3 +372,44 @@ def test_curation_cap_preserves_flags(spark):
     assert capped == uncapped
     assert uncapped[30][2]          # unrelated doc kept
     assert not uncapped[7][2]       # group member dropped
+
+
+def test_connected_components_random_graph(spark):
+    """Distributed min-label propagation == union-find ground truth on a
+    random sparse graph (including isolated nodes)."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    pairs = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: (r["comp"], r["is_canonical"])
+           for r in dd.connected_components(ids, pdf).collect()}
+    want = _components(range(n), pairs)
+    for comp_set in want:
+        m = min(comp_set)
+        for i in comp_set:
+            assert got[i] == (m, i == m), (i, got[i], m)
+    assert len(got) == n
+
+
+def test_connected_components_path_graph_diameter(spark):
+    """A 30-node path (diameter 29) exercises multi-round propagation —
+    min-label needs ~log-to-diameter rounds and must still converge."""
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = dd.connected_components(ids, pdf).collect()
+    assert all(r["comp"] == 0 for r in got)
+    assert sum(r["is_canonical"] for r in got) == 1
+
+
+def test_connected_components_no_pairs(spark):
+    ids = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["comp"], r["is_canonical"])
+           for r in dd.connected_components(ids, empty).collect()}
+    assert got == {3: (3, True), 9: (9, True)}

@@ -568,3 +568,85 @@ def jaccard_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (keep-one-per-component dedup verdicts)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Component id (= min member id) per doc over near-dup ``pairs``.
+
+    The terminal step of dedup: pair emitters (exact / minhash / simhash /
+    embedding) produce edges, and keep-one dedup keeps exactly the doc
+    whose id IS its component id. Star-collapsed capped pairs (see
+    :func:`minhash_lsh_candidates`) yield identical components by
+    construction.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    groupBy-min over the undirected edge list per round), until a round
+    changes nothing. Converges in O(graph diameter) rounds; near-dup
+    graphs are unions of small cliques/stars (diameter ≤ ~3), so 2-3
+    shuffle rounds in practice. Each round's labels are eagerly
+    ``localCheckpoint``-ed: iterative self-referencing plans OTHERWISE
+    double the logical tree per round (persist caches data but not
+    lineage) and OOM the driver's analyzer past ~25 rounds. Convergence
+    is checked with a 1-row count — no driver-side graph.
+
+    100 TB shape: each iteration is one shuffle keyed by ``id``, linear in
+    edges; this is the standard Spark large-graph CC pattern (the
+    alternating-star optimization only matters for high-diameter graphs,
+    which dedup graphs are not).
+
+    Returns (id_col, component, is_canonical).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        # neighbor-min: for each node, the min label among neighbors
+        neigh = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # eager: truncates lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias(id_col),
+        "comp",
+        (F.col("src") == F.col("comp")).alias("is_canonical"),
+    )
