@@ -413,3 +413,17 @@ def test_connected_components_no_pairs(spark):
     got = {r["doc_id"]: (r["comp"], r["is_canonical"])
            for r in dd.connected_components(ids, empty).collect()}
     assert got == {3: (3, True), 9: (9, True)}
+
+
+def test_cosine_block_cap_subset_and_noop(spark):
+    """Embedding-block cap: no-op below the cap; above it, capped pairs are
+    a non-empty subset of uncapped blocked pairs."""
+    df, _ = _embeddings(spark)
+    base = {(r["id_a"], r["id_b"]) for r in sim.cosine_near_dup_pairs(
+        df, threshold=0.0, block_col="label").collect()}
+    noop = {(r["id_a"], r["id_b"]) for r in sim.cosine_near_dup_pairs(
+        df, threshold=0.0, block_col="label", max_block_size=1000).collect()}
+    assert noop == base
+    capped = {(r["id_a"], r["id_b"]) for r in sim.cosine_near_dup_pairs(
+        df, threshold=0.0, block_col="label", max_block_size=5).collect()}
+    assert capped and capped < base

@@ -228,22 +228,60 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold), id_a < id_b.
 
     With ``block_col`` (e.g. an LSH bucket or a label) the self-join is
     per-block — the scalable shape. Without it, a full self-join (test
-    scale only)."""
+    scale only).
+
+    ``max_block_size`` (blocked mode only) mirrors the text-dedup bucket
+    cap (operators/dedup.py): a block larger than the cap is salt-split
+    into ⌈n/cap⌉ deterministic groups before pairing, bounding the
+    per-block pair blowup a cluster of near-identical embeddings would
+    cause. Split mass is logged; default None = exact blocked behavior
+    (oracle-identical). Unlike minhash, embedding blocks have a single
+    blocking key, so split recall loss is not cushioned by other bands —
+    size the cap well above the expected true-duplicate cluster size.
+    """
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
     left = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), *blk
     )
     right = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), *blk
     )
     cond = F.col("id_a") < F.col("id_b")
     on = ["_blk"] if block_col else []
+    if block_col and max_block_size is not None:
+        import logging
+
+        sizes = left.groupBy("_blk").agg(F.count("*").alias("_n"))
+        split = sizes.withColumn(
+            "_nsplit",
+            F.when(
+                F.col("_n") > max_block_size,
+                F.ceil(F.col("_n") / max_block_size).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        over = split.filter(F.col("_nsplit") > 1).agg(
+            F.count("*").alias("blocks"), F.sum("_n").alias("rows")
+        ).collect()[0]
+        if over["blocks"]:
+            logging.getLogger(__name__).info(
+                "cosine near-dup cap: salt-split %d oversize blocks "
+                "(%d rows) at cap=%d",
+                over["blocks"], over["rows"], max_block_size,
+            )
+        nsplit = split.select("_blk", "_nsplit")
+        left = left.join(nsplit, "_blk").withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id_a")), F.col("_nsplit"))
+        ).drop("_nsplit")
+        right = right.join(nsplit, "_blk").withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id_b")), F.col("_nsplit"))
+        ).drop("_nsplit")
+        on = ["_blk", "_salt"]
     joined = left.join(right, on=on) if on else left.crossJoin(right)
     return (
         joined.filter(cond)
