@@ -147,3 +147,48 @@ def test_trustline_rank_is_two_phase(spark, sf_dir):
     assert "rangepartitioning" in plan
     # the row_number window runs per _pid partition, never SinglePartition
     assert "_pid" in plan
+
+
+def test_round_parse_single_arrow_eval(spark, crawl_sf0001):
+    """Round-3 fusion: the crawl's extraction stage must ship the html blob
+    across JVM<->Python ONCE — exactly one ArrowEvalPython with one UDF in
+    the fused parse plan (two would mean the blob pays IPC twice)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import extract_page_udf
+
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    parsed = (
+        pages.withColumn("_ex", F.when(F.col("html").isNotNull(),
+                                       extract_page_udf("html")))
+        .select(F.col("_ex.text").alias("text"),
+                F.size(F.coalesce(F.col("_ex.links"),
+                                  F.array().cast("array<string>"))).alias("n"))
+    )
+    # executedPlan string lists each node once (explain-formatted repeats
+    # nodes in the details section)
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("extract_page_udf") == 1
+
+
+def test_connected_components_stays_jvm(spark):
+    """CC label propagation must be JVM-only joins/aggs: no Python eval,
+    no cartesian product, and the per-round plan is lineage-truncated
+    (scan of the checkpointed RDD, not a rebuild of prior rounds)."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 48, 2)], "id_a long, id_b long"
+    )
+    out = connected_components(ids, pairs)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # lineage truncated: the result reads the final checkpoint scan
+    assert "Scan ExistingRDD" in plan
