@@ -949,9 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict entries per round, so entries are rotated round-over-round to get
     every query a hard driver row. Round 3 promotes the 13 entries that
     were unsampled in r02 (the ANN/curation/multimodal tail) to the front
-    and demotes 13 long-stable trivially-green entries (each green in BOTH
-    r01 and r02) to the tail. Rotate again next round to re-confirm the
-    demoted set.
+    and demotes 14 to the tail: 13 long-stable entries green in BOTH r01
+    and r02, plus simhash_neardups (r02-green) to make room for the new
+    neardup_components at head slot 50. Rotate again next round to
+    re-confirm the demoted set.
     """
     return {
         # --- r02-unsampled tail, promoted for hard driver verification ---
