@@ -214,3 +214,45 @@ def test_frontier_dedup_stream_first_sighting_wins(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(r["url_hash"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_corpus_dedup_stream_matches_batch_dedup(spark, tmp_path):
+    """Streaming exact corpus dedup == batch dedup_exact semantics on the
+    same deliveries (first sighting of each content hash wins), with state
+    surviving a checkpointed restart."""
+    from xrpl_rich_list_py_crawler_spark.streaming import corpus_dedup_stream
+
+    epoch = datetime(2026, 3, 1)
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+
+    def deliver(name, rows, hour):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "url": [f"https://d.com/{i}" for i, _ in rows],
+                "text": [t for _, t in rows],
+                "ingest_ts": [epoch + timedelta(hours=hour)] * len(rows),
+            }
+        )
+        pdf["ingest_ts"] = pdf["ingest_ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"{name}.parquet"))
+
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    deliver("b0", [(1, "alpha"), (2, "beta")], 0)
+    deliver("b1", [(3, "alpha"), (4, "gamma")], 1)   # 3 is a content dup of 1
+    q = corpus_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
+    # restart: dup of "beta" still suppressed, new content admitted
+    deliver("b2", [(5, "beta"), (6, "delta")], 2)
+    q = corpus_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4, 6]
+    # schema passes through (no leaked helper column)
+    assert sorted(spark.read.parquet(out).columns) == [
+        "doc_id", "ingest_ts", "text", "url"
+    ]

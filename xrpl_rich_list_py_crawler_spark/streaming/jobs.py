@@ -269,3 +269,45 @@ def politeness_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def corpus_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact corpus dedup: the training-data twin of
+    :func:`frontier_dedup_stream` — first sighting of each content hash
+    wins across micro-batches of arriving documents.
+
+    Dedup key = md5(text) computed JVM-side on the stream; state is
+    engine-managed via ``dropDuplicatesWithinWatermark`` (evicted past
+    the ingest-time watermark — the same state/recall trade as the URL
+    stream; the batch ``dedup_exact`` over the full corpus remains the
+    exact truth). The per-batch output appends only first-seen docs, so a
+    continuously-arriving crawl feed is curated incrementally instead of
+    re-scanning the corpus.
+    """
+    schema = "doc_id long, url string, text string, ingest_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    deduped = (
+        stream.withColumn("_content_key", F.md5(F.col("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
