@@ -427,3 +427,32 @@ def test_cosine_block_cap_subset_and_noop(spark):
     capped = {(r["id_a"], r["id_b"]) for r in sim.cosine_near_dup_pairs(
         df, threshold=0.0, block_col="label", max_block_size=5).collect()}
     assert capped and capped < base
+
+
+def test_simhash_blocking_recall_at_high_hamming(spark):
+    """Behavioral pin of the chunk-layout fix (ADVICE r02): at
+    max_hamming=16 the old ceil-width layout degenerated to a cross
+    product (accidentally full recall, O(n²)); the fixed >=1-bit partition
+    must keep EXACT recall — every pair at Hamming distance <= 16 found,
+    verified against a brute-force pass over the same signatures."""
+    import itertools
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "spark", "arrow", "fox",
+             "dog", "parquet", "shuffle", "crawl", "frontier"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, size=rng.randint(4, 10))))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sim"] for r in docs.select(
+        "doc_id", dd.simhash_udf()(F.col("text")).alias("sim")).collect()}
+    want = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 16
+    }
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dd.simhash_near_dups(docs, max_hamming=16).collect()}
+    assert got == want
+    assert want  # fixture must actually produce close pairs
