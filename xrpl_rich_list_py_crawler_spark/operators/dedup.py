@@ -146,10 +146,12 @@ def minhash_lsh_candidates(
 
     star_pairs = None
     if max_bucket_size is not None:
-        # stage 1: collapse identical full signatures → star pairs + reps
+        # stage 1: collapse identical full signatures → star pairs + reps.
+        # persisted: referenced three times (reps agg, star pairs, rep
+        # filter) — one signature pass instead of three
         keyed = with_sig.withColumn(
             "_sigkey", F.xxhash64(F.col("sig").cast("array<string>").cast("string"))
-        )
+        ).persist()
         reps = keyed.groupBy("_sigkey").agg(F.min(id_col).alias("_rep"))
         star_pairs = (
             keyed.join(reps, "_sigkey")
@@ -170,9 +172,13 @@ def minhash_lsh_candidates(
     ]
     banded = with_sig.select(id_col, "sig", F.posexplode(F.array(*band_cols)))
     # (pos, col) = (band index, bucket hash)
+    # persisted: the self-join references this frame TWICE — without a
+    # materialization barrier each side recomputes the Arrow signature
+    # UDF over the whole corpus (plan-audit finding, round 3). Storage is
+    # (id, band, bucket) only — tiny; LRU-evicted with the session.
     buckets = banded.select(
         id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
-    )
+    ).persist()
 
     join_keys = [("band", "band"), ("bucket", "bucket")]
     if max_bucket_size is not None:
@@ -223,9 +229,10 @@ def minhash_jaccard_estimate(
     id_col: str = "doc_id", n_hashes: int = 64, shingle_k: int = 9,
 ) -> DataFrame:
     """Verify candidates: estimated Jaccard = fraction of matching minhash
-    components (zip_with, JVM-side)."""
+    components (zip_with, JVM-side). Signatures persist — both pair sides
+    reference them."""
     sig = minhash_signatures_udf(n_hashes, shingle_k)
-    sigs = df.select(id_col, sig(F.col(text_col)).alias("sig"))
+    sigs = df.select(id_col, sig(F.col(text_col)).alias("sig")).persist()
     return (
         pairs.join(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
         .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
@@ -320,6 +327,7 @@ def simhash_near_dups(
 
     star_pairs = None
     if max_bucket_size is not None:
+        sigs = sigs.persist()  # reps agg + join sides: one simhash pass
         reps = sigs.groupBy("sim").agg(F.min(id_col).alias("_rep"))
         joined = sigs.join(reps, "sim")
         star_pairs = (
@@ -338,11 +346,15 @@ def simhash_near_dups(
         chunk_cols.append(
             F.shiftrightunsigned("sim", lo).bitwiseAND(F.lit(mask))
         )
+    # persisted for the same reason as the minhash buckets frame: the
+    # self-join's two sides must not each recompute the simhash UDF
     chunks = sigs.select(
         id_col,
         "sim",
         F.posexplode(F.array(*chunk_cols)),
-    ).select(id_col, "sim", F.col("pos").alias("chunk"), F.col("col").alias("key"))
+    ).select(
+        id_col, "sim", F.col("pos").alias("chunk"), F.col("col").alias("key")
+    ).persist()
 
     join_keys = [("chunk", "chunk"), ("key", "key")]
     if max_bucket_size is not None:
@@ -401,7 +413,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id", n: int = 3,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given candidate pairs (JVM-side set
-    ops over arrays — no Python)."""
+    ops over arrays — no Python). Gram sets persist: both join sides
+    reference them."""
     grams = df.select(
         id_col,
         F.array_distinct(
@@ -418,7 +431,7 @@ def ngram_jaccard_pairs(
                 ),
             )
         ).alias("grams"),
-    )
+    ).persist()
     return (
         pairs.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "gb"), "id_b")
@@ -461,7 +474,15 @@ def chargram_jaccard_pairs(
     Grams are built only for docs that appear in ``pairs`` (semi-join
     first): n-gram extraction at char offsets is O(len²) per doc, so
     restricting it to the candidate set — a tiny fraction of the corpus —
-    is the difference between seconds and minutes even at fixture scale."""
+    is the difference between seconds and minutes even at fixture scale.
+
+    ``pairs`` and the gram sets are persisted internally: this function
+    references ``pairs`` three times and the grams twice, and ``pairs``
+    is typically an expensive LSH plan — without a barrier every
+    reference replays candidate generation (incl. its Arrow signature
+    passes) from scratch. Both frames are candidate-set-sized, tiny
+    relative to the corpus."""
+    pairs = pairs.persist()
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -471,7 +492,7 @@ def chargram_jaccard_pairs(
     # large — let AQE pick broadcast vs shuffle semi join from actual size
     grams = df.join(ids, id_col, "left_semi").select(
         id_col, char_ngrams_col(F.col(text_col), n, stride).alias("g")
-    )
+    ).persist()
     ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("g", "ga")
     gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("g", "gb")
     return (
@@ -531,6 +552,9 @@ def jaccard_similarity_join(
             id_col,
             F.transform("ft", lambda s: s["tok"]).alias("sorted_toks"),
         )
+        # referenced three times below (prefixes + both verify sides):
+        # persist so the freq-join + sort runs once
+        .persist()
     )
     prefix_len = (
         F.size("sorted_toks")
