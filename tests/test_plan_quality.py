@@ -192,3 +192,53 @@ def test_connected_components_stays_jvm(spark):
     assert "CartesianProduct" not in plan
     # lineage truncated: the result reads the final checkpoint scan
     assert "Scan ExistingRDD" in plan
+
+
+def test_bucketed_pages_fetch_join_no_pages_exchange(spark, crawl_sf0001, tmp_path):
+    """bucketize_pages: the fetch join must read the bucketed corpus with
+    NO exchange on the pages side (only the frontier shuffles into the
+    bucket layout) — the per-round cost model the 10^10-page deployment
+    depends on. Also pins crawl equivalence through the bucketed path."""
+    import json
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import (
+        CrawlRun,
+        bucketize_pages,
+    )
+    from xrpl_rich_list_py_crawler_spark.sources.catalog import SnapshotCatalog
+
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    bucketed = bucketize_pages(
+        spark, pages, table="t_pages_bucketed", buckets=8,
+        path=str(tmp_path / "bucketed"),
+    )
+
+    # plan shape: a frontier-like probe joined on url_hash, with broadcast
+    # disabled so the join is the sort-merge the 10^10-frontier case hits
+    probe = spark.range(0, 10000).select(F.col("id").alias("url_hash"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = probe.join(bucketed, "url_hash", "left")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly ONE hash-partitioning shuffle: the probe aligning to the
+    # bucket layout; the bucketed pages scan itself is never re-shuffled
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+    # e2e: crawl over the bucketed corpus == goldens
+    robots = spark.read.parquet(os.path.join(crawl_sf0001, "robots.parquet"))
+    seeds = spark.read.parquet(os.path.join(crawl_sf0001, "seeds.parquet"))
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    CrawlRun(spark, cat, bucketed, robots).run(1, seeds)
+    got = [r["url"] for r in cat.read_appended(spark, "results")
+           .filter("round = 1").orderBy("rank").collect()]
+    gold = [json.loads(l)["url"]
+            for l in open(os.path.join(os.path.dirname(__file__),
+                                       "goldens", "crawl_order_round1.jsonl"))]
+    assert got == gold
+    spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")

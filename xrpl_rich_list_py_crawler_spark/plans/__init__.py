@@ -1,3 +1,8 @@
 """End-to-end plans: crawl rounds, analytics job chain, reference simulator."""
 
-from .rounds import CrawlRun, index_pages, seeds_to_frontier  # noqa: F401
+from .rounds import (  # noqa: F401
+    CrawlRun,
+    bucketize_pages,
+    index_pages,
+    seeds_to_frontier,
+)

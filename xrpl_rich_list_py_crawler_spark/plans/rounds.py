@@ -48,11 +48,14 @@ FRONTIER_COLS = [
 def index_pages(pages: DataFrame) -> DataFrame:
     """Key the corpus by canonical-url hash once per run.
 
-    One Arrow-UDF pass + JVM hashing; at 100 TB this is the scan you cache
-    (or better: persist as a bucketed table partitioned by
-    ``pmod(url_hash, B)`` so every round's fetch join is shuffle-free on
-    the pages side).
+    One Arrow-UDF pass + JVM hashing; at 100 TB persist the result as a
+    bucketed table instead (:func:`bucketize_pages`) so every round's
+    fetch join is shuffle-free on the pages side. Already-indexed input
+    (has ``url_hash``) passes through untouched, so a bucketed table can
+    be handed straight to :class:`CrawlRun`.
     """
+    if "url_hash" in pages.columns:
+        return pages
     canon = pages.withColumn("canon_url", canonicalize_url_udf("url"))
     return canon.select(
         F.xxhash64("canon_url").alias("url_hash"),
@@ -60,6 +63,40 @@ def index_pages(pages: DataFrame) -> DataFrame:
         "warc_ts",
         "html",
     )
+
+
+def bucketize_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    table: str = "pages_idx_bucketed",
+    buckets: int = 64,
+    path: str | None = None,
+) -> DataFrame:
+    """One-time corpus preparation for the 10^10-page deployment: write
+    the keyed corpus as a ``url_hash``-bucketed, bucket-sorted table and
+    return it.
+
+    Every subsequent fetch join reads the pages side WITHOUT an exchange
+    (Spark aligns the frontier shuffle to the bucket spec), so per-round
+    cost is one frontier-sized shuffle instead of re-shuffling the 100 TB
+    corpus — the persistent-table alternative to :class:`CrawlRun`'s
+    in-memory ``pages_idx`` cache, which stops fitting once the corpus
+    exceeds cluster memory. Plan shape is pinned in
+    tests/test_plan_quality.py.
+    """
+    w = (
+        index_pages(pages)
+        .write.bucketBy(buckets, "url_hash")
+        .sortBy("url_hash")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        # external table at an explicit location (bucket spec lives in the
+        # session catalog either way — only catalog tables carry it)
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return spark.table(table)
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
@@ -118,8 +155,12 @@ class CrawlRun:
             )
         self.robots_active_only = robots_active_only
         # cache the keyed corpus: every round's fetch join and each commit
-        # action reuses it (cluster deployment: a bucketed table instead)
-        self.pages_idx = index_pages(pages).persist()
+        # action reuses it. Pre-indexed input (a bucketize_pages table) is
+        # NOT cached: its bucket layout already makes the fetch join
+        # pages-side-shuffle-free, and at 100 TB it cannot fit in memory.
+        self.pages_idx = index_pages(pages)
+        if "url_hash" not in pages.columns:
+            self.pages_idx = self.pages_idx.persist()
         # incremental bloom state: rebuilt from the ledger on (re)start,
         # OR-updated with each round's seen increment afterwards
         self._bloom = None
