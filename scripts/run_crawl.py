@@ -50,6 +50,10 @@ def main() -> None:
                     help="fetch over live HTTP (urllib transport) instead "
                          "of the corpus join")
     ap.add_argument("--http-timeout", type=float, default=10.0)
+    ap.add_argument("--bucketize", type=int, metavar="BUCKETS", default=None,
+                    help="prepare the corpus as a url_hash-bucketed table "
+                         "with this many buckets first (shuffle-free fetch "
+                         "join; use when the corpus exceeds cluster memory)")
     args = ap.parse_args()
     if not args.fixtures and not (args.robots and args.seeds):
         ap.error("--pages requires --robots and --seeds")
@@ -88,6 +92,14 @@ def main() -> None:
     pages = spark.read.parquet(pages_p)
     robots = spark.read.parquet(robots_p)
     seeds = spark.read.parquet(seeds_p)
+
+    if args.bucketize:
+        from xrpl_rich_list_py_crawler_spark.plans.rounds import bucketize_pages
+
+        pages = bucketize_pages(
+            spark, pages, buckets=args.bucketize,
+            path=os.path.join(args.catalog, "_pages_bucketed"),
+        )
 
     transport = None
     if args.http:
