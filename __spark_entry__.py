@@ -405,34 +405,34 @@ def _q_p10_json_projection(spark, sf):
 
 
 def _q_summary_latest(spark, sf):
-    rich = _fix(spark, sf, "richlist")
+    rich = _fix_shared(spark, "richlist")
     return _dbl(jobs.rich_list_summary(rich))
 
 
 def _q_summary_series(spark, sf):
-    rich = _fix(spark, sf, "richlist")
+    rich = _fix_shared(spark, "richlist")
     return _dbl(jobs.summary_series(rich))
 
 
 def _q_balance_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     return _dbl(jobs.balance_changes(s))
 
 
 def _q_available_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     return _dbl(jobs.available_changes(s))
 
 
 def _q_category_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     return _dbl(jobs.category_changes(s, c))
 
 
 def _q_country_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     return _dbl(jobs.country_changes(s, c))
 
 
@@ -441,33 +441,33 @@ def _now_of(summary: DataFrame):
 
 
 def _q_category_statistics(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     return _dbl(jobs.category_statistics(s, c, _now_of(s)))
 
 
 def _q_country_statistics(spark, sf):
     """≅ update_country_statistics (function.sql:1002-1032) — the 12th and
     last procedure, previously the only one with no oracle row."""
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     return _dbl(jobs.country_statistics(s, c, _now_of(s)))
 
 
 def _q_available_statistics(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     return _dbl(jobs.available_statistics(s, _now_of(s)))
 
 
 def _q_retention_cleanup(spark, sf):
-    rich = _fix(spark, sf, "richlist")
+    rich = _fix_shared(spark, "richlist")
     now = rich.agg(F.max("snapshot_date")).collect()[0][0]
     kept = jobs.cleanup_old_rich_list_data(rich, now)
     return kept.groupBy("snapshot_date").agg(F.count("*").alias("n"))
 
 
 def _q_significant_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     ch = jobs.balance_changes(s)
     # reference thresholds are (0.1%, 500k XRP) at post-alert.py:110; the
     # fixture's totals are ~1e4-1e5 XRP per label, so scale the amount
@@ -477,7 +477,7 @@ def _q_significant_changes(spark, sf):
 
 
 def _q_summary_with_changes(spark, sf):
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     ch = jobs.balance_changes(s)
     return _dbl(jobs.summary_with_changes(s, ch))
 
@@ -502,7 +502,7 @@ def _q_f4_format_label(spark, sf):
     concat, exercised over the fixture labels with a deterministic desc."""
     from xrpl_rich_list_py_crawler_spark.functions.udfs import format_label_col
 
-    rich = _fix(spark, sf, "richlist")
+    rich = _fix_shared(spark, "richlist")
     labels = rich.select("label").distinct()
     desc = (
         F.when(F.length("label") % 3 == 0, F.lit("svc"))
@@ -524,7 +524,7 @@ def _q_p9_enum_check(spark, sf):
         "Payment Service", "DeFi Protocol", "Trading Service", "NFT/Gaming",
         "Custody/Institution", "Individual", "Other",
     ]
-    cats = _fix(spark, sf, "categories")
+    cats = _fix_shared(spark, "categories")
     return (
         cats.groupBy("category")
         .agg(F.count("*").alias("n"))
@@ -539,7 +539,7 @@ def _q_alert_lines(spark, sf):
         format_alert_lines,
     )
 
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
     ch = jobs.balance_changes(s)
     sig = jobs.get_significant_changes(s, ch, 0.1, 1_000)
     return _dbl(format_alert_lines(sig))
@@ -548,8 +548,8 @@ def _q_alert_lines(spark, sf):
 def _q_category_summary_wide(spark, sf):
     """≅ view xrpl_rich_list_category_summary_with_changes
     (table.sql:392-449): J8 latest-per-key join-back + horizon pivot + id."""
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     ch = jobs.category_changes(s, c)
     return _dbl(jobs.dim_summary_with_changes(ch, "category"))
 
@@ -557,14 +557,14 @@ def _q_category_summary_wide(spark, sf):
 def _q_country_summary_wide(spark, sf):
     """≅ view xrpl_rich_list_country_summary_with_changes
     (table.sql:452-511)."""
-    s = jobs.summary_series(_fix(spark, sf, "richlist"))
-    c = _fix(spark, sf, "categories")
+    s = jobs.summary_series(_fix_shared(spark, "richlist"))
+    c = _fix_shared(spark, "categories")
     ch = jobs.country_changes(s, c)
     return _dbl(jobs.dim_summary_with_changes(ch, "country"))
 
 
 def _q_f5_canonical_label(spark, sf):
-    rich = _fix(spark, sf, "richlist")
+    rich = _fix_shared(spark, "richlist")
     return (
         rich.select("label")
         .distinct()
@@ -614,7 +614,7 @@ def _q_url_canonicalization(spark, sf):
 
 def _q_politeness_assignment(spark, sf):
     seeds = seeds_to_frontier(_fix(spark, sf, "seeds"))
-    robots = _fix(spark, sf, "robots")
+    robots = _fix_shared(spark, "robots")
     gated = pol.apply_robots(seeds, robots)
     allowed = gated.filter(~F.col("robots_denied"))
     # oracle-friendly total order: url as the intra-host tiebreak
@@ -632,7 +632,7 @@ def _q_politeness_assignment(spark, sf):
 
 def _q_robots_denied(spark, sf):
     seeds = seeds_to_frontier(_fix(spark, sf, "seeds"))
-    robots = _fix(spark, sf, "robots")
+    robots = _fix_shared(spark, "robots")
     return pol.apply_robots(seeds, robots).filter(F.col("robots_denied")).select("url")
 
 
@@ -852,7 +852,7 @@ def _q_f11_interval_shift(spark, sf):
 def _q_w2_summary_view_id(spark, sf):
     """W2 (table.sql:446-449): ROW_NUMBER() OVER (ORDER BY total_xrp DESC)
     as a synthetic view id."""
-    s_ = jobs.rich_list_summary(_fix(spark, sf, "richlist"))
+    s_ = jobs.rich_list_summary(_fix_shared(spark, "richlist"))
     w = Window.orderBy(F.col("total_xrp").desc(), F.col("grouped_label").asc())
     return s_.select(
         "grouped_label", F.col("total_xrp").cast("double").alias("total_xrp")

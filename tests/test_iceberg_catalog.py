@@ -86,3 +86,22 @@ def test_interface_parity_with_emulation():
     for name in surface:
         assert hasattr(SnapshotCatalog, name), name
         assert hasattr(IcebergSnapshotCatalog, name), name
+
+
+def test_commit_round_retry_is_idempotent(spark, ice):
+    """Crash-retry of a round (orphan appends, then a full re-commit) must
+    not double the round: table partitions overwrite and the marker
+    dedups."""
+    ice.commit_round(0, {"seen": spark.createDataFrame(
+        [(9, 0)], "url_hash long, round int")})
+    df = spark.createDataFrame([(1, 1), (2, 1)], "url_hash long, round int")
+    # simulate a half-committed first attempt: data landed, no marker
+    df.withColumn("_round", F.lit(1)).writeTo(ice._qual("seen")).append()
+    assert ice.read_appended(spark, "seen").count() == 1  # orphans invisible
+    # the retry commits the same round in full
+    ice.commit_round(1, {"seen": df})
+    assert ice.read_appended(spark, "seen").count() == 3
+    # a second full re-commit (e.g. replayed orchestration) stays exact
+    ice.commit_round(1, {"seen": df})
+    assert ice.read_appended(spark, "seen").count() == 3
+    assert ice.committed_rounds() == [0, 1]

@@ -14,6 +14,15 @@ Scale design:
 * SimHash: 64-bit signature, near-dups = identical signature or small
   Hamming distance within blocks.
 * embedding cosine: see operators/similarity.py.
+
+Cache policy: operators persist() small internally-reused frames
+(signatures, band/chunk buckets, candidate pairs, gram sets) so
+multi-reference plans don't replay the Arrow passes. These handles are
+intentionally NOT unpersisted before return — the returned DataFrame
+still reads them lazily. They are candidate-set-sized (KBs-MBs per call
+at fixture scale, ≪ corpus), MEMORY_AND_DISK, and LRU-evicted under
+pressure; a long-lived session running many dedup calls can reclaim
+eagerly with ``spark.catalog.clearCache()`` between batches.
 """
 
 from __future__ import annotations
@@ -101,6 +110,45 @@ def minhash_signatures_udf(n_hashes: int = 64, shingle_k: int = 9):
     return _sig
 
 
+def salt_split_oversize(
+    df: DataFrame,
+    group_keys: list[str],
+    salt_of,
+    cap: int,
+    label: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared bucket-cap mechanic: split groups of ``df`` larger than
+    ``cap`` into ⌈n/cap⌉ deterministic salt sub-groups.
+
+    ``salt_of`` maps the _nsplit Column to the salt Column (callers choose
+    the hash inputs, e.g. ``xxhash64(band, id) % nsplit``). Returns the
+    salted frame plus the join-key list (``group_keys`` + ``_salt`` when
+    any split happened is always appended — a no-split run still carries
+    ``_salt = 0`` so plans stay uniform). The affected mass is logged,
+    never silently dropped. One definition for all three capped operators
+    (minhash / simhash / embedding blocks) so the cap math cannot drift.
+    """
+    sizes = df.groupBy(*group_keys).agg(F.count("*").alias("_n"))
+    split = sizes.withColumn(
+        "_nsplit",
+        F.when(
+            F.col("_n") > cap, F.ceil(F.col("_n") / cap).cast("int")
+        ).otherwise(F.lit(1)),
+    )
+    over = split.filter(F.col("_nsplit") > 1).agg(
+        F.count("*").alias("groups"), F.sum("_n").alias("rows")
+    ).collect()[0]
+    if over["groups"]:
+        _log.info(
+            "%s cap: salt-split %d oversize groups (%d rows) at cap=%d",
+            label, over["groups"], over["rows"], cap,
+        )
+    salted = df.join(
+        split.select(*group_keys, "_nsplit"), group_keys
+    ).withColumn("_salt", salt_of(F.col("_nsplit"))).drop("_nsplit")
+    return salted, [*group_keys, "_salt"]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -180,38 +228,21 @@ def minhash_lsh_candidates(
         id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
     ).persist()
 
-    join_keys = [("band", "band"), ("bucket", "bucket")]
+    keys = ["band", "bucket"]
     if max_bucket_size is not None:
-        # stage 2: salt-split residual oversize buckets
-        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-        split = sizes.withColumn(
-            "_nsplit",
-            F.when(
-                F.col("_n") > max_bucket_size,
-                F.ceil(F.col("_n") / max_bucket_size).cast("int"),
-            ).otherwise(F.lit(1)),
+        # stage 2: salt-split residual oversize buckets (per-band salts:
+        # a pair split apart in one band can still survive via another)
+        buckets, keys = salt_split_oversize(
+            buckets, keys,
+            lambda n: F.pmod(F.xxhash64(F.col("band"), F.col(id_col)), n),
+            max_bucket_size, "minhash LSH",
         )
-        over = split.filter(F.col("_nsplit") > 1).agg(
-            F.count("*").alias("buckets"), F.sum("_n").alias("rows")
-        ).collect()[0]
-        if over["buckets"]:
-            _log.info(
-                "minhash LSH cap: salt-split %d oversize buckets "
-                "(%d rows) at cap=%d",
-                over["buckets"], over["rows"], max_bucket_size,
-            )
-        buckets = buckets.join(split.select("band", "bucket", "_nsplit"),
-                               ["band", "bucket"]).withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("band"), F.col(id_col)), F.col("_nsplit")),
-        )
-        join_keys.append(("_salt", "_salt"))
 
     a = buckets.alias("a")
     b = buckets.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for ka, kb in join_keys:
-        cond = cond & (F.col(f"a.{ka}") == F.col(f"b.{kb}"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     pairs = (
         a.join(b, cond)
         .select(
@@ -356,36 +387,18 @@ def simhash_near_dups(
         id_col, "sim", F.col("pos").alias("chunk"), F.col("col").alias("key")
     ).persist()
 
-    join_keys = [("chunk", "chunk"), ("key", "key")]
+    keys = ["chunk", "key"]
     if max_bucket_size is not None:
-        sizes = chunks.groupBy("chunk", "key").agg(F.count("*").alias("_n"))
-        split = sizes.withColumn(
-            "_nsplit",
-            F.when(
-                F.col("_n") > max_bucket_size,
-                F.ceil(F.col("_n") / max_bucket_size).cast("int"),
-            ).otherwise(F.lit(1)),
+        chunks, keys = salt_split_oversize(
+            chunks, keys,
+            lambda n: F.pmod(F.xxhash64(F.col("chunk"), F.col(id_col)), n),
+            max_bucket_size, "simhash",
         )
-        over = split.filter(F.col("_nsplit") > 1).agg(
-            F.count("*").alias("buckets"), F.sum("_n").alias("rows")
-        ).collect()[0]
-        if over["buckets"]:
-            _log.info(
-                "simhash cap: salt-split %d oversize blocks (%d rows) "
-                "at cap=%d",
-                over["buckets"], over["rows"], max_bucket_size,
-            )
-        chunks = chunks.join(split.select("chunk", "key", "_nsplit"),
-                             ["chunk", "key"]).withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("chunk"), F.col(id_col)), F.col("_nsplit")),
-        )
-        join_keys.append(("_salt", "_salt"))
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for ka, kb in join_keys:
-        cond = cond & (F.col(f"a.{ka}") == F.col(f"b.{kb}"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     pairs = (
         a.join(b, cond)
         .select(
@@ -642,6 +655,7 @@ def connected_components(
     labels = ids.select(
         F.col(id_col).alias("src"), F.col(id_col).alias("comp")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         # neighbor-min: for each node, the min label among neighbors
         neigh = (
@@ -668,7 +682,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would emit WRONG labels (multiple comp
+        # ids inside one true component ⇒ keep-one dedup keeps dups) —
+        # fail loudly instead; long near-dup drift chains need a larger
+        # max_iters (propagation advances one hop per round)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"iterations — the pair graph has diameter > {max_iters}; "
+            "raise max_iters"
+        )
     return labels.select(
         F.col("src").alias(id_col),
         "comp",

@@ -246,42 +246,28 @@ def cosine_near_dup_pairs(
     size the cap well above the expected true-duplicate cluster size.
     """
     blk = [F.col(block_col).alias("_blk")] if block_col else []
-    left = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), *blk
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *blk
     )
-    right = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), *blk
-    )
-    cond = F.col("id_a") < F.col("id_b")
     on = ["_blk"] if block_col else []
     if block_col and max_block_size is not None:
-        import logging
+        from .dedup import salt_split_oversize
 
-        sizes = left.groupBy("_blk").agg(F.count("*").alias("_n"))
-        split = sizes.withColumn(
-            "_nsplit",
-            F.when(
-                F.col("_n") > max_block_size,
-                F.ceil(F.col("_n") / max_block_size).cast("int"),
-            ).otherwise(F.lit(1)),
+        # persist: the size agg + both join sides reference this frame —
+        # same replay-avoidance as the dedup bucket frames
+        base = base.persist()
+        base, on = salt_split_oversize(
+            base, ["_blk"],
+            lambda n: F.pmod(F.xxhash64(F.col("_id")), n),
+            max_block_size, "cosine near-dup",
         )
-        over = split.filter(F.col("_nsplit") > 1).agg(
-            F.count("*").alias("blocks"), F.sum("_n").alias("rows")
-        ).collect()[0]
-        if over["blocks"]:
-            logging.getLogger(__name__).info(
-                "cosine near-dup cap: salt-split %d oversize blocks "
-                "(%d rows) at cap=%d",
-                over["blocks"], over["rows"], max_block_size,
-            )
-        nsplit = split.select("_blk", "_nsplit")
-        left = left.join(nsplit, "_blk").withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("id_a")), F.col("_nsplit"))
-        ).drop("_nsplit")
-        right = right.join(nsplit, "_blk").withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("id_b")), F.col("_nsplit"))
-        ).drop("_nsplit")
-        on = ["_blk", "_salt"]
+    left = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), *on
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), *on
+    )
+    cond = F.col("id_a") < F.col("id_b")
     joined = left.join(right, on=on) if on else left.crossJoin(right)
     return (
         joined.filter(cond)

@@ -453,9 +453,20 @@ def get_significant_changes(
 def analyze_tables(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
     """≅ ``analyze_rich_list_tables``: refresh planner statistics. For
     catalog tables this is ``ANALYZE TABLE … COMPUTE STATISTICS``; for
-    in-flight DataFrames we emit the row-count stats a CBO would use."""
-    rows = [(name, df.count()) for name, df in tables.items()]
-    return spark.createDataFrame(rows, "table string, rows long")
+    in-flight DataFrames we emit the row-count stats a CBO would use.
+
+    Returns ONE lazy union plan (a single Spark job when materialized),
+    not len(tables) eager ``count()`` jobs — an eager loop re-executed
+    every table's full derivation chain per count (r3 review finding)."""
+    from functools import reduce
+
+    parts = [
+        df.groupBy().agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(name).alias("table"), "rows"
+        )
+        for name, df in tables.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def validate_category_enum(categories: DataFrame, enum: list[str]) -> int:

@@ -61,7 +61,10 @@ def refresh_analytics(
     if n_bad:
         raise ValueError(f"{n_bad} categories outside the CHECK enum "
                          f"(table.sql:84-97)")
-    summary = step("summary", lambda: jobs.summary_series(richlist))
+    # persisted: all eight downstream jobs (and the final ANALYZE) derive
+    # from this one series — without a barrier each materialization would
+    # recompute the label-canonicalized aggregation from the raw rows
+    summary = step("summary", lambda: jobs.summary_series(richlist).persist())
     if now is None:
         from pyspark.sql import functions as F
 

@@ -108,8 +108,17 @@ class IcebergSnapshotCatalog:
     # -- commit ------------------------------------------------------------
 
     def commit_round(self, round_n: int, tables: dict[str, DataFrame]) -> None:
-        """Append every table's round increment, then append the round
-        marker LAST (the commit point — see module docstring)."""
+        """Write every table's round increment, then append the round
+        marker LAST (the commit point — see module docstring).
+
+        Idempotent under crash-retry like the Parquet twin: each table's
+        round PARTITION is overwritten, not appended, so a retry of a
+        round whose earlier attempt died mid-way (orphan rows, no marker)
+        replaces the orphans instead of doubling the round once the
+        marker finally lands. ``overwritePartitions`` on a
+        ``_round``-partitioned table rewrites exactly this round's
+        partition under snapshot isolation.
+        """
         for name, df in tables.items():
             stamped = df.withColumn(ROUND_COL, F.lit(round_n))
             qual = self._qual(name)
@@ -118,8 +127,14 @@ class IcebergSnapshotCatalog:
                 # partition; expiry drops whole partitions
                 stamped.writeTo(qual).partitionedBy(ROUND_COL).create()
             else:
-                stamped.writeTo(qual).append()
+                stamped.writeTo(qual).overwritePartitions()
         marker = self.spark.createDataFrame([(round_n,)], "round int")
+        # marker dedup on retry: a prior successful commit of this round
+        # (marker present) must not double it either
+        self.spark.sql(
+            f"DELETE FROM {self._qual(self._ROUNDS_TABLE)} "
+            f"WHERE round = {round_n}"
+        )
         marker.writeTo(self._qual(self._ROUNDS_TABLE)).append()
 
     # -- read --------------------------------------------------------------
