@@ -706,6 +706,26 @@ def _q_token_counts_by_lang(spark, sf):
     )
 
 
+def _q_bpe_token_counts(spark, sf):
+    """BPE-ish pre-tokenization unit counts per doc + per-lang rollup
+    (operators/textstats.py:bpe_token_count_col): the token-budgeting
+    counter a training pipeline runs next to the whitespace proxy. The
+    alternation regex is Java-regex/RE2-portable, so DuckDB's
+    regexp_extract_all reproduces counts exactly."""
+    d = _t(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        ts.bpe_token_count_col(F.col("text")).alias("n_bpe"),
+        ts.token_count_col(F.col("text")).alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("bpe_per_ws"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def _q_doc_fingerprints(spark, sf):
     d = _t(spark, sf, "documents")
     return ts.fingerprint(d).select("doc_id", "md5", "tokenset_md5")
@@ -1025,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_format_label": _q_f4_format_label,
         "p9_enum_check": _q_p9_enum_check,
         "f5_canonical_label": _q_f5_canonical_label,
+        "bpe_token_counts": _q_bpe_token_counts,  # NEW in r3 (tail; r4 rotates in)
     }
 
 
@@ -1636,6 +1657,24 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS total_tokens,
                 COUNT(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "bpe_token_counts": r"""
+            WITH per_doc AS (
+                SELECT lang,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                    CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END AS n_ws
+                FROM documents
+            )
+            SELECT lang,
+                CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+                ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6)
+                    AS bpe_per_ws,
+                COUNT(*) AS n_docs
+            FROM per_doc GROUP BY 1
         """,
         "doc_fingerprints": r"""
             SELECT doc_id, md5(text) AS md5,

@@ -456,3 +456,27 @@ def test_simhash_blocking_recall_at_high_hamming(spark):
            for r in dd.simhash_near_dups(docs, max_hamming=16).collect()}
     assert got == want
     assert want  # fixture must actually produce close pairs
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The portable BPE-ish unit counter == Python re on edge cases
+    (contractions, numbers, CJK-per-char, empty, punct runs)."""
+    import re
+
+    cases = [
+        "hello world",                       # 2
+        "don't stop",                        # don + ' + t + stop = 4
+        "a1b2",                              # a 1 b 2 = 4
+        "price: $1,234.56!",                 # price : $ 1 , 234 . 56 ! = 9
+        "",                                  # 0
+        "   ",                               # 0
+        "日本語テキスト",                      # 1 per char = 7
+        "e.g. etc...",                       # e . g . etc . . . = 9
+    ]
+    pat = re.compile(ts.BPE_UNIT)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", ts.bpe_token_count_col(F.col("text")).alias("n")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == len(pat.findall(c)), (c, got[i], len(pat.findall(c)))

@@ -20,9 +20,24 @@ _STOPWORDS_EN = (
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count (BPE-ish pre-tokenization count proxy)."""
+    """Whitespace token count (the cheap proxy)."""
     t = F.trim(text)
     return F.when(t == "", 0).otherwise(F.size(F.split(t, WS)))
+
+
+#: BPE-ish pre-tokenization: letter runs | digit runs | single
+#: non-alnum-non-space char. The GPT-2 pre-tokenizer's lookaheads aren't
+#: RE2-portable; this alternation is interpreted identically by Java regex
+#: (Spark codegen) and RE2 (DuckDB), and mirrors its unit boundaries:
+#: words, numbers, punctuation marks — and one unit per CJK ideograph,
+#: which is the right order-of-magnitude for BPE token budgeting.
+BPE_UNIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization unit count (``regexp_count``, codegen'd;
+    DuckDB twin: ``len(regexp_extract_all(text, pattern))``)."""
+    return F.regexp_count(text, F.lit(BPE_UNIT))
 
 
 def char_count_col(text: Column) -> Column:
