@@ -480,3 +480,24 @@ def test_bpe_token_count_matches_python_re(spark):
         "doc_id", ts.bpe_token_count_col(F.col("text")).alias("n")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == len(pat.findall(c)), (c, got[i], len(pat.findall(c)))
+
+
+def test_salt_split_oversize_invariants(spark):
+    """The shared cap helper must preserve the row multiset exactly (it
+    only ADDS a salt column), salt within [0, ceil(n/cap)), and salt==0
+    everywhere for groups at/below the cap."""
+    rows = [(g, i) for g in range(4) for i in range({0: 25, 1: 10, 2: 3, 3: 1}[g])]
+    df = spark.createDataFrame(rows, "grp int, item long")
+    salted, keys = dd.salt_split_oversize(
+        df, ["grp"], lambda n: F.pmod(F.xxhash64(F.col("item")), n),
+        cap=10, label="test",
+    )
+    assert keys == ["grp", "_salt"]
+    got = salted.collect()
+    assert sorted((r["grp"], r["item"]) for r in got) == sorted(rows)
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], set()).add(r["_salt"])
+    assert by_grp[0] <= {0, 1, 2} and len(by_grp[0]) > 1   # 25/10 -> 3 salts
+    assert by_grp[1] == {0}                                # at cap: no split
+    assert by_grp[2] == {0} and by_grp[3] == {0}
