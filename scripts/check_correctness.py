@@ -53,7 +53,17 @@ def _rowset(cols, rows):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    # accept space- and/or comma-separated names; tolerate an --only flag.
+    # A selection that matches NO registered query is an error, not a
+    # vacuous "FAILURES: 0" (that silent no-op masked six targeted checks
+    # in round 3 before the full runs caught up).
+    only = {
+        n
+        for a in sys.argv[1:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
     from pyspark.sql import SparkSession
 
     spark = (
@@ -77,6 +87,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL selection: unknown query names {sorted(unknown)}")
+            return 1
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
