@@ -920,6 +920,23 @@ def _q_corpus_curation(spark, sf):
     return curate_corpus(_t(spark, sf, "documents"))
 
 
+def _q_corpus_curation_capped(spark, sf):
+    """The SAME curation pass with the 100 TB bucket cap ON
+    (``max_bucket_size=2``): identical-signature star-collapse + per-band
+    salt-split of residual oversize LSH buckets
+    (operators/dedup.py:minhash_lsh_candidates stages 1-2). At sf0.01
+    BOTH stages measurably engage (8 identical-sig groups collapse; the
+    post-collapse bucket of 3 salt-splits). The oracle is the EXACT
+    all-pairs SQL — a green row proves the capped candidate plan loses no
+    verified near-dup flag at this scale, i.e. the cap machinery itself
+    (not just the uncapped path) is semantics-preserving on real data."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    return curate_corpus(_t(spark, sf, "documents"), max_bucket_size=2)
+
+
 def _q_media_plumbing(spark, sf):
     d = _t(spark, sf, "documents")
     media = d.select(
@@ -967,15 +984,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
     dict entries per round, so entries are rotated round-over-round to get
-    every query a hard driver row. Round 3 promotes the 13 entries that
-    were unsampled in r02 (the ANN/curation/multimodal tail) to the front
-    and demotes 14 to the tail: 13 long-stable entries green in BOTH r01
-    and r02, plus simhash_neardups (r02-green) to make room for the new
-    neardup_components at head slot 50. Rotate again next round to
-    re-confirm the demoted set.
+    every query a hard driver row. Round 4 head-slots the 15-entry r03
+    tail (bpe_token_counts FIRST — the only registered query with no
+    CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
+    and the new capped-curation query. To make room, 16 r03-green entries
+    are demoted: the 15-query function.sql chain (each green in BOTH r01
+    and r03, the most-reverified block in the registry) and
+    w2_summary_view_id (r03-green trivial window op). Lifetime coverage
+    after an r04 green run: 66/66.
     """
     return {
-        # --- r02-unsampled tail, promoted for hard driver verification ---
+        # --- r03 tail, promoted for hard driver verification ---
+        "bpe_token_counts": _q_bpe_token_counts,  # never verified pre-r04
+        "simhash_neardups": _q_simhash_neardups,
+        "j2_customers_without_orders": _q_j2_customers_without_orders,
+        "w3_latest_event_per_user": _q_w3_latest_event_per_user,
+        "w4_percent_of_total": _q_w4_percent_of_total,
+        "p6_time_range": _q_p6_time_range,
+        "j6_banded_asof": _q_j6_banded_asof,
+        "o5_unpivot": _q_o5_unpivot,
+        "o3_top5_orders": _q_o3_top5_orders,
+        "a5_max_per_group": _q_a5_max_per_group,
+        "a8_distinct": _q_a8_distinct,
+        "f3_drops_to_xrp": _q_f3_drops_to_xrp,
+        "f4_format_label": _q_f4_format_label,
+        "p9_enum_check": _q_p9_enum_check,
+        "f5_canonical_label": _q_f5_canonical_label,
+        # --- NEW in r4: the capped LSH plan (star-collapse + salt-split)
+        #     must reproduce the exact-path oracle, not just the exact plan
+        "corpus_curation_capped": _q_corpus_curation_capped,
+        # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
@@ -987,7 +1025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "f1_parse_amounts": _q_f1_parse_amounts,
         "f11_interval_shift": _q_f11_interval_shift,
-        "w2_summary_view_id": _q_w2_summary_view_id,
         "token_jaccard_pairs": _q_token_jaccard_pairs,
         # --- scans/filters/joins/aggs/windows over the standard tables ---
         "a2_lineitem_agg": _q_a2_lineitem_agg,
@@ -1000,7 +1037,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_hourly_tumbling": _q_f10_hourly_tumbling,
         "t5_lag_change": _q_t5_lag_change,
         "p10_json_projection": _q_p10_json_projection,
-        # --- the function.sql job chain over the richlist fixture ---
+        # --- crawl engine ---
+        "crawl_round1": _q_crawl_round1,
+        "crawl_seen_after3": _q_crawl_seen_after3,
+        "trustline_rich_list": _q_trustline_rich_list,
+        "url_canonicalization": _q_url_canonicalization,
+        "politeness_assignment": _q_politeness_assignment,
+        "robots_denied": _q_robots_denied,
+        # --- training-data ops ---
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "token_counts_by_lang": _q_token_counts_by_lang,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "minhash_neardups": _q_minhash_neardups,
+        "neardup_components": _q_neardup_components,
+        # --- demoted tail (16): function.sql chain green in r01 AND r03;
+        #     w2 green in r03 — all carry multiple lifetime green rows ---
+        "w2_summary_view_id": _q_w2_summary_view_id,
         "summary_latest": _q_summary_latest,
         "summary_series": _q_summary_series,
         "balance_changes": _q_balance_changes,
@@ -1016,36 +1069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_summary_wide": _q_category_summary_wide,
         "country_summary_wide": _q_country_summary_wide,
         "alert_lines": _q_alert_lines,
-        # --- crawl engine ---
-        "crawl_round1": _q_crawl_round1,
-        "crawl_seen_after3": _q_crawl_seen_after3,
-        "trustline_rich_list": _q_trustline_rich_list,
-        "url_canonicalization": _q_url_canonicalization,
-        "politeness_assignment": _q_politeness_assignment,
-        "robots_denied": _q_robots_denied,
-        # --- training-data ops ---
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "token_counts_by_lang": _q_token_counts_by_lang,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "minhash_neardups": _q_minhash_neardups,
-        "neardup_components": _q_neardup_components,  # NEW in r3: head slot
-        # --- demoted tail: green in r01+r02 driver runs (simhash r02) ---
-        "simhash_neardups": _q_simhash_neardups,
-        "j2_customers_without_orders": _q_j2_customers_without_orders,
-        "w3_latest_event_per_user": _q_w3_latest_event_per_user,
-        "w4_percent_of_total": _q_w4_percent_of_total,
-        "p6_time_range": _q_p6_time_range,
-        "j6_banded_asof": _q_j6_banded_asof,
-        "o5_unpivot": _q_o5_unpivot,
-        "o3_top5_orders": _q_o3_top5_orders,
-        "a5_max_per_group": _q_a5_max_per_group,
-        "a8_distinct": _q_a8_distinct,
-        "f3_drops_to_xrp": _q_f3_drops_to_xrp,
-        "f4_format_label": _q_f4_format_label,
-        "p9_enum_check": _q_p9_enum_check,
-        "f5_canonical_label": _q_f5_canonical_label,
-        "bpe_token_counts": _q_bpe_token_counts,  # NEW in r3 (tail; r4 rotates in)
     }
 
 
@@ -1277,7 +1300,7 @@ _IVF_CENTROIDS = sim.ivf_centroids(64, 16)
 
 def oracle_sql() -> dict[str, str]:
     ev = "events"
-    return {
+    out = {
         "a2_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
@@ -1662,7 +1685,7 @@ def oracle_sql() -> dict[str, str]:
             WITH per_doc AS (
                 SELECT lang,
                     len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS n_bpe,
                     CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                     END AS n_ws
@@ -1924,3 +1947,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
     }
+    # the capped plan must reproduce the EXACT all-pairs answer — same
+    # oracle as the uncapped pass, so any recall loss from star-collapse
+    # or salt-split fails the hash gate loudly
+    out["corpus_curation_capped"] = out["corpus_curation"]
+    return out

@@ -19,6 +19,7 @@ from xrpl_rich_list_py_crawler_spark.sources.http_fetch import (
     corpus_transport,
     http_fetch,
     urllib_transport,
+    with_retries,
 )
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
@@ -109,3 +110,65 @@ def test_urllib_transport_error_path():
     t = urllib_transport(timeout_s=1.0)
     status, body, ts = t("http://127.0.0.1:1/")
     assert status == 599 and body is None and ts is None
+
+
+def test_http_fetch_does_not_mutate_input_schema(spark):
+    """PySpark caches df.schema and StructType.add appends IN PLACE — the
+    output schema must be built on a copy, or the caller's frame falsely
+    grows _page_ts/html/fetch_ok columns (ADVICE r03)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "a.example", dt.datetime(2026, 1, 1))],
+        "url string, host string, discovery_ts timestamp",
+    )
+    cols_before = list(df.columns)
+    http_fetch(df, lambda url: (200, b"ok", None)).collect()
+    assert list(df.columns) == cols_before
+    assert [f.name for f in df.schema.fields] == cols_before
+
+
+def test_http_fetch_custom_ts_col_and_missing_col_error(spark):
+    """ts_col is parameterized (no hardcoded discovery_ts), and a missing
+    required column fails fast with a clear error, not an executor-side
+    AttributeError."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "a.example", dt.datetime(2026, 2, 2))],
+        "url string, host string, seen_at timestamp",
+    )
+    out = http_fetch(df, lambda url: (200, b"ok", None), ts_col="seen_at").collect()
+    assert out[0]["_page_ts"] == dt.datetime(2026, 2, 2)
+    with pytest.raises(ValueError, match="discovery_ts"):
+        http_fetch(df, lambda url: (200, b"ok", None))
+
+
+def test_with_retries_ladder():
+    """≅ loader.py:30-54: up to 3 attempts, linear 5s·attempt backoff.
+    Transient-then-success recovers; non-retryable 404 returns at once;
+    a persistent failure stops after max_retries attempts."""
+    calls, sleeps = [], []
+
+    def flaky(url):
+        calls.append(url)
+        return (503, None, None) if len(calls) < 3 else (200, b"ok", None)
+
+    t = with_retries(flaky, max_retries=3, backoff_s=5.0, sleep=sleeps.append)
+    assert t("u") == (200, b"ok", None)
+    assert len(calls) == 3
+    assert sleeps == [5.0, 10.0]  # linear ladder: 5s*1, 5s*2
+
+    calls.clear()
+    t404 = with_retries(
+        lambda u: (calls.append(u), (404, None, None))[1],
+        max_retries=3, sleep=sleeps.append,
+    )
+    assert t404("u")[0] == 404 and len(calls) == 1  # no retry on hard 404
+
+    calls.clear()
+    tdead = with_retries(
+        lambda u: (calls.append(u), (599, None, None))[1],
+        max_retries=3, sleep=lambda s: None,
+    )
+    assert tdead("u")[0] == 599 and len(calls) == 3  # gives up after ladder

@@ -144,3 +144,11 @@ def test_refresh_chain_analyze_runs_last(spark, rich, cats):
     }
     assert stats["summary"] == res.summary.count()
     assert all(n >= 0 for n in stats.values())
+
+
+def test_analyze_tables_empty_dict(spark):
+    """ADVICE r03: an empty tables dict must return an empty stats frame,
+    not raise TypeError from an initializer-less reduce."""
+    out = jobs.analyze_tables(spark, {})
+    assert out.columns == ["table", "rows"]
+    assert out.count() == 0

@@ -67,21 +67,38 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
+#: shingle positions per chunk — bounds the (chunk × k) gram matrix here
+#: and the (n_hashes × chunk) hash matrix in the minhash UDF to a few MB
+#: each, regardless of document length. Without this, a 10 MB page at k=9
+#: allocated ~90 MB of uint64 gram intermediates and ~5 GB of minhash
+#: intermediates per doc (r03 verdict finding) — an executor OOM on real
+#: web pages. Chunking is windowed evaluation of the same expression, so
+#: signatures are byte-identical to the unchunked math.
+_SHINGLE_CHUNK = 1 << 16
+
+
+def _shingle_chunks(text: str, k: int):
+    """Yield the doc's byte-k-gram hashes in bounded-size uint64 chunks."""
     b = text.encode("utf-8")
     if len(b) < k:
         # deterministic short-text hash: builtin hash() is PYTHONHASHSEED-
         # salted and would make signatures vary across workers/runs
-        return np.array(
+        yield np.array(
             [int.from_bytes(b.ljust(8, b"\0")[:8], "little")], dtype=np.uint64
         )
-    # rolling byte k-grams hashed via numpy view tricks
+        return
+    # rolling byte k-grams hashed via numpy view tricks (mod-2^64 poly)
     arr = np.frombuffer(b, dtype=np.uint8)
     n = len(arr) - k + 1
-    idx = np.arange(k)[None, :] + np.arange(n)[:, None]
-    grams = arr[idx]
     weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64))[::-1]
-    return (grams.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    for start in range(0, n, _SHINGLE_CHUNK):
+        stop = min(start + _SHINGLE_CHUNK, n)
+        idx = np.arange(k)[None, :] + np.arange(start, stop)[:, None]
+        yield (arr[idx].astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    return np.concatenate(list(_shingle_chunks(text, k)))
 
 
 def minhash_signatures_udf(n_hashes: int = 64, shingle_k: int = 9):
@@ -97,14 +114,22 @@ def minhash_signatures_udf(n_hashes: int = 64, shingle_k: int = 9):
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
+        P = np.uint64(_MERSENNE)
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            sh = _shingles(t, shingle_k) % np.uint64(_MERSENNE)
-            # (n_hashes, n_shingles) — vectorized over both axes
-            hv = (A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_MERSENNE)
-            out.append(hv.min(axis=1).astype(np.int64).tolist())
+            # streaming min over bounded shingle chunks: the (n_hashes ×
+            # chunk) matrix stays a few MB however long the doc is, and
+            # min-of-chunk-mins == min over all shingles (same op order,
+            # byte-identical signatures)
+            mins = None
+            for chunk in _shingle_chunks(t, shingle_k):
+                sh = chunk % P
+                hv = (A[:, None] * sh[None, :] + B[:, None]) % P
+                cm = hv.min(axis=1)
+                mins = cm if mins is None else np.minimum(mins, cm)
+            out.append(mins.astype(np.int64).tolist())
         return pd.Series(out)
 
     return _sig
@@ -196,9 +221,13 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         # stage 1: collapse identical full signatures → star pairs + reps.
         # persisted: referenced three times (reps agg, star pairs, rep
-        # filter) — one signature pass instead of three
+        # filter) — one signature pass instead of three. Key = the FULL
+        # signature rendered to string (collision-free: distinct sig
+        # arrays render distinctly), NOT a 64-bit hash of it — at 10^9+
+        # docs birthday collisions on 64 bits would silently merge
+        # unrelated docs and drop their non-reps from banding.
         keyed = with_sig.withColumn(
-            "_sigkey", F.xxhash64(F.col("sig").cast("array<string>").cast("string"))
+            "_sigkey", F.col("sig").cast("array<string>").cast("string")
         ).persist()
         reps = keyed.groupBy("_sigkey").agg(F.min(id_col).alias("_rep"))
         star_pairs = (
@@ -292,15 +321,20 @@ def simhash_udf(n_bits: int = 64, shingle_k: int = 6):
     @F.pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
         out = []
+        shift = np.arange(n_bits, dtype=np.uint64)[None, :]
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            sh = np.unique(_shingles(t, shingle_k), return_counts=True)
-            hashes, counts = sh
-            bits = ((hashes[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+            # TF-weighted bit votes accumulate per chunk: Σ over shingle
+            # INSTANCES of (2·bit − 1) is chunk-decomposable, so chunked
+            # unique+counts gives votes identical to a global unique while
+            # the (unique × 64) bit matrix stays bounded on huge docs
+            votes = np.zeros(n_bits, dtype=np.int64)
+            for chunk in _shingle_chunks(t, shingle_k):
+                hashes, counts = np.unique(chunk, return_counts=True)
+                bits = ((hashes[:, None] >> shift) & np.uint64(1)).astype(np.int64)
+                votes += ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
             v = np.uint64(0)
             for i in range(n_bits):
                 if votes[i] > 0:

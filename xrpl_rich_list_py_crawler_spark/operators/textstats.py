@@ -31,7 +31,10 @@ def token_count_col(text: Column) -> Column:
 #: (Spark codegen) and RE2 (DuckDB), and mirrors its unit boundaries:
 #: words, numbers, punctuation marks — and one unit per CJK ideograph,
 #: which is the right order-of-magnitude for BPE token budgeting.
-BPE_UNIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Whitespace is spelled as an explicit class, NOT ``\s``: Java's ``\s``
+#: includes U+000B (vertical tab) while RE2/DuckDB's does not, which
+#: would skew the oracle by one unit per VT character.
+BPE_UNIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 
 def bpe_token_count_col(text: Column) -> Column:

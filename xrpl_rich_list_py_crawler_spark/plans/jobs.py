@@ -460,6 +460,8 @@ def analyze_tables(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFra
     every table's full derivation chain per count (r3 review finding)."""
     from functools import reduce
 
+    if not tables:
+        return spark.createDataFrame([], "table string, rows long")
     parts = [
         df.groupBy().agg(F.count(F.lit(1)).alias("rows")).select(
             F.lit(name).alias("table"), "rows"

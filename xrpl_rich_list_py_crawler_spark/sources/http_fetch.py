@@ -40,6 +40,38 @@ from pyspark.sql import functions as F
 #: page_timestamp_or_None). status >= 400 or body None => fetch failed.
 Transport = Callable[[str], Tuple[int, Optional[bytes], Optional[object]]]
 
+#: HTTP statuses worth retrying within a round (reference loader.py:30-54
+#: retries any failure; we narrow to transient classes — a 404 will not
+#: become a 200 five seconds later, but a 503/599 might).
+_RETRYABLE = frozenset({429, 500, 502, 503, 504, 599})
+
+
+def with_retries(
+    transport: Transport,
+    max_retries: int = 3,
+    backoff_s: float = 5.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Transport:
+    """Wrap a transport with the reference's within-round retry ladder.
+
+    ``loader.py:30-54`` attempts each URL up to 3 times with a linear
+    ``5s * attempt`` backoff before giving up; this wrapper reproduces
+    that contract for any transport. Non-retryable failures (4xx other
+    than 429) return immediately. ``sleep`` is injectable so tests can
+    assert the ladder without wall-clock waits.
+    """
+
+    def _fetch(url: str) -> Tuple[int, Optional[bytes], Optional[object]]:
+        status, body, page_ts = transport(url)
+        attempt = 1
+        while (status >= 400 or body is None) and status in _RETRYABLE and attempt < max_retries:
+            sleep(backoff_s * attempt)  # linear ladder, loader.py:52
+            status, body, page_ts = transport(url)
+            attempt += 1
+        return status, body, page_ts
+
+    return _fetch
+
 
 def urllib_transport(timeout_s: float = 10.0, user_agent: str = "spark-crawler") -> Transport:
     """Real-network transport over the stdlib (no extra deps).
@@ -47,7 +79,8 @@ def urllib_transport(timeout_s: float = 10.0, user_agent: str = "spark-crawler")
     Returns page_ts=None: a live fetch has no archival timestamp, so the
     fetch stage falls back to the URL's own ``discovery_ts`` as the parent
     timestamp for link discovery (keeps F12 determinism — no wall clock
-    enters the data).
+    enters the data). Wrap with :func:`with_retries` for the reference's
+    3-attempt linear-backoff ladder (loader.py:30-54).
     """
     import urllib.error
     import urllib.request
@@ -86,6 +119,7 @@ def http_fetch(
     url_col: str = "url",
     host_col: str = "host",
     delay_col: str = "crawl_delay_s",
+    ts_col: str = "discovery_ts",
     respect_delay: bool = False,
 ) -> DataFrame:
     """Fetch ``selected`` frontier rows through ``transport``.
@@ -101,10 +135,17 @@ def http_fetch(
     assigned ``fetch_delay_s`` send schedule, and wall-clock sleeps would
     make tests minutes-long with no semantic difference.
     """
-    from pyspark.sql.types import BinaryType, BooleanType, TimestampType
+    from pyspark.sql.types import BinaryType, BooleanType, StructType, TimestampType
 
+    for col in (url_col, host_col, ts_col):
+        if col not in selected.columns:
+            raise ValueError(f"http_fetch: input is missing required column {col!r}")
+
+    # StructType.add mutates in place and PySpark caches df.schema, so build
+    # the output schema on a fresh StructType — never on the caller's.
     out_schema = (
-        selected.schema.add("_page_ts", TimestampType())
+        StructType(list(selected.schema.fields))
+        .add("_page_ts", TimestampType())
         .add("html", BinaryType())
         .add("fetch_ok", BooleanType())
     )
@@ -126,7 +167,7 @@ def http_fetch(
                 status, body, page_ts = transport(url)
                 ok = status < 400 and body is not None
                 htmls.append(bytes(body) if ok else None)
-                tss.append(page_ts if page_ts is not None else row.discovery_ts)
+                tss.append(page_ts if page_ts is not None else getattr(row, ts_col))
                 oks.append(ok)
             out = pdf.copy()
             out["_page_ts"] = pd.Series(tss, index=pdf.index, dtype="object")
