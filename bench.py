@@ -146,14 +146,24 @@ def bench_crawl(spark, sf_dir: str) -> dict:
 
 def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
     """Compute-bound scaling probe: the crawl's parse kernel over the whole
-    corpus ×repeat — extract text+links (Arrow UDF), canonicalize every
-    link, hash, aggregate. Embarrassingly parallel; used by
-    scripts/bench_scaling.py for the N-vs-4N-cores efficiency evidence."""
+    corpus ×repeat — extract text (ONE Arrow pass) + links (JVM
+    regexp_extract_all, r04 change: won 4/4 interleaved paired trials vs
+    the r03 fused-Arrow kernel, ~20% median), canonicalize every link,
+    hash, aggregate. Embarrassingly parallel; used by
+    scripts/bench_scaling.py for the N-vs-4N-cores efficiency evidence.
+
+    Canonicalization here is the Arrow UDF (whose pandas fast path
+    passes the canonical majority through): the split-union JVM fast path
+    run_round uses is a tie on this VM only when the upstream frame is
+    persisted for other consumers (as in run_round); in this single-pass
+    kernel it would force a 40M-row materialization and measured 2×
+    slower (r04 A/B)."""
     from pyspark.sql import functions as F
 
     from xrpl_rich_list_py_crawler_spark.functions.udfs import (
         canonicalize_url_udf,
-        extract_page_udf,
+        extract_links_col,
+        extract_text_udf,
         host_col,
     )
     from xrpl_rich_list_py_crawler_spark.sources.fixtures import (
@@ -170,13 +180,10 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
         F.broadcast(spark.range(repeat).select(F.col("id").alias("_rep")))
     ).repartition(par * 3)
     t0 = time.time()
-    # fused text+links extraction: the html blob crosses JVM<->Python once
-    # (same kernel run_round uses since round 3)
     parsed = (
-        pages.withColumn("_ex", extract_page_udf("html"))
-        .select(
-            F.length(F.col("_ex.text")).alias("text_len"),
-            F.explode_outer(F.col("_ex.links")).alias("raw"),
+        pages.select(
+            F.length(extract_text_udf("html")).alias("text_len"),
+            F.explode_outer(extract_links_col(F.col("html"))).alias("raw"),
         )
         .withColumn("canon", canonicalize_url_udf("raw"))
         .select("text_len", F.xxhash64("canon").alias("h"),
@@ -321,9 +328,19 @@ def main() -> None:
     times["crawl_3rounds"] = round(crawl["sec"], 3)
     parse = bench_corpus_parse(spark, SF_DIR)
     times["corpus_parse"] = round(parse["sec"], 3)
-    dedup = bench_fetch_dedup(spark, SF_DIR)
+
+    # headline kernels: 3 interleaved repeats, report the MEDIAN (r03
+    # verdict: single runs on this co-tenant VM swing up to ~3x — the
+    # r03 canon "regression" was exactly such a one-shot number). Trial
+    # lists are emitted alongside so the noise envelope is visible.
+    dedup_trials: list[dict] = []
+    canon_trials: list[dict] = []
+    for _ in range(3):
+        dedup_trials.append(bench_fetch_dedup(spark, SF_DIR))
+        canon_trials.append(bench_canon_dedup(spark, SF_DIR))
+    dedup = sorted(dedup_trials, key=lambda t: t["sec"])[1]
+    canon = sorted(canon_trials, key=lambda t: t["sec"])[1]
     times["fetch_dedup_kernel"] = round(dedup["sec"], 3)
-    canon = bench_canon_dedup(spark, SF_DIR)
     times["canon_dedup_kernel"] = round(canon["sec"], 3)
 
     for name in HEADLINE:
@@ -346,6 +363,8 @@ def main() -> None:
         "parse_pages_per_sec": round(parse["pages_per_sec"], 1),
         "dedup_urls_per_sec": round(dedup["urls_per_sec"], 1),
         "canon_dedup_urls_per_sec": round(canon["urls_per_sec"], 1),
+        "dedup_trials_sec": [round(t["sec"], 3) for t in dedup_trials],
+        "canon_dedup_trials_sec": [round(t["sec"], 3) for t in canon_trials],
     }
     spark.stop()
     print(json.dumps(out))

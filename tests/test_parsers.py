@@ -91,6 +91,61 @@ def test_extract_page_udf_fused_equals_singles(spark, crawl_sf0001):
     assert mism == 0
 
 
+def test_extract_links_col_jvm_matches_ref(spark, crawl_sf0001):
+    """The r04 JVM link path (cast + make_valid_utf8 + regexp_extract_all)
+    must equal the Python twin on the whole fixture corpus AND on
+    adversarial bytes: tab/newline in the tag, multibyte UTF-8 inside an
+    href, invalid bytes inside AND outside hrefs, empty href."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import extract_links_col
+
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    adversarial = [
+        b'<a href="x">\xff\xfe<p>ok</p><a\thref="q/r">',
+        b'\xc3\x28<a  href="y">',
+        b'<a href="caf\xc3\xa9/page">',
+        b'<a href="bad\xffhref">',
+        b'<a\n href="nl">no close',
+        b'<a href="">empty</a><A HREF="notme">',
+        b"no links at all",
+        b"",
+    ]
+    rows = [(str(i), bytes(h)) for i, h in enumerate(pages["html"].head(200))]
+    rows += [(f"adv{i}", b) for i, b in enumerate(adversarial)]
+    sdf = spark.createDataFrame(rows, "k string, html binary")
+    got = {
+        r["k"]: list(r["links"])
+        for r in sdf.withColumn("links", extract_links_col(F.col("html"))).collect()
+    }
+    for k, b in rows:
+        assert got[k] == extract_links(b), (k, got[k], extract_links(b))
+    # and the plan stays JVM-only: no Python evaluation node
+    plan = (
+        sdf.withColumn("links", extract_links_col(F.col("html")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonicalize_urls_split_matches_udf(spark, crawl_sf0001):
+    """The split-union JVM fast path must produce exactly the UDF's
+    result multiset — no dropped rows (incl. null urls), no changed
+    canon forms — while routing already-canonical urls around Python."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        canonicalize_urls_split,
+    )
+
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    urls = list(pages["url"]) + [c[0] for c in CANON_CASES] + [None]
+    sdf = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                "i long, u string")
+    split = canonicalize_urls_split(sdf, "u", "c")
+    got = {r["i"]: r["c"] for r in split.collect()}
+    assert len(got) == len(urls)  # no row lost to null-regex filters
+    for i, u in enumerate(urls):
+        expect = canonicalize_url(u) if u is not None else None
+        assert got[i] == expect, (u, got[i], expect)
+
+
 CANON_CASES = [
     ("https://H1.Example1.COM/p/5", "https://h1.example1.com/p/5"),
     ("https://h1.example1.com:443/p/5", "https://h1.example1.com/p/5"),

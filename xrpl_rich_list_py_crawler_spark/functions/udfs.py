@@ -62,6 +62,39 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return out.astype(object)
 
 
+#: noisy-url detector paired with _FAST_CANON (query to sort, uppercase or
+#: port to strip, fragment to drop) — same pattern the pandas fast path
+#: uses; Java and Python interpret both identically (char classes +
+#: alternation only, and `.` excludes \n in both engines by default)
+_FAST_CANON_BAD = r"[?#A-Z]|//.*:"
+
+
+def canonicalize_urls_split(
+    df, url_col: str, out_col: str = "url"
+):
+    """Canonicalize a URL column with the fast path lifted JVM-side.
+
+    Split-union instead of ``when(fast, url).otherwise(udf)``: Catalyst
+    hoists a pandas UDF out of a conditional into an ArrowEvalPython node
+    that evaluates it for EVERY row, so the conditional form still ships
+    all urls to Python. Filtering first means the ~80% already-canonical
+    majority never leaves whole-stage codegen; only the noisy minority
+    crosses the Arrow channel into :func:`canonicalize_url_udf` (whose
+    own pandas fast-path check then agrees, pinned by property tests).
+
+    Row ORDER is not preserved (union of two branches) — callers must
+    aggregate or sort downstream, which every engine call site does.
+    """
+    u = F.col(url_col)
+    fast = u.rlike(_FAST_CANON) & ~u.rlike(_FAST_CANON_BAD)
+    fast_df = df.filter(fast).withColumn(out_col, u)
+    # null-safe: filter(fast) and filter(~fast) BOTH drop null urls
+    slow_df = df.filter(~fast | u.isNull()).withColumn(
+        out_col, canonicalize_url_udf(url_col)
+    )
+    return fast_df.unionByName(slow_df)
+
+
 @pandas_udf(StringType())
 def url_host_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched host extraction (lowercased, port-stripped)."""
@@ -114,6 +147,32 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
     return html.map(
         lambda b: [m.decode("utf-8", errors="replace") for m in _LINK_RE.findall(b)],
         na_action="ignore",
+    )
+
+
+#: the link regex as a Java-regex string — semantically identical to
+#: parsers_ref._LINK_RE: `\s` is [ \t\n\x0B\f\r] in BOTH Java and Python
+#: bytes-mode, and the pattern contains no `.`, so DOTALL is irrelevant.
+LINK_HREF_PATTERN = r'<a\s+href="([^"]*)"'
+
+
+def extract_links_col(html: Column) -> Column:
+    """JVM-side link extraction (whole-stage codegen, zero Python).
+
+    The blob is cast binary→string (byte-preserving — Spark 4's strict
+    ``decode()`` raises MALFORMED_CHARACTER_CODING on invalid UTF-8),
+    repaired with ``make_valid_utf8`` (invalid sequences → U+FFFD, the
+    same replacement the Python twin's ``errors="replace"`` applies), and
+    scanned with ``regexp_extract_all``. Because the pattern's delimiters
+    are ASCII and UTF-8 is self-synchronizing, match boundaries are
+    byte-identical to parsers_ref.extract_links for ANY input — including
+    invalid bytes inside an href (pinned in tests/test_parsers.py).
+
+    This is the r04 corpus-parse lever: link harvesting leaves the Arrow
+    channel entirely; only text extraction still crosses to Python.
+    """
+    return F.regexp_extract_all(
+        F.make_valid_utf8(html.cast("string")), F.lit(LINK_HREF_PATTERN), 1
     )
 
 

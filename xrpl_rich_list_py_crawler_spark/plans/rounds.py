@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import (
-    canonicalize_url_udf,
-    extract_page_udf,
+    canonicalize_urls_split,
+    extract_links_col,
+    extract_text_udf,
     host_col,
 )
 from ..operators.frontier import global_rank
@@ -56,7 +57,7 @@ def index_pages(pages: DataFrame) -> DataFrame:
     """
     if "url_hash" in pages.columns:
         return pages
-    canon = pages.withColumn("canon_url", canonicalize_url_udf("url"))
+    canon = canonicalize_urls_split(pages, "url", "canon_url")
     return canon.select(
         F.xxhash64("canon_url").alias("url_hash"),
         F.col("canon_url"),
@@ -245,22 +246,26 @@ class CrawlRun:
                 "left",
             ).withColumn("fetch_ok", F.col("html").isNotNull())
 
-        # 4. Arrow-UDF extraction (byte-identical text invariant). Fused
-        # text+links in ONE struct-returning UDF so the html blob crosses
-        # the JVM↔Python Arrow channel once, not twice.
+        # 4. extraction: text through ONE Arrow pass (byte-identical text
+        # invariant needs the Python twin's exact decode), links fully
+        # JVM-side (regexp_extract_all in whole-stage codegen — the blob
+        # crosses the JVM↔Python channel once for text and never for
+        # links; r04 change, byte-equality pinned in tests/test_parsers.py)
         parsed = (
             fetched.withColumn(
-                "_ex", F.when(F.col("fetch_ok"), extract_page_udf("html"))
+                "text", F.when(F.col("fetch_ok"), extract_text_udf("html"))
             )
-            .withColumn("text", F.col("_ex.text"))
             .withColumn(
                 "links",
-                F.coalesce(F.col("_ex.links"), F.array().cast("array<string>")),
+                F.coalesce(
+                    F.when(F.col("fetch_ok"), extract_links_col(F.col("html"))),
+                    F.array().cast("array<string>"),
+                ),
             )
             .withColumn("n_links", F.size("links").cast("int"))
             # html dies here: the blob must not ride the cache or any later
             # shuffle (at 100 TB the binary column is ~99% of the bytes)
-            .drop("html", "canon_url", "_ex")
+            .drop("html", "canon_url")
         )
         parsed = parsed.persist()
 
@@ -289,15 +294,16 @@ class CrawlRun:
             .select("url_hash", F.lit(round_n).alias("round"))
         )
 
-        # 7. link discovery → candidate frontier rows
+        # 7. link discovery → candidate frontier rows. Canonicalization
+        # via the split-union JVM fast path: the already-canonical link
+        # majority stays in codegen; only noisy urls cross to Arrow.
+        raw_links = parsed.filter(F.col("fetch_ok")).select(
+            F.col("depth").alias("parent_depth"),
+            F.col("_page_ts").alias("parent_ts"),
+            F.explode("links").alias("raw_url"),
+        )
         links = (
-            parsed.filter(F.col("fetch_ok"))
-            .select(
-                F.col("depth").alias("parent_depth"),
-                F.col("_page_ts").alias("parent_ts"),
-                F.explode("links").alias("raw_url"),
-            )
-            .withColumn("url", canonicalize_url_udf("raw_url"))
+            canonicalize_urls_split(raw_links, "raw_url", "url")
             .select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
