@@ -175,7 +175,8 @@ non-scaling boundary (same result at 2-vs-8: 0.60).
 
 ## Secondary: Arrow-UDF corpus parse (pair 0 only)
 
-Pages corpus x40: Arrow text/link extraction, per-link canonicalization
+Pages corpus x40 (x10 in this probe): Arrow text extraction + JVM link
+extraction (r04), per-link canonicalization
 (vectorized fast path), xxhash64, per-host aggregate.
 
 | level | wall (s) | pages/s |

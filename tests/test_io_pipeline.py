@@ -132,3 +132,21 @@ def test_orc_and_jsonl_interchange_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_interchange(df, str(tmp_path / "nope"), "avro-nope")
+
+
+def test_preflight_versions():
+    """≅ check_versions.py: the version report covers every critical dep,
+    passes in this environment, and flags missing/too-old deps without
+    raising."""
+    from xrpl_rich_list_py_crawler_spark.sources.io import (
+        CRITICAL_DEPS,
+        preflight_versions,
+    )
+
+    rep = preflight_versions()
+    assert rep["ok"] and set(rep["deps"]) == set(CRITICAL_DEPS)
+    assert all(d["installed"] for d in rep["deps"].values())
+    bad = preflight_versions({"pyspark": (99, 0), "no-such-pkg": (1, 0)})
+    assert not bad["ok"]
+    assert not bad["deps"]["pyspark"]["ok"]
+    assert bad["deps"]["no-such-pkg"]["installed"] is None

@@ -189,9 +189,19 @@ class IcebergSnapshotCatalog:
         self, keep_last: int, retain: tuple[str, ...] | None = None
     ) -> list[int]:
         """Retention ≅ the emulation's expire_rounds: DELETE whole round
-        partitions below the horizon (Iceberg turns the round-equality
-        predicate into metadata-only partition drops), then expire the
-        superseded snapshots so data files are physically reclaimed."""
+        partitions of DATA tables below the horizon (Iceberg turns the
+        round-equality predicate into metadata-only partition drops), then
+        expire the superseded snapshots so data files are physically
+        reclaimed.
+
+        The round MARKER table is never truncated: every read semi-joins
+        against it (``_committed_filter``), so deleting old markers would
+        also hide the RETAIN_TABLES' retained history — the ``seen``
+        ledger rows from expired rounds would vanish and the crawl would
+        re-fetch expired URLs (caught by the r04 cross-backend contract
+        matrix). Markers are single INTs; keeping the full history costs
+        nothing and keeps ``read_state`` of retained snapshots resumable,
+        matching the emulation's read surface exactly."""
         retain = self.RETAIN_TABLES if retain is None else retain
         rounds = self.committed_rounds()
         if len(rounds) <= keep_last:
@@ -213,10 +223,6 @@ class IcebergSnapshotCatalog:
                 f"CALL {self.catalog}.system.expire_snapshots("
                 f"table => '{self.namespace}.{t}', retain_last => 1)"
             )
-        self.spark.sql(
-            f"DELETE FROM {self._qual(self._ROUNDS_TABLE)} "
-            f"WHERE round < {horizon}"
-        )
         return drop
 
     def compact_rounds(

@@ -89,6 +89,45 @@ def preflight_source_health(pages: DataFrame, sample: int = 100) -> dict:
     }
 
 
+#: the engine's critical runtime deps and minimum-supported versions —
+#: the analog of the reference's websockets/supabase pin report
+#: (check_versions.py:29-36). Spark 4 is required (strict decode(),
+#: make_valid_utf8, dropDuplicatesWithinWatermark all appear in 4.x).
+CRITICAL_DEPS = {
+    "pyspark": (4, 0),
+    "pyarrow": (4, 0),
+    "pandas": (1, 5),
+    "numpy": (1, 22),
+}
+
+
+def preflight_versions(deps: dict | None = None) -> dict:
+    """Ops preflight ≅ ``check_versions.py``: report each critical
+    dependency's installed version and whether it meets the engine's
+    minimum, without importing any of them (metadata only, so a broken
+    install still reports instead of crashing the probe). Returns
+    ``{"ok": bool, "deps": {name: {"installed": str|None, "ok": bool}}}``.
+    """
+    from importlib import metadata
+
+    deps = CRITICAL_DEPS if deps is None else deps
+    report: dict = {}
+    all_ok = True
+    for name, minimum in deps.items():
+        try:
+            ver = metadata.version(name)
+            parts = []
+            for tok in ver.split(".")[: len(minimum)]:
+                digits = "".join(ch for ch in tok if ch.isdigit())
+                parts.append(int(digits) if digits else 0)
+            ok = tuple(parts) >= tuple(minimum)
+        except metadata.PackageNotFoundError:
+            ver, ok = None, False
+        report[name] = {"installed": ver, "ok": ok}
+        all_ok = all_ok and ok
+    return {"ok": all_ok, "deps": report}
+
+
 # ---------------------------------------------------------------------------
 # columnar interchange beyond Parquet (ORC / JSONL)
 # ---------------------------------------------------------------------------
