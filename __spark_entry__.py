@@ -636,6 +636,61 @@ def _q_robots_denied(spark, sf):
     return pol.apply_robots(seeds, robots).filter(F.col("robots_denied")).select("url")
 
 
+def _q_robots_txt_parse(spark, sf):
+    """robots.txt cache BUILDER (operators/politeness.py:parse_robots_txt,
+    r04): raw per-host robots.txt bodies → the allow/deny + crawl-delay
+    dimension apply_robots broadcasts (north_rule's "robots.txt allow/deny
+    cache"). The corpus is synthesized deterministically from doc_id so
+    both engines parse IDENTICAL bytes: a multi-section file (bot section
+    ignored, * section honored, variable Crawl-delay), a minimal
+    lowercase-directive file, a no-star-section file, and an empty file.
+    Fully JVM-side (split + rlike + regexp_extract_all in codegen)."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        parse_robots_txt,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    did = F.col("doc_id")
+    k7 = (did % 7 + 1).cast("int").cast("string")
+    k5 = (did % 5).cast("int").cast("string")
+    txt = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(
+                    "User-agent: googlebot\nDisallow: /g\n\n"
+                    "User-agent: *\nDisallow: /private\nDisallow: /tmp/\n"
+                    "Crawl-delay: "
+                ),
+                k7,
+                F.lit("\n"),
+            ),
+        )
+        .when(did % 4 == 1, F.concat(F.lit("User-Agent: *\ndisallow: /a"), k5, F.lit("\n")))
+        .when(did % 4 == 2, F.lit("User-agent: googlebot\nDisallow: /x\n"))
+        .otherwise(F.lit(""))
+    )
+    raw = d.select(
+        F.concat(F.lit("h"), did.cast("string"), F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    dim = parse_robots_txt(raw)
+    dis = F.col("disallow_prefixes")
+    return dim.select(
+        "host",
+        "has_rules",
+        F.size(dis).alias("n_disallow"),
+        F.get(dis, 0).alias("first_disallow"),
+        "crawl_delay_s",
+        F.coalesce(
+            F.exists(dis, lambda p: F.lit("/private/x").startswith(p)), F.lit(False)
+        ).alias("deny_private"),
+        F.coalesce(
+            F.exists(dis, lambda p: F.lit("/a3/page").startswith(p)), F.lit(False)
+        ).alias("deny_a3"),
+    )
+
+
 def _q_trustline_rich_list(spark, sf):
     """The RLUSD trustline chain end-to-end (scanner-rlusd.py:24-96):
     S4 struct-subfield projection from the JSON payload, P2 currency
@@ -987,11 +1042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query a hard driver row. Round 4 head-slots the 15-entry r03
     tail (bpe_token_counts FIRST — the only registered query with no
     CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
-    and the new capped-curation query. To make room, 16 r03-green entries
-    are demoted: the 15-query function.sql chain (each green in BOTH r01
-    and r03, the most-reverified block in the registry) and
-    w2_summary_view_id (r03-green trivial window op). Lifetime coverage
-    after an r04 green run: 66/66.
+    and the two NEW r04 queries (corpus_curation_capped,
+    robots_txt_parse). To make room, 17 r03-green entries are demoted:
+    neardup_components (slot 51), the 15-query function.sql chain (each
+    green in BOTH r01 and r03, the most-reverified block in the registry)
+    and w2_summary_view_id (r03-green trivial window op). Lifetime
+    coverage after an r04 green run: 66/67 (neardup_components keeps its
+    r03 row; both r04-new queries gain theirs).
     """
     return {
         # --- r03 tail, promoted for hard driver verification ---
@@ -1013,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r4: the capped LSH plan (star-collapse + salt-split)
         #     must reproduce the exact-path oracle, not just the exact plan
         "corpus_curation_capped": _q_corpus_curation_capped,
+        # --- NEW in r4: robots.txt cache builder (JVM parse → dim) ---
+        "robots_txt_parse": _q_robots_txt_parse,
         # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1050,9 +1109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_lang": _q_token_counts_by_lang,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
+        # --- demoted tail (17): neardup_components at slot 51 (r03-green,
+        #     displaced by the two new r04 queries); the function.sql
+        #     chain green in r01 AND r03; w2 green in r03 — every demoted
+        #     entry carries at least one lifetime green row ---
         "neardup_components": _q_neardup_components,
-        # --- demoted tail (16): function.sql chain green in r01 AND r03;
-        #     w2 green in r03 — all carry multiple lifetime green rows ---
         "w2_summary_view_id": _q_w2_summary_view_id,
         "summary_latest": _q_summary_latest,
         "summary_series": _q_summary_series,
@@ -1951,4 +2012,52 @@ def oracle_sql() -> dict[str, str]:
     # oracle as the uncapped pass, so any recall loss from star-collapse
     # or salt-split fails the hash gate loudly
     out["corpus_curation_capped"] = out["corpus_curation"]
+    # robots.txt builder: e'…' escape strings give DuckDB the same real
+    # newlines Python string literals give Spark; every regex is the
+    # RE2/Java-portable grammar from operators/politeness.py
+    out["robots_txt_parse"] = r"""
+        WITH raw AS (
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN e'User-agent: googlebot\nDisallow: /g\n\n'
+                        || e'User-agent: *\nDisallow: /private\n'
+                        || e'Disallow: /tmp/\nCrawl-delay: '
+                        || CAST(CAST(doc_id % 7 + 1 AS INT) AS VARCHAR)
+                        || e'\n'
+                    WHEN 1 THEN e'User-Agent: *\ndisallow: /a'
+                        || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR) || e'\n'
+                    WHEN 2 THEN e'User-agent: googlebot\nDisallow: /x\n'
+                    ELSE '' END AS robots_txt
+            FROM documents WHERE doc_id < 60
+        ),
+        parsed AS (
+            SELECT host,
+                (list_filter(
+                    regexp_split_to_array(robots_txt, '(?i)user-agent:'),
+                    s -> regexp_matches(s, '^[ \t]*\*[ \t]*(\r\n|\n|$)')
+                ))[1] AS sec
+            FROM raw
+        ),
+        shaped AS (
+            SELECT host,
+                sec IS NOT NULL AS has_rules,
+                COALESCE(regexp_extract_all(
+                    sec, '(?i)disallow:[ \t]*([^ \t\r\n]+)', 1), []) AS dis,
+                regexp_extract(
+                    sec, '(?i)crawl-delay:[ \t]*([0-9]+(\.[0-9]+)?)', 1
+                ) AS delay_raw
+            FROM parsed
+        )
+        SELECT host, has_rules,
+            CAST(len(dis) AS INT) AS n_disallow,
+            dis[1] AS first_disallow,
+            CASE WHEN delay_raw IS NULL OR delay_raw = ''
+                 THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(delay_raw AS DOUBLE) END AS crawl_delay_s,
+            len(list_filter(dis, p -> starts_with('/private/x', p))) > 0
+                AS deny_private,
+            len(list_filter(dis, p -> starts_with('/a3/page', p))) > 0
+                AS deny_a3
+        FROM shaped
+    """
     return out

@@ -152,3 +152,59 @@ def test_crawl_run_auto_selects_active_only(spark, crawl_sf0001, tmp_path):
         for r in c.read_appended(spark, "results").collect()
     )
     assert rows(cat_b) == rows(cat_a)
+
+
+def test_parse_robots_txt_grammar_and_integration(spark):
+    """r04 robots.txt cache builder: section selection (* only, first
+    wins, per-bot ignored), disallow collection, crawl-delay, defaults
+    for no-star/empty files; case-insensitive directives; the output dim
+    feeds apply_robots unchanged; the parse plan is JVM-only."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        apply_robots,
+        parse_robots_txt,
+    )
+
+    bodies = {
+        "multi": ("User-agent: googlebot\nDisallow: /g\n\n"
+                  "User-agent: *\nDisallow: /private\nDisallow: /tmp/\n"
+                  "Crawl-delay: 2.5\n"),
+        "lower": "user-agent: *\ndisallow: /a\ncrawl-delay: 3\n",
+        "nostar": "User-agent: googlebot\nDisallow: /x\n",
+        "empty": "",
+        "bare": "User-agent: *\n",          # star section, no directives
+        "two_star": ("User-agent: *\nDisallow: /first\n\n"
+                     "User-agent: *\nDisallow: /second\n"),  # first wins
+        "emptydis": "User-agent: *\nDisallow:\n",  # allow-all directive
+    }
+    raw = spark.createDataFrame(list(bodies.items()), "host string, robots_txt string")
+    dim = parse_robots_txt(raw)
+    got = {r["host"]: r for r in dim.collect()}
+    assert got["multi"]["disallow_prefixes"] == ["/private", "/tmp/"]
+    assert got["multi"]["crawl_delay_s"] == 2.5 and got["multi"]["has_rules"]
+    assert got["lower"]["disallow_prefixes"] == ["/a"]
+    assert got["lower"]["crawl_delay_s"] == 3.0
+    assert not got["nostar"]["has_rules"] and got["nostar"]["disallow_prefixes"] == []
+    assert not got["empty"]["has_rules"]
+    assert got["empty"]["crawl_delay_s"] == 1.0  # injected default
+    assert got["bare"]["has_rules"] and got["bare"]["disallow_prefixes"] == []
+    assert got["two_star"]["disallow_prefixes"] == ["/first"]
+    assert got["emptydis"]["disallow_prefixes"] == []
+    assert all(r["max_fetches_per_round"] == 16 for r in got.values())
+    # JVM-only plan
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the dim drops straight into apply_robots
+    import datetime as dt
+
+    cand = spark.createDataFrame(
+        [("https://multi/private/x", 1, "multi", 0, 0.0, dt.datetime(2026, 1, 1)),
+         ("https://multi/ok", 2, "multi", 0, 0.0, dt.datetime(2026, 1, 1)),
+         ("https://unknown/ok", 3, "unknown", 0, 0.0, dt.datetime(2026, 1, 1))],
+        "url string, url_hash long, host string, depth int, "
+        "host_rank double, discovery_ts timestamp",
+    )
+    gated = {r["url"]: r for r in apply_robots(cand, dim).collect()}
+    assert gated["https://multi/private/x"]["robots_denied"]
+    assert not gated["https://multi/ok"]["robots_denied"]
+    assert not gated["https://unknown/ok"]["robots_denied"]  # absent host: allow
+    assert gated["https://unknown/ok"]["crawl_delay_s"] == 1.0
