@@ -691,6 +691,49 @@ def _q_robots_txt_parse(spark, sf):
     )
 
 
+def _q_pii_redaction(spark, sf):
+    """Training-data PII hygiene (operators/textstats.py:pii_counts, r04):
+    email/IPv4/phone detection + redaction, all chained regexp_replace /
+    regexp_count in whole-stage codegen. PII is injected deterministically
+    from doc_id (the fixture corpus is PII-free word salad) so both
+    engines scrub IDENTICAL bytes; counts are taken over the same
+    intermediates the redaction chain sees, so they provably agree with
+    the replacements."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    pii_text = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" call +1 (555) 010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" or visit 10.0."), (did % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return ts.pii_counts(d.select("doc_id", pii_text.alias("text")))
+
+
+def _q_domain_cap(spark, sf):
+    """Domain balancing (operators/curation.py:cap_per_key, r04): at most
+    k docs per source, best-first by the n_chars quality proxy with
+    doc_id tie-break — the curation-side quota against host-dominated
+    training mixes. One key-partitioned shuffle; window sort is local."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import cap_per_key
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_key(d, key_col="source", order_cols=("n_chars", "doc_id"), k=10)
+
+
 def _q_trustline_rich_list(spark, sf):
     """The RLUSD trustline chain end-to-end (scanner-rlusd.py:24-96):
     S4 struct-subfield projection from the JSON payload, P2 currency
@@ -1042,13 +1085,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query a hard driver row. Round 4 head-slots the 15-entry r03
     tail (bpe_token_counts FIRST — the only registered query with no
     CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
-    and the two NEW r04 queries (corpus_curation_capped,
-    robots_txt_parse). To make room, 17 r03-green entries are demoted:
-    neardup_components (slot 51), the 15-query function.sql chain (each
-    green in BOTH r01 and r03, the most-reverified block in the registry)
-    and w2_summary_view_id (r03-green trivial window op). Lifetime
-    coverage after an r04 green run: 66/67 (neardup_components keeps its
-    r03 row; both r04-new queries gain theirs).
+    and the four NEW r04 queries (corpus_curation_capped,
+    robots_txt_parse, pii_redaction, domain_cap). To make room, 19
+    r03-green entries are demoted: doc_fingerprints / minhash_neardups /
+    neardup_components (displaced past slot 50), the 15-query
+    function.sql chain (each green in BOTH r01 and r03, the
+    most-reverified block in the registry) and w2_summary_view_id.
+    Lifetime coverage after an r04 green run: 69/69 — every demoted
+    entry already carries at least one green driver row.
     """
     return {
         # --- r03 tail, promoted for hard driver verification ---
@@ -1072,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_capped": _q_corpus_curation_capped,
         # --- NEW in r4: robots.txt cache builder (JVM parse → dim) ---
         "robots_txt_parse": _q_robots_txt_parse,
+        # --- NEW in r4: PII scrub + domain quota (training-data hygiene)
+        "pii_redaction": _q_pii_redaction,
+        "domain_cap": _q_domain_cap,
         # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1107,12 +1154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "token_counts_by_lang": _q_token_counts_by_lang,
+        # --- demoted tail (19): doc_fingerprints / minhash_neardups /
+        #     neardup_components displaced past slot 50 by the four new
+        #     r04 queries (each r03-green); the function.sql chain green
+        #     in r01 AND r03; w2 green in r03 — every demoted entry
+        #     carries at least one lifetime green row ---
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
-        # --- demoted tail (17): neardup_components at slot 51 (r03-green,
-        #     displaced by the two new r04 queries); the function.sql
-        #     chain green in r01 AND r03; w2 green in r03 — every demoted
-        #     entry carries at least one lifetime green row ---
         "neardup_components": _q_neardup_components,
         "w2_summary_view_id": _q_w2_summary_view_id,
         "summary_latest": _q_summary_latest,
@@ -2059,5 +2107,51 @@ def oracle_sql() -> dict[str, str]:
             len(list_filter(dis, p -> starts_with('/a3/page', p))) > 0
                 AS deny_a3
         FROM shaped
+    """
+    # PII patterns interpolated from the module constants so the oracle
+    # can never drift from the engine's regexes; DuckDB regexp_replace
+    # needs the explicit 'g' flag (Spark's is global by default)
+    out["pii_redaction"] = rf"""
+        WITH pii AS (
+            SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN text || ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    WHEN 1 THEN text || ' call +1 (555) 010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' or visit 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    ELSE text END AS text
+            FROM documents
+        ),
+        chain AS (
+            SELECT doc_id, text,
+                regexp_replace(text, '{ts.PII_EMAIL}', '<EMAIL>', 'g')
+                    AS after_email
+            FROM pii
+        ),
+        chain2 AS (
+            SELECT *, regexp_replace(after_email, '{ts.PII_IPV4}', '<IP>',
+                                     'g') AS after_ip
+            FROM chain
+        )
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '{ts.PII_EMAIL}')) AS INT)
+                AS n_emails,
+            CAST(len(regexp_extract_all(after_email, '{ts.PII_IPV4}'))
+                AS INT) AS n_ips,
+            CAST(len(regexp_extract_all(after_ip, '{ts.PII_PHONE}'))
+                AS INT) AS n_phones,
+            regexp_replace(after_ip, '{ts.PII_PHONE}', '<PHONE>', 'g')
+                AS redacted
+        FROM chain2
+    """
+    out["domain_cap"] = """
+        SELECT doc_id, source, n_chars, CAST(rk AS INT) AS keep_rank
+        FROM (
+            SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 10
     """
     return out

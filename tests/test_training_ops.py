@@ -542,3 +542,58 @@ def test_shingle_chunking_bounded_memory_and_identical():
     # unchunked hv alone would be 64 × 5e6 × 8 ≈ 2.5 GB; the chunked path
     # peaks at a few (n_hashes × chunk) matrices ≈ 32 MB each
     assert peak < 200 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_pii_redaction_cases(spark):
+    """PII scrub: emails/IPv4s/phones redact and count correctly; order
+    of passes prevents dotted quads and email digit-runs from reading as
+    phones; clean text passes through untouched; plan is JVM-only."""
+    cases = [
+        (0, "mail me at jo.doe+x@sub.example.co.uk thanks"),
+        (1, "server 192.168.001.7 and 10.0.0.1 rebooted"),
+        (2, "call +1 (555) 010-4242 or 555-010-9999 today"),
+        (3, "mixed a@b.io from 8.8.8.8 ring 0123456789"),
+        (4, "nothing sensitive here at all"),
+        (5, ""),
+        (6, "version 1.2.3.4.5 is not an ip+phone soup"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ts.pii_counts(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 0
+    assert "jo.doe" not in out[0]["redacted"] and "<EMAIL>" in out[0]["redacted"]
+    assert out[1]["n_ips"] == 2 and out[1]["n_phones"] == 0
+    assert out[2]["n_phones"] == 2 and out[2]["n_ips"] == 0
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> today"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (1, 1, 1)
+    assert out[4]["redacted"] == cases[4][1]
+    assert out[5]["redacted"] == ""
+    # 1.2.3.4.5: the quad regex is \b-anchored; ".5" continuation means
+    # "1.2.3.4" still matches (documented conservative over-redaction),
+    # but no phone appears
+    assert out[6]["n_phones"] == 0
+    plan = ts.pii_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_cap_per_key_quota_and_order(spark):
+    """Domain cap: at most k rows per key, kept best-first (value desc,
+    id tiebreak), keep_rank is 1..k dense per key, small groups intact."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import cap_per_key
+
+    rows = [(i, f"s{i % 3}", (i * 37) % 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = cap_per_key(df, k=4).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 4 for v in by_key.values())
+    for key, kept in by_key.items():
+        kept.sort(key=lambda r: r["keep_rank"])
+        vals = [r["n_chars"] for r in kept]
+        assert vals == sorted(vals, reverse=True)
+        assert [r["keep_rank"] for r in kept] == [1, 2, 3, 4]
+        # kept = the true top-4 of that key's group
+        grp = sorted((v for i, s, v in rows if s == key), reverse=True)[:4]
+        assert vals == grp
+    # k larger than any group: everything survives
+    assert cap_per_key(df, k=100).count() == 30

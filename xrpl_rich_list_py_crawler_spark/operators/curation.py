@@ -79,3 +79,34 @@ def curate_corpus(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio),
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    order_cols: tuple = ("n_chars", "doc_id"),
+    k: int = 100,
+) -> DataFrame:
+    """Domain balancing (r04): keep at most ``k`` rows per ``key_col``,
+    best-first — the standard web-corpus guard against a handful of hosts
+    dominating the training mix (the crawl-side analog is the politeness
+    budget; this is the curation-side quota).
+
+    Deterministic total order: first ``order_cols`` entry DESC (the
+    quality proxy), remaining ASC (tie-breaks). One shuffle on the key;
+    the per-key sort is window-local. At 10^8 keys the key cardinality
+    dwarfs executor count, so the shuffle is well spread; a single
+    pathological key is bounded by the same skew tooling as hot hosts
+    (AQE skew handling — the window itself is O(rows-per-key log k) per
+    partition, never global).
+    """
+    first, *rest = order_cols
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(first).desc(), *[F.col(c).asc() for c in rest]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumn("keep_rank", F.col("_rk").cast("int"))
+        .drop("_rk")
+    )

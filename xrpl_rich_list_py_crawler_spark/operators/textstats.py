@@ -156,3 +156,55 @@ def lang_id_udf():
     """Back-compat shim: historical name, now returns the JVM Column
     function (the Arrow UDF was replaced — VERDICT.md round 1 #3)."""
     return lang_id_col
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene; r04)
+# ---------------------------------------------------------------------------
+
+#: RE2/Java-portable PII patterns: literal classes only — no lookaround
+#: (RE2 has none), no ``\s``/``\d`` shorthands (engine sets differ at the
+#: margins), ``\b`` is the ASCII word boundary in both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = (
+    r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+)
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+#: redaction order matters and is part of the contract: emails first
+#: (their digit runs must not later read as phones), then IPs (dotted
+#: quads would otherwise part-match the phone pattern's digit runs),
+#: then phones over whatever digits remain.
+_PII_PASSES = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Redact emails/IPv4s/phone-shaped digit runs — chained
+    ``regexp_replace`` in whole-stage codegen (a 100 TB corpus pass with
+    zero Python). DuckDB twin: the same three replaces with the ``'g'``
+    flag (Spark's replace is global by default)."""
+    out = text
+    for pat, token in _PII_PASSES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII inventory + redacted text. Counts use ``regexp_count``
+    over the SAME intermediate the redaction chain sees (phones counted
+    after email/IP removal), so counts always agree with what
+    :func:`redact_pii_col` actually replaced."""
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).alias("n_phones"),
+        redact_pii_col(t).alias("redacted"),
+    )
