@@ -734,6 +734,53 @@ def _q_domain_cap(spark, sf):
     return cap_per_key(d, key_col="source", order_cols=("n_chars", "doc_id"), k=10)
 
 
+def _q_sitemap_parse(spark, sf):
+    """Sitemap ingestion (operators/sitemap.py:parse_sitemap, r04): raw
+    sitemap.xml bodies → one seed row per <url> entry with lastmod
+    recency, plus the nested-index child count. XML is synthesized
+    deterministically from doc_id (urlset with datetime+date lastmods and
+    whitespace-padded locs; a pure index file, which yields no url rows;
+    a mixed file with an empty <loc> that must drop). All JVM: lazy
+    (?s)-block regexp_extract_all + transform lambdas, ANSI-safe
+    try_to_timestamp."""
+    from xrpl_rich_list_py_crawler_spark.operators.sitemap import parse_sitemap
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 45)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), did.cast("string"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host)
+    xml = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<urlset><url><loc>"), base,
+                F.lit("/a</loc><lastmod>2026-01-0"),
+                (did % 9 + 1).cast("string"),
+                F.lit("T03:04:0"), (did % 10).cast("string"),
+                F.lit("Z</lastmod></url><url>\n  <loc> "), base,
+                F.lit("/b </loc></url></urlset>"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>"), base,
+                F.lit("/s1.xml</loc></sitemap><sitemap><loc>"), base,
+                F.lit("/s2.xml</loc></sitemap></sitemapindex>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<urlset><url><loc>"), base,
+                F.lit("/only</loc></url><url><loc></loc></url>"
+                      "<sitemap><loc>"), base,
+                F.lit("/extra.xml</loc></sitemap></urlset>"),
+            )
+        )
+    )
+    return parse_sitemap(d.select(host.alias("host"), xml.alias("sitemap_xml")))
+
+
 def _q_trustline_rich_list(spark, sf):
     """The RLUSD trustline chain end-to-end (scanner-rlusd.py:24-96):
     S4 struct-subfield projection from the JSON payload, P2 currency
@@ -1085,14 +1132,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query a hard driver row. Round 4 head-slots the 15-entry r03
     tail (bpe_token_counts FIRST — the only registered query with no
     CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
-    and the four NEW r04 queries (corpus_curation_capped,
-    robots_txt_parse, pii_redaction, domain_cap). To make room, 19
-    r03-green entries are demoted: doc_fingerprints / minhash_neardups /
-    neardup_components (displaced past slot 50), the 15-query
-    function.sql chain (each green in BOTH r01 and r03, the
-    most-reverified block in the registry) and w2_summary_view_id.
-    Lifetime coverage after an r04 green run: 69/69 — every demoted
-    entry already carries at least one green driver row.
+    and the five NEW r04 queries (corpus_curation_capped,
+    robots_txt_parse, pii_redaction, domain_cap, sitemap_parse). To make
+    room, 20 r03-green entries are demoted: token_counts_by_lang /
+    doc_fingerprints / minhash_neardups / neardup_components (displaced
+    past slot 50), the 15-query function.sql chain (each green in BOTH
+    r01 and r03, the most-reverified block in the registry) and
+    w2_summary_view_id. Lifetime coverage after an r04 green run: 70/70 —
+    every demoted entry already carries at least one green driver row.
     """
     return {
         # --- r03 tail, promoted for hard driver verification ---
@@ -1119,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r4: PII scrub + domain quota (training-data hygiene)
         "pii_redaction": _q_pii_redaction,
         "domain_cap": _q_domain_cap,
+        # --- NEW in r4: sitemap.xml discovery source ---
+        "sitemap_parse": _q_sitemap_parse,
         # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1153,12 +1202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops ---
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
+        # --- demoted tail (20): token_counts_by_lang / doc_fingerprints /
+        #     minhash_neardups / neardup_components displaced past slot 50
+        #     by the five new r04 queries (each r03-green); the
+        #     function.sql chain green in r01 AND r03; w2 green in r03 —
+        #     every demoted entry carries at least one lifetime green row
         "token_counts_by_lang": _q_token_counts_by_lang,
-        # --- demoted tail (19): doc_fingerprints / minhash_neardups /
-        #     neardup_components displaced past slot 50 by the four new
-        #     r04 queries (each r03-green); the function.sql chain green
-        #     in r01 AND r03; w2 green in r03 — every demoted entry
-        #     carries at least one lifetime green row ---
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
         "neardup_components": _q_neardup_components,
@@ -2153,5 +2202,59 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
             FROM documents
         ) WHERE rk <= 10
+    """
+    out["sitemap_parse"] = r"""
+        WITH raw AS (
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                'https://h' || CAST(doc_id AS VARCHAR) || '.example.com'
+                    AS base,
+                doc_id
+            FROM documents WHERE doc_id < 45
+        ),
+        docs AS (
+            SELECT host,
+                CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN '<urlset><url><loc>' || base
+                        || '/a</loc><lastmod>2026-01-0'
+                        || CAST(doc_id % 9 + 1 AS VARCHAR)
+                        || 'T03:04:0' || CAST(doc_id % 10 AS VARCHAR)
+                        || e'Z</lastmod></url><url>\n  <loc> ' || base
+                        || '/b </loc></url></urlset>'
+                    WHEN 1 THEN '<sitemapindex><sitemap><loc>' || base
+                        || '/s1.xml</loc></sitemap><sitemap><loc>' || base
+                        || '/s2.xml</loc></sitemap></sitemapindex>'
+                    ELSE '<urlset><url><loc>' || base
+                        || '/only</loc></url><url><loc></loc></url>'
+                        || '<sitemap><loc>' || base
+                        || '/extra.xml</loc></sitemap></urlset>'
+                END AS xml
+            FROM raw
+        ),
+        blocks AS (
+            SELECT host,
+                regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS ub,
+                CAST(len(regexp_extract_all(
+                    xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS INT)
+                    AS n_children
+            FROM docs
+        ),
+        entries AS (
+            SELECT host, n_children, unnest(ub) AS b FROM blocks
+        ),
+        fields AS (
+            SELECT host, n_children,
+                regexp_extract(b,
+                    '<loc>[ \t\r\n]*([^< \t\r\n]*)[ \t\r\n]*</loc>', 1)
+                    AS url,
+                regexp_extract(b,
+                    '<lastmod>[ \t\r\n]*([^< \t\r\n]*)[ \t\r\n]*</lastmod>',
+                    1) AS lastmod_raw
+            FROM entries
+        )
+        SELECT host, url,
+            TRY_CAST(substr(replace(lastmod_raw, 'T', ' ') || ' 00:00:00',
+                            1, 19) AS TIMESTAMP) AS lastmod_ts,
+            n_children
+        FROM fields WHERE url <> ''
     """
     return out

@@ -208,3 +208,50 @@ def test_parse_robots_txt_grammar_and_integration(spark):
     assert not gated["https://multi/ok"]["robots_denied"]
     assert not gated["https://unknown/ok"]["robots_denied"]  # absent host: allow
     assert gated["https://unknown/ok"]["crawl_delay_s"] == 1.0
+
+
+def test_sitemap_parse_and_seed_integration(spark):
+    """r04 sitemap ingestion: url/lastmod extraction (datetime, bare
+    date, zone suffix, whitespace, missing/empty loc), index-file child
+    extraction, and the parsed output shaping into seeds_to_frontier's
+    input schema; plans stay JVM-only."""
+    import datetime as dt
+
+    from xrpl_rich_list_py_crawler_spark.operators.sitemap import (
+        child_sitemaps,
+        parse_sitemap,
+        sitemap_seeds,
+    )
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import seeds_to_frontier
+
+    bodies = {
+        "a": ("<urlset><url><loc>https://a/x</loc>"
+              "<lastmod>2026-02-03T04:05:06Z</lastmod></url>"
+              "<url>\n <loc> https://a/y </loc>"
+              "<lastmod>2026-02-04</lastmod></url>"
+              "<url><loc>https://a/z</loc></url></urlset>"),
+        "b": ("<sitemapindex><sitemap><loc>https://b/s1.xml</loc></sitemap>"
+              "<sitemap><loc>https://b/s2.xml</loc></sitemap></sitemapindex>"),
+        "c": "<urlset><url><loc></loc></url></urlset>",
+        "d": "<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>",
+    }
+    raw = spark.createDataFrame(list(bodies.items()), "host string, sitemap_xml string")
+    parsed = parse_sitemap(raw)
+    rows = {(r["host"], r["url"]): r for r in parsed.collect()}
+    assert set(rows) == {("a", "https://a/x"), ("a", "https://a/y"), ("a", "https://a/z")}
+    assert rows[("a", "https://a/x")]["lastmod_ts"] == dt.datetime(2026, 2, 3, 4, 5, 6)
+    assert rows[("a", "https://a/y")]["lastmod_ts"] == dt.datetime(2026, 2, 4)
+    assert rows[("a", "https://a/z")]["lastmod_ts"] is None
+    assert all(r["n_children"] == 0 for r in rows.values())
+    kids = sorted(r["sitemap_url"] for r in child_sitemaps(raw).collect())
+    assert kids == ["https://b/s1.xml", "https://b/s2.xml"]
+    for df in (parsed, child_sitemaps(raw)):
+        assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+    # parsed sitemap entries feed the frontier bootstrap unchanged
+    frontier = seeds_to_frontier(sitemap_seeds(parsed))
+    got = {r["url"]: r for r in frontier.collect()}
+    assert got["https://a/x"]["depth"] == 0
+    assert got["https://a/x"]["discovery_ts"] == dt.datetime(2026, 2, 3, 4, 5, 6)
+    assert got["https://a/z"]["discovery_ts"] == dt.datetime(2026, 1, 1)  # default
+    assert got["https://a/x"]["host"] == "a"
+    assert got["https://a/x"]["url_hash"] is not None
