@@ -313,6 +313,11 @@ HEADLINE = [
     "corpus_curation",
     "trustline_rich_list",
     "category_summary_wide",
+    # r04 additions: discovery sources + training-data hygiene
+    "robots_txt_parse",
+    "sitemap_parse",
+    "pii_redaction",
+    "domain_cap",
 ]
 
 

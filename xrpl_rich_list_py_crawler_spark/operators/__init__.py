@@ -1,8 +1,10 @@
 """Reusable dataflow operators (SURVEY.md §2 mappings + §4.2 custom ops)."""
 
 from .asof import asof_lookup, banded_asof_lookup, latest_per_key  # noqa: F401
+from .curation import cap_per_key, curate_corpus  # noqa: F401
 from .frontier import global_rank, priority_order, salted_repartition  # noqa: F401
-from .politeness import apply_robots, assign_politeness  # noqa: F401
+from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401
+from .sitemap import child_sitemaps, parse_sitemap, sitemap_seeds  # noqa: F401
 from .seen import (  # noqa: F401
     BloomShards,
     anti_join_seen,
