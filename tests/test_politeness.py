@@ -255,3 +255,103 @@ def test_sitemap_parse_and_seed_integration(spark):
     assert got["https://a/z"]["discovery_ts"] == dt.datetime(2026, 1, 1)  # default
     assert got["https://a/x"]["host"] == "a"
     assert got["https://a/x"]["url_hash"] is not None
+
+
+def test_robots_and_sitemap_bulk_fuzz_vs_python_re(spark):
+    """Bulk engine-equivalence fuzz: 300 randomized (seeded) robots.txt
+    and sitemap bodies parsed by Spark (Java regex) must agree with an
+    independent Python-re twin built from the same documented grammar —
+    guarding the Java/RE2/PCRE margins (CRLF, \\x0b, stray directives,
+    per-bot sections, nested junk) beyond the handwritten matrices."""
+    import re
+
+    import numpy as np
+
+    from xrpl_rich_list_py_crawler_spark.operators import politeness as pol
+    from xrpl_rich_list_py_crawler_spark.operators import sitemap as sm
+
+    rng = np.random.RandomState(7)
+    robots_lines = [
+        "User-agent: *", "User-Agent: *", "user-agent:*", "User-agent: bot7",
+        "User-agent: x*", "Disallow: /p1", "Disallow: /p2/", "disallow: /Q",
+        "Disallow:", "Crawl-delay: 3", "crawl-delay: 2.5", "Crawl-delay: x",
+        "Allow: /ok", "# comment", "", "\x0b", "Sitemap: https://e/s.xml",
+    ]
+    seps = ["\n", "\r\n"]
+    docs = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        body = "".join(
+            robots_lines[rng.randint(len(robots_lines))] + seps[rng.randint(2)]
+            for _ in range(n)
+        )
+        docs.append((f"h{i}", body))
+
+    def py_robots(txt):
+        secs = re.split(pol.ROBOTS_UA_SPLIT, txt)
+        star = [s for s in secs if re.search(pol.ROBOTS_STAR_LINE, s)]
+        sec = star[0] if star else None
+        dis = re.findall(pol.ROBOTS_DISALLOW, sec) if sec is not None else []
+        m = re.search(pol.ROBOTS_DELAY, sec) if sec is not None else None
+        return (sec is not None, dis, float(m.group(1)) if m else 1.0)
+
+    raw = spark.createDataFrame(docs, "host string, robots_txt string")
+    got = {r["host"]: r for r in pol.parse_robots_txt(raw).collect()}
+    for host, txt in docs:
+        has, dis, delay = py_robots(txt)
+        r = got[host]
+        assert r["has_rules"] == has, (host, repr(txt))
+        assert r["disallow_prefixes"] == dis, (host, repr(txt))
+        assert r["crawl_delay_s"] == delay, (host, repr(txt))
+
+    # sitemap fuzz: shuffled well-formed/malformed fragments
+    frags = [
+        "<url><loc>https://e/a</loc></url>",
+        "<url><loc> https://e/b </loc><lastmod>2026-03-04</lastmod></url>",
+        "<url><lastmod>2026-01-01</lastmod></url>",
+        "<url><loc></loc></url>",
+        "<url><loc>https://e/c</loc><lastmod>2026-03-04T05:06:07Z</lastmod></url>",
+        "<url><loc>https://e/d</loc><lastmod>garbage</lastmod></url>",
+        "<sitemap><loc>https://e/s1.xml</loc></sitemap>",
+        "<url><loc>https://e/e</loc>",  # unterminated: must not match
+        "junk <notatag/>", "\n\n",
+    ]
+    sdocs = []
+    for i in range(300):
+        n = rng.randint(0, 8)
+        body = "<urlset>" + "".join(
+            frags[rng.randint(len(frags))] for _ in range(n)
+        ) + "</urlset>"
+        sdocs.append((f"s{i}", body))
+
+    def py_sitemap(xml):
+        out = []
+        n_children = len(re.findall(sm.SITEMAP_CHILD_BLOCK, xml))
+        for b in re.findall(sm.SITEMAP_URL_BLOCK, xml):
+            mu = re.search(sm.SITEMAP_LOC, b)
+            ml = re.search(sm.SITEMAP_LASTMOD, b)
+            url = mu.group(1) if mu else ""
+            if url:
+                out.append((url, ml.group(1) if ml else "", n_children))
+        return out
+
+    sraw = spark.createDataFrame(sdocs, "host string, sitemap_xml string")
+    srows = {}
+    for r in sm.parse_sitemap(sraw).collect():
+        srows.setdefault(r["host"], []).append(r)
+    import datetime as dt
+
+    for host, xml in sdocs:
+        expect = py_sitemap(xml)
+        gotrows = srows.get(host, [])
+        assert len(gotrows) == len(expect), (host, xml)
+        # parse_sitemap preserves per-doc entry order within explode
+        for r, (url, lm, nch) in zip(gotrows, expect):
+            assert r["url"] == url and r["n_children"] == nch, (host, xml)
+            if lm == "" or lm == "garbage":
+                assert r["lastmod_ts"] is None
+            else:
+                norm = (lm.replace("T", " ") + " 00:00:00")[:19]
+                assert r["lastmod_ts"] == dt.datetime.strptime(
+                    norm, "%Y-%m-%d %H:%M:%S"
+                )

@@ -597,3 +597,46 @@ def test_cap_per_key_quota_and_order(spark):
         assert vals == grp
     # k larger than any group: everything survives
     assert cap_per_key(df, k=100).count() == 30
+
+
+def test_pii_bulk_fuzz_vs_python_re(spark):
+    """Bulk engine-equivalence fuzz for the PII chain: 300 randomized
+    (seeded) ASCII texts mixing emails/IPs/phones/near-misses must
+    produce identical counts and redacted text between Spark (Java
+    regex) and a Python-re twin of the same pass chain. ASCII-only by
+    design: \\b is ASCII-word in Java/RE2 but unicode-word in Python re
+    (the one documented engine margin)."""
+    import re
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    toks = [
+        "hello", "a.b@c.io", "x@y", "bad@", "10.0.0.1", "999.999.999.999",
+        "1.2.3.4.5", "+1 (555) 010-4242", "555-010", "0123456789",
+        "ref:", "v1.2", "call", "(12) 34-56-78", "email@sub.domain.org",
+        "8.8.8.8:53", "..", "- -", "42",
+    ]
+    docs = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        docs.append((i, " ".join(toks[rng.randint(len(toks))] for _ in range(n))))
+
+    def py_pii(text):
+        ae = re.sub(ts.PII_EMAIL, "<EMAIL>", text)
+        ai = re.sub(ts.PII_IPV4, "<IP>", ae)
+        red = re.sub(ts.PII_PHONE, "<PHONE>", ai)
+        return (
+            len(re.findall(ts.PII_EMAIL, text)),
+            len(re.findall(ts.PII_IPV4, ae)),
+            len(re.findall(ts.PII_PHONE, ai)),
+            red,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.pii_counts(df).collect()}
+    for i, text in docs:
+        ne, ni, np_, red = py_pii(text)
+        r = got[i]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), text
+        assert r["redacted"] == red, text
