@@ -146,11 +146,11 @@ def bench_crawl(spark, sf_dir: str) -> dict:
 
 def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
     """Compute-bound scaling probe: the crawl's parse kernel over the whole
-    corpus ×repeat — extract text (ONE Arrow pass) + links (JVM
-    regexp_extract_all, r04 change: won 4/4 interleaved paired trials vs
-    the r03 fused-Arrow kernel, ~20% median), canonicalize every link,
-    hash, aggregate. Embarrassingly parallel; used by
-    scripts/bench_scaling.py for the N-vs-4N-cores efficiency evidence.
+    corpus ×repeat — text AND link extraction fully JVM-side (r04: the
+    blob never crosses to Python; byte-identity vs the Python twin pinned
+    in tests/test_parsers.py), canonicalize every link, hash, aggregate.
+    Embarrassingly parallel; used by scripts/bench_scaling.py for the
+    N-vs-4N-cores efficiency evidence.
 
     Canonicalization here is the Arrow UDF (whose pandas fast path
     passes the canonical majority through): the split-union JVM fast path
@@ -163,7 +163,7 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
     from xrpl_rich_list_py_crawler_spark.functions.udfs import (
         canonicalize_url_udf,
         extract_links_col,
-        extract_text_udf,
+        extract_text_col,
         host_col,
     )
     from xrpl_rich_list_py_crawler_spark.sources.fixtures import (
@@ -182,7 +182,7 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
     t0 = time.time()
     parsed = (
         pages.select(
-            F.length(extract_text_udf("html")).alias("text_len"),
+            F.length(extract_text_col(F.col("html"))).alias("text_len"),
             F.explode_outer(extract_links_col(F.col("html"))).alias("raw"),
         )
         .withColumn("canon", canonicalize_url_udf("raw"))

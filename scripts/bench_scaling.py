@@ -173,10 +173,10 @@ alone). On a real 4N-executor cluster each executor brings its own memory
 channels, so this term scales with nodes; in-sandbox it is the known
 non-scaling boundary (same result at 2-vs-8: 0.60).
 
-## Secondary: Arrow-UDF corpus parse (pair 0 only)
+## Secondary: corpus parse kernel (pair 0 only)
 
-Pages corpus x40 (x10 in this probe): Arrow text extraction + JVM link
-extraction (r04), per-link canonicalization
+Pages corpus x40 (x10 in this probe): fully-JVM text + link extraction
+(r04 - the blob never crosses to Python), per-link canonicalization
 (vectorized fast path), xxhash64, per-host aggregate.
 
 | level | wall (s) | pages/s |

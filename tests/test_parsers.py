@@ -126,6 +126,40 @@ def test_extract_links_col_jvm_matches_ref(spark, crawl_sf0001):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_extract_text_col_jvm_matches_ref(spark, crawl_sf0001):
+    """r04: the fully-JVM text extraction must be byte-identical to
+    parsers_ref.extract_text on the whole fixture corpus AND adversarial
+    bytes: empty/missing/duplicate/EMPTY titles (the slice trick keeps
+    search-first + empty-vs-absent semantics), multiline paras, invalid
+    UTF-8 inside and outside parts, truncated multibyte at a part
+    boundary, unclosed tags, uppercase tags (must NOT match)."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import extract_text_col
+
+    pages = pd.read_parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    adversarial = [
+        b"", b"<title></title>", b"<title>t</title><p>a</p><p>b</p>",
+        b"<p>multi\nline</p>",
+        b"<title>x</title><title>y</title><p>z</p>",
+        b"<p>caf\xc3\xa9</p>", b"<p>bad\xff</p>", b"\xff\xfe<p>ok</p>",
+        b"<p>unclosed", b"<TITLE>up</TITLE><P>up</P>", b"<p></p>",
+        b"<p>a</p>\xc3<p>b</p>", b"<title>broken\xe2\x82</title>",
+    ]
+    rows = [(str(i), bytes(h)) for i, h in enumerate(pages["html"].head(200))]
+    rows += [(f"adv{i}", b) for i, b in enumerate(adversarial)]
+    sdf = spark.createDataFrame(rows, "k string, html binary")
+    got = {
+        r["k"]: r["t"]
+        for r in sdf.withColumn("t", extract_text_col(F.col("html"))).collect()
+    }
+    for k, b in rows:
+        assert got[k] == extract_text(b), (k, b)
+    plan = (
+        sdf.withColumn("t", extract_text_col(F.col("html")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
 def test_canonicalize_urls_split_matches_udf(spark, crawl_sf0001):
     """The split-union JVM fast path must produce exactly the UDF's
     result multiset — no dropped rows (incl. null urls), no changed

@@ -174,24 +174,23 @@ def test_round_parse_single_arrow_eval(spark, crawl_sf0001):
     assert plan.count("extract_page_udf") == 1
 
 
-def test_round_parse_links_jvm_single_text_arrow(spark, crawl_sf0001):
-    """r04: run_round's extraction ships the blob to Python exactly once
-    (text extraction) while link harvesting stays JVM-side — one
-    ArrowEvalPython node, the link path visible as regexp_extract_all in
-    codegen, and no links UDF anywhere in the plan."""
+def test_round_parse_fully_jvm(spark, crawl_sf0001):
+    """r04: run_round's extraction is Python-FREE — text and links both
+    harvest via regexp in whole-stage codegen; the html blob never
+    crosses the JVM↔Python channel at all."""
     import os
 
     from pyspark.sql import functions as F
 
     from xrpl_rich_list_py_crawler_spark.functions.udfs import (
         extract_links_col,
-        extract_text_udf,
+        extract_text_col,
     )
 
     pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
     ok = F.col("html").isNotNull()
     parsed = (
-        pages.withColumn("text", F.when(ok, extract_text_udf("html")))
+        pages.withColumn("text", F.when(ok, extract_text_col(F.col("html"))))
         .withColumn(
             "links",
             F.coalesce(
@@ -202,9 +201,7 @@ def test_round_parse_links_jvm_single_text_arrow(spark, crawl_sf0001):
         .select("text", F.size("links").alias("n_links"))
     )
     plan = parsed._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
-    assert plan.count("extract_text_udf") == 1
-    assert "extract_links_udf" not in plan and "extract_page_udf" not in plan
+    assert "EvalPython" not in plan
     assert "regexp_extract_all" in plan
 
 

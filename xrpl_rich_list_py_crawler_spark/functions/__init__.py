@@ -18,6 +18,7 @@ from .udfs import (  # noqa: F401
     extract_links_col,
     extract_links_udf,
     extract_page_udf,
+    extract_text_col,
     extract_text_udf,
     format_label_col,
     host_col,

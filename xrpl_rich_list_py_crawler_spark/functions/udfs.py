@@ -155,6 +155,39 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
 #: bytes-mode, and the pattern contains no `.`, so DOTALL is irrelevant.
 LINK_HREF_PATTERN = r'<a\s+href="([^"]*)"'
 
+#: Java-regex twins of parsers_ref._TITLE_RE/_PARA_RE ((?s) = DOTALL)
+TITLE_PATTERN = r"(?s)<title>(.*?)</title>"
+PARA_PATTERN = r"(?s)<p>(.*?)</p>"
+
+
+def extract_text_col(html: Column) -> Column:
+    """JVM-side text extraction (whole-stage codegen, zero Python) —
+    byte-identical to parsers_ref.extract_text / extract_text_udf.
+
+    Same decode route as :func:`extract_links_col` (cast +
+    ``make_valid_utf8``), same self-synchronization argument: the
+    title/para delimiters are ASCII, so match boundaries — and U+FFFD
+    replacement of any invalid bytes inside or truncated at a part
+    boundary — land exactly where the Python twin's per-bytes
+    decode-after-join puts them (pinned on the fixture corpus plus
+    adversarial bytes in tests/test_parsers.py).
+
+    The ``slice(…, 1, 1)`` keeps the twin's SEARCH semantics for
+    ``<title>`` — first title only — while still distinguishing a page
+    with an EMPTY title (one '' part, so the joined text leads with a
+    newline) from a page with none (no part): ``regexp_extract`` alone
+    returns '' for both and would merge them.
+
+    With this, the whole crawl round is Python-free; the Arrow UDFs
+    remain exported for callers that want the pandas path.
+    """
+    s = F.make_valid_utf8(html.cast("string"))
+    title = F.slice(F.regexp_extract_all(s, F.lit(TITLE_PATTERN), 1), 1, 1)
+    paras = F.regexp_extract_all(s, F.lit(PARA_PATTERN), 1)
+    return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(F.concat(title, paras), "\n")
+    )
+
 
 def extract_links_col(html: Column) -> Column:
     """JVM-side link extraction (whole-stage codegen, zero Python).

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import (
     canonicalize_urls_split,
     extract_links_col,
-    extract_text_udf,
+    extract_text_col,
     host_col,
 )
 from ..operators.frontier import global_rank
@@ -246,14 +246,15 @@ class CrawlRun:
                 "left",
             ).withColumn("fetch_ok", F.col("html").isNotNull())
 
-        # 4. extraction: text through ONE Arrow pass (byte-identical text
-        # invariant needs the Python twin's exact decode), links fully
-        # JVM-side (regexp_extract_all in whole-stage codegen — the blob
-        # crosses the JVM↔Python channel once for text and never for
-        # links; r04 change, byte-equality pinned in tests/test_parsers.py)
+        # 4. extraction: text AND links fully JVM-side (regexp in
+        # whole-stage codegen — the html blob never crosses to Python at
+        # all; the byte-identical-text invariant survives because the
+        # ASCII-delimiter/UTF-8-self-synchronization argument makes the
+        # JVM extraction byte-equal to the Python twin for ANY bytes,
+        # pinned on fixture + adversarial corpora in tests/test_parsers.py)
         parsed = (
             fetched.withColumn(
-                "text", F.when(F.col("fetch_ok"), extract_text_udf("html"))
+                "text", F.when(F.col("fetch_ok"), extract_text_col(F.col("html")))
             )
             .withColumn(
                 "links",
