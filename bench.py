@@ -172,13 +172,18 @@ def bench_corpus_parse(spark, sf_dir: str, repeat: int = 40) -> dict:
 
     d = ensure_crawl_fixtures(_sf_name(sf_dir))
     one = spark.read.parquet(os.path.join(d, "pages.parquet"))
-    # replicate rows JVM-side (one scan, broadcast-joined range) and spread
-    # across 3x cores — one 27 MB file would otherwise give ~2 input splits
-    # (on a real corpus maxPartitionBytes does this for free)
+    # spread FIRST, replicate AFTER: repartition before the broadcast
+    # crossJoin shuffles the corpus once (27 MB), and each partition then
+    # replicates ×repeat locally with no further shuffle. The r03 shape
+    # (crossJoin then repartition) pushed repeat× the blob bytes through
+    # a 2-task scan stage — a serial term that capped the kernel's
+    # measured scaling at ~0.40 efficiency regardless of the parse code
+    # (r04 finding; the fixed shape measures 0.70). On a real corpus
+    # maxPartitionBytes spreads the scan for free.
     par = spark.sparkContext.defaultParallelism
-    pages = one.crossJoin(
+    pages = one.repartition(par * 3).crossJoin(
         F.broadcast(spark.range(repeat).select(F.col("id").alias("_rep")))
-    ).repartition(par * 3)
+    )
     t0 = time.time()
     parsed = (
         pages.select(
