@@ -734,6 +734,17 @@ def _q_domain_cap(spark, sf):
     return cap_per_key(d, key_col="source", order_cols=("n_chars", "doc_id"), k=10)
 
 
+def _q_unigram_quality(spark, sf):
+    """Corpus-frequency quality scoring (operators/textstats.py:
+    unigram_vocab + unigram_quality, r04): top-200 corpus vocabulary →
+    broadcast join → per-doc vocab-mass and OOV ratio — the cheap
+    stand-in for LM-perplexity filtering. All ratios derive from EXACT
+    integer sums divided once (never float accumulation, never log), so
+    Spark and DuckDB produce bit-identical doubles."""
+    d = _t(spark, sf, "documents")
+    return ts.unigram_quality(d, ts.unigram_vocab(d, k=200))
+
+
 def _q_sitemap_parse(spark, sf):
     """Sitemap ingestion (operators/sitemap.py:parse_sitemap, r04): raw
     sitemap.xml bodies → one seed row per <url> entry with lastmod
@@ -1132,14 +1143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query a hard driver row. Round 4 head-slots the 15-entry r03
     tail (bpe_token_counts FIRST — the only registered query with no
     CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
-    and the five NEW r04 queries (corpus_curation_capped,
-    robots_txt_parse, pii_redaction, domain_cap, sitemap_parse). To make
-    room, 20 r03-green entries are demoted: token_counts_by_lang /
-    doc_fingerprints / minhash_neardups / neardup_components (displaced
-    past slot 50), the 15-query function.sql chain (each green in BOTH
-    r01 and r03, the most-reverified block in the registry) and
-    w2_summary_view_id. Lifetime coverage after an r04 green run: 70/70 —
-    every demoted entry already carries at least one green driver row.
+    and the six NEW r04 queries (corpus_curation_capped,
+    robots_txt_parse, pii_redaction, domain_cap, sitemap_parse,
+    unigram_quality). To make room, 21 r03-green entries are demoted:
+    text_quality / token_counts_by_lang / doc_fingerprints /
+    minhash_neardups / neardup_components (displaced past slot 50), the
+    15-query function.sql chain (each green in BOTH r01 and r03, the
+    most-reverified block in the registry) and w2_summary_view_id.
+    Lifetime coverage after an r04 green run: 71/71 — every demoted
+    entry already carries at least one green driver row.
     """
     return {
         # --- r03 tail, promoted for hard driver verification ---
@@ -1168,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         # --- NEW in r4: sitemap.xml discovery source ---
         "sitemap_parse": _q_sitemap_parse,
+        # --- NEW in r4: corpus-frequency quality (perplexity stand-in)
+        "unigram_quality": _q_unigram_quality,
         # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1201,12 +1215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_denied": _q_robots_denied,
         # --- training-data ops ---
         "dedup_exact": _q_dedup_exact,
+        # --- demoted tail (21): text_quality / token_counts_by_lang /
+        #     doc_fingerprints / minhash_neardups / neardup_components
+        #     displaced past slot 50 by the six new r04 queries (each
+        #     r03-green); the function.sql chain green in r01 AND r03;
+        #     w2 green in r03 — every demoted entry carries at least one
+        #     lifetime green row
         "text_quality": _q_text_quality,
-        # --- demoted tail (20): token_counts_by_lang / doc_fingerprints /
-        #     minhash_neardups / neardup_components displaced past slot 50
-        #     by the five new r04 queries (each r03-green); the
-        #     function.sql chain green in r01 AND r03; w2 green in r03 —
-        #     every demoted entry carries at least one lifetime green row
         "token_counts_by_lang": _q_token_counts_by_lang,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_neardups": _q_minhash_neardups,
@@ -2194,6 +2209,43 @@ def oracle_sql() -> dict[str, str]:
             regexp_replace(after_ip, '{ts.PII_PHONE}', '<PHONE>', 'g')
                 AS redacted
         FROM chain2
+    """
+    out["unigram_quality"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS token
+            FROM documents
+        ),
+        toks2 AS (SELECT * FROM toks WHERE token <> ''),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM toks2 GROUP BY 1),
+        vocab AS (
+            SELECT token, cnt FROM (
+                SELECT token, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+                FROM counts
+            ) WHERE rank <= 200
+        ),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS vt FROM vocab),
+        joined AS (
+            SELECT t.doc_id, v.cnt
+            FROM toks2 t LEFT JOIN vocab v USING (token)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                COUNT(cnt) AS in_vocab,
+                COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS freq_mass
+            FROM joined GROUP BY 1
+        )
+        SELECT doc_id, n_tokens,
+            CAST(in_vocab AS INT) AS in_vocab,
+            freq_mass,
+            ROUND(CAST(freq_mass AS DOUBLE)
+                  / CAST((SELECT vt FROM total) * n_tokens AS DOUBLE), 9)
+                AS avg_vocab_freq,
+            ROUND(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 6)
+                AS oov_ratio
+        FROM per_doc
     """
     out["domain_cap"] = """
         SELECT doc_id, source, n_chars, CAST(rk AS INT) AS keep_rank

@@ -640,3 +640,39 @@ def test_pii_bulk_fuzz_vs_python_re(spark):
         r = got[i]
         assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), text
         assert r["redacted"] == red, text
+
+
+def test_unigram_quality_semantics(spark):
+    """Corpus-frequency quality: vocab is the deterministic top-k cut;
+    per-doc mass/OOV derive from exact integer sums (hand-checked on a
+    toy corpus); docs of pure OOV mash score zero; the scoring join is
+    a broadcast hash join."""
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the"),
+        (3, "qqzz xxqq ppww"),          # pure OOV at k=3
+        (4, "the cat vvbb"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = ts.unigram_vocab(df, k=3)
+    v = {r["token"]: (r["cnt"], r["rank"]) for r in vocab.collect()}
+    # counts: the=6, cat=2, rest=1 -> top-3 = the, cat, then the
+    # FIRST ALPHABETICAL token among cnt=1 ('mat') - the deterministic
+    # tiebreak
+    assert v["the"] == (6, 1) and v["cat"] == (2, 2) and v["mat"] == (1, 3)
+    out = {r["doc_id"]: r for r in ts.unigram_quality(df, vocab).collect()}
+    # doc 1: 6 tokens; in-vocab: the,cat,the,mat (sat,on OOV) -> 4
+    assert out[1]["n_tokens"] == 6 and out[1]["in_vocab"] == 4
+    assert out[1]["freq_mass"] == 6 + 2 + 6 + 1  # the+cat+the+mat
+    assert out[1]["oov_ratio"] == round(2 / 6, 6)
+    # doc 2: all in vocab, mass 18, oov 0
+    assert out[2]["freq_mass"] == 18 and out[2]["oov_ratio"] == 0.0
+    # doc 3: pure mash
+    assert out[3]["in_vocab"] == 0 and out[3]["freq_mass"] == 0
+    assert out[3]["oov_ratio"] == 1.0 and out[3]["avg_vocab_freq"] == 0.0
+    # scoring join is broadcast
+    plan = (
+        ts.unigram_quality(df, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

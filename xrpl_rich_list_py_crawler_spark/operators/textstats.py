@@ -8,7 +8,7 @@ leaves whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Portable token split: runs of whitespace. Same regex in Spark & DuckDB.
@@ -207,4 +207,79 @@ def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.regexp_count(after_email, F.lit(PII_IPV4)).alias("n_ips"),
         F.regexp_count(after_ip, F.lit(PII_PHONE)).alias("n_phones"),
         redact_pii_col(t).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality: unigram-frequency scoring (r04)
+# ---------------------------------------------------------------------------
+
+
+def unigram_vocab(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFrame:
+    """Top-``k`` corpus vocabulary: (token, cnt, rank). One token-explode
+    shuffle with map-side partial counts; the top-k cut (count desc,
+    token tiebreak — fully deterministic) keeps the vocabulary
+    BROADCASTABLE at any corpus size, which is what makes the scoring
+    join below the 100 TB shape."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    # rank via the two-value sort on an already-aggregated (small) frame;
+    # at web scale replace with global_rank if the vocab cut is huge
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def unigram_quality(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc corpus-frequency quality: how much of the doc's token mass
+    falls on the corpus's top-k vocabulary, and how frequent those tokens
+    are — the cheap stand-in for LM-perplexity filtering (natural prose
+    concentrates on frequent tokens; keyboard mash and boilerplate
+    codes do not).
+
+    Determinism discipline: scores are ratios of EXACT integer sums
+    (Σ cnt over matched tokens, token counts), divided once at the end —
+    never a float accumulation, whose ordering differs between engines,
+    and never ``log``, whose libm rounding differs at the last ulp. Both
+    engines therefore produce bit-identical doubles.
+
+    Output: (id, n_tokens, in_vocab, freq_mass bigint,
+    avg_vocab_freq double, oov_ratio double). Join shape: token explode →
+    broadcast hash join against the top-k vocab → one groupBy(id).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS)).alias("token"),
+    ).filter(F.col("token") != "")
+    total = vocab.agg(F.sum("cnt").alias("_vt"))
+    joined = toks.join(F.broadcast(vocab.select("token", "cnt")), "token", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("cnt").alias("in_vocab"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("freq_mass"),
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.col("in_vocab").cast("int").alias("in_vocab"),
+        "freq_mass",
+        F.round(
+            F.col("freq_mass").cast("double")
+            / (F.col("_vt") * F.col("n_tokens")).cast("double"),
+            9,
+        ).alias("avg_vocab_freq"),
+        F.round(
+            (F.col("n_tokens") - F.col("in_vocab")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("oov_ratio"),
     )
