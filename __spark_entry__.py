@@ -745,6 +745,22 @@ def _q_unigram_quality(spark, sf):
     return ts.unigram_quality(d, ts.unigram_vocab(d, k=200))
 
 
+def _q_ngram_contamination(spark, sf):
+    """Benchmark decontamination (operators/curation.py:
+    ngram_contamination, r04): 13-token-gram overlap between the
+    training split (doc_id%10 != 7) and a held-out benchmark split —
+    the standard pretraining hygiene pass. Pure JVM gram explode +
+    semi join; ratios from exact integer counts."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    bench = d.filter(F.col("doc_id") % 10 == 7)
+    return ngram_contamination(corpus, bench)
+
+
 def _q_sitemap_parse(spark, sf):
     """Sitemap ingestion (operators/sitemap.py:parse_sitemap, r04): raw
     sitemap.xml bodies → one seed row per <url> entry with lastmod
@@ -1143,14 +1159,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query a hard driver row. Round 4 head-slots the 15-entry r03
     tail (bpe_token_counts FIRST — the only registered query with no
     CORRECTNESS row in any round — plus the 14 r01/r02-green demotions)
-    and the six NEW r04 queries (corpus_curation_capped,
+    and the seven NEW r04 queries (corpus_curation_capped,
     robots_txt_parse, pii_redaction, domain_cap, sitemap_parse,
-    unigram_quality). To make room, 21 r03-green entries are demoted:
-    text_quality / token_counts_by_lang / doc_fingerprints /
-    minhash_neardups / neardup_components (displaced past slot 50), the
-    15-query function.sql chain (each green in BOTH r01 and r03, the
+    unigram_quality, ngram_contamination). To make room, 22 r03-green
+    entries are demoted: dedup_exact / text_quality /
+    token_counts_by_lang / doc_fingerprints / minhash_neardups /
+    neardup_components (displaced past slot 50), the 15-query
+    function.sql chain (each green in BOTH r01 and r03, the
     most-reverified block in the registry) and w2_summary_view_id.
-    Lifetime coverage after an r04 green run: 71/71 — every demoted
+    Lifetime coverage after an r04 green run: 72/72 — every demoted
     entry already carries at least one green driver row.
     """
     return {
@@ -1182,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap_parse,
         # --- NEW in r4: corpus-frequency quality (perplexity stand-in)
         "unigram_quality": _q_unigram_quality,
+        # --- NEW in r4: benchmark decontamination (13-gram overlap) ---
+        "ngram_contamination": _q_ngram_contamination,
         # --- r03-green entries re-confirmed this round ---
         "lang_id": _q_lang_id,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1214,13 +1233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_assignment": _q_politeness_assignment,
         "robots_denied": _q_robots_denied,
         # --- training-data ops ---
+        # --- demoted tail (22): dedup_exact / text_quality /
+        #     token_counts_by_lang / doc_fingerprints / minhash_neardups /
+        #     neardup_components displaced past slot 50 by the seven new
+        #     r04 queries (each r03-green); the function.sql chain green
+        #     in r01 AND r03; w2 green in r03 — every demoted entry
+        #     carries at least one lifetime green row
         "dedup_exact": _q_dedup_exact,
-        # --- demoted tail (21): text_quality / token_counts_by_lang /
-        #     doc_fingerprints / minhash_neardups / neardup_components
-        #     displaced past slot 50 by the six new r04 queries (each
-        #     r03-green); the function.sql chain green in r01 AND r03;
-        #     w2 green in r03 — every demoted entry carries at least one
-        #     lifetime green row
         "text_quality": _q_text_quality,
         "token_counts_by_lang": _q_token_counts_by_lang,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -2209,6 +2228,37 @@ def oracle_sql() -> dict[str, str]:
             regexp_replace(after_ip, '{ts.PII_PHONE}', '<PHONE>', 'g')
                 AS redacted
         FROM chain2
+    """
+    out["ngram_contamination"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                    range(1, greatest(len(t) - 12, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 12), ' ')
+                ))) AS gram
+            FROM toks
+        ),
+        corpus_g AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
+        bench_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM corpus_g GROUP BY 1
+        ),
+        hit AS (
+            SELECT doc_id, COUNT(*) AS n_cont FROM corpus_g
+            WHERE gram IN (SELECT gram FROM bench_g) GROUP BY 1
+        )
+        SELECT t.doc_id,
+            CAST(t.n_grams AS BIGINT) AS n_grams,
+            CAST(COALESCE(h.n_cont, 0) AS INT) AS n_contaminated,
+            ROUND(CAST(COALESCE(h.n_cont, 0) AS DOUBLE) / t.n_grams, 6)
+                AS contamination,
+            COALESCE(h.n_cont, 0) > 0 AS contaminated
+        FROM tot t LEFT JOIN hit h USING (doc_id)
     """
     out["unigram_quality"] = r"""
         WITH toks AS (

@@ -676,3 +676,39 @@ def test_unigram_quality_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_contamination_semantics(spark):
+    """Decontamination: a doc sharing a 13-token window with the
+    benchmark flags with the right gram counts; clean docs score 0;
+    short docs fall back to the whole-run gram; the join is a semi join
+    with no cartesian anywhere."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    bench_txt = " ".join(f"b{i}" for i in range(20))
+    corpus = [
+        # contains bench tokens 3..15 verbatim = shares 13-gram windows
+        (1, "x y " + " ".join(f"b{i}" for i in range(3, 16)) + " z"),
+        (2, " ".join(f"c{i}" for i in range(30))),      # clean
+        (3, "short doc"),                                # < 13 tokens
+        (4, bench_txt),                                  # exact benchmark copy
+    ]
+    bench = spark.createDataFrame([(100, bench_txt)], "doc_id long, text string")
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(df, bench).collect()}
+    # doc 1: 16 tokens -> 4 grams; exactly ONE (the b3..b15 window) is a
+    # bench gram
+    assert out[1]["n_grams"] == 4 and out[1]["n_contaminated"] == 1
+    assert out[1]["contaminated"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 1 and not out[3]["contaminated"]
+    # doc 4 is a verbatim copy: every one of its 8 grams is contaminated
+    assert out[4]["n_grams"] == 8 and out[4]["n_contaminated"] == 8
+    assert out[4]["contamination"] == 1.0
+    plan = (
+        ngram_contamination(df, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan

@@ -110,3 +110,71 @@ def cap_per_key(
         .withColumn("keep_rank", F.col("_rk").cast("int"))
         .drop("_rk")
     )
+
+
+def token_ngrams_col(text, n: int = 13):
+    """Distinct token ``n``-grams of a text column, pure JVM — the
+    decontamination unit (13-token grams are the de-facto standard for
+    benchmark-overlap checks in pretraining pipelines). A doc shorter
+    than ``n`` tokens contributes its whole token run as one gram (same
+    floor idiom as dedup.char_ngrams_col, and the same in the DuckDB
+    twin, so the sets match exactly)."""
+    t = text if not isinstance(text, str) else F.col(text)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    start = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(start, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any token
+    ``n``-gram with a held-out benchmark corpus.
+
+    Shape: distinct grams explode on both sides → equi join keyed by the
+    gram → one groupBy(doc). The shuffle is linear in total gram count
+    (map-side distinct per doc first); the benchmark side is typically
+    tiny relative to the corpus, so AQE picks a broadcast join — at
+    10^10-doc scale with a large benchmark suite, pre-hash the gram to
+    xxhash64 and bloom-prefilter exactly like the URL-seen set.
+
+    Output per corpus doc: (id, n_grams, n_contaminated, contamination
+    ratio, contaminated flag). Ratios are exact-integer divisions — no
+    float accumulation — so the DuckDB twin is bit-identical.
+    """
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(token_ngrams_col(text_col, n)).alias("gram")
+    )
+    bench_grams = benchmark.select(
+        F.explode(token_ngrams_col(text_col, n)).alias("gram")
+    ).distinct()
+    hits = (
+        doc_grams.join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("int").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
