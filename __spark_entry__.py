@@ -1845,30 +1845,30 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": r"""
             SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END
                     AS n_tokens,
                 length(text) AS n_chars,
                 ROUND(CASE WHEN trim(text) = '' THEN 0.0 ELSE
-                    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                    / len(regexp_split_to_array(trim(text), '\s+')) END, 6)
+                    CAST(length(regexp_replace(trim(text), '[ \t\n\r\f\x0b]+', '', 'g')) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END, 6)
                     AS avg_token_len,
                 ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0b]', '', 'g')) AS DOUBLE)
                     / length(text) END, 6) AS punct_ratio,
-                ROUND(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0
+                ROUND(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) = 0
                     THEN 0.0 ELSE
-                    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+'),
                         t -> t IN ('the','of','and','a','to','in','is','it','you',
                                    'that','he','was','for','on','are','with','as',
                                    'i','his','they'))) AS DOUBLE)
-                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 6)
+                    / len(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) END, 6)
                     AS stopword_ratio
             FROM documents
         """,
         "token_counts_by_lang": r"""
             SELECT lang,
                 CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END)
                     AS BIGINT) AS total_tokens,
                 COUNT(*) AS n_docs
             FROM documents GROUP BY 1
@@ -1879,7 +1879,7 @@ def oracle_sql() -> dict[str, str]:
                     len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS n_bpe,
                     CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
                     END AS n_ws
                 FROM documents
             )
@@ -1895,7 +1895,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS md5,
                 md5(array_to_string(
                     list_sort(list_distinct(
-                        regexp_split_to_array(lower(text), '\s+'))), ' '))
+                        regexp_split_to_array(lower(text), '[ \t\n\r\f\x0b]+'))), ' '))
                     AS tokenset_md5
             FROM documents
         """,
@@ -1952,10 +1952,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                     {ts.lang_id_sql('text')} AS lang_pred,
                     CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
                         END AS n_tokens,
                     ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                        CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                        CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\r\f\x0b]',
                                                    '', 'g')) AS DOUBLE)
                         / length(text) END, 6) AS punct_ratio,
                     doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
@@ -2066,7 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "token_jaccard_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,
-                    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
+                    list_distinct(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0b]+')) AS t
                 FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2232,7 +2232,7 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_contamination"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+') AS t
             FROM documents
         ),
         g AS (
@@ -2263,7 +2263,7 @@ def oracle_sql() -> dict[str, str]:
     out["unigram_quality"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+'))
                     AS token
             FROM documents
         ),

@@ -273,3 +273,22 @@ def test_bucketed_pages_fetch_join_no_pages_exchange(spark, crawl_sf0001, tmp_pa
                                        "goldens", "crawl_order_round1.jsonl"))]
     assert got == gold
     spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
+
+
+def test_unigram_vocab_topk_is_parallel(spark, sf_dir):
+    """unigram_vocab's top-k cut must compile to TakeOrderedAndProject
+    (per-partition partial top-k, driver k-row merge) — NOT a global-sort
+    or single-partition window over the full distinct-token frame, which
+    on a web corpus is billions of rows (VERDICT r04 #2). The residual
+    rank window is fine: it consumes the already-cut k-row frame, so in
+    the plan tree it must sit ABOVE the TakeOrderedAndProject."""
+    from xrpl_rich_list_py_crawler_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(ts.unigram_vocab(docs, k=200))
+    assert "TakeOrderedAndProject" in plan
+    # formatted plans print root-first: the Window (rank over k rows)
+    # must appear before (= above) the top-k cut it consumes
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    # and no global Sort of the full counts frame anywhere
+    assert "Sort [cnt" not in plan

@@ -355,3 +355,36 @@ def test_robots_and_sitemap_bulk_fuzz_vs_python_re(spark):
                 assert r["lastmod_ts"] == dt.datetime.strptime(
                     norm, "%Y-%m-%d %H:%M:%S"
                 )
+
+
+def test_sitemap_seeds_accepts_parse_robots_txt_dim(spark):
+    """sitemap_seeds(robots=...) must accept BOTH host dims the engine
+    builds: the run-level robots dim (has host_rank) and parse_robots_txt
+    output (no host_rank column — robots.txt has no rank concept). The
+    r04 pairing raised AnalysisException (ADVICE r04); now the missing
+    column coalesces to 0.0."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        parse_robots_txt,
+    )
+    from xrpl_rich_list_py_crawler_spark.operators.sitemap import (
+        parse_sitemap,
+        sitemap_seeds,
+    )
+
+    raw_sm = spark.createDataFrame(
+        [("a", "<urlset><url><loc>https://a/x</loc></url></urlset>")],
+        "host string, sitemap_xml string",
+    )
+    parsed = parse_sitemap(raw_sm)
+    raw_robots = spark.createDataFrame(
+        [("a", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    no_rank = parse_robots_txt(raw_robots)
+    assert "host_rank" not in no_rank.columns
+    got = sitemap_seeds(parsed, robots=no_rank).collect()
+    assert [(r["url"], r["host_rank"]) for r in got] == [("https://a/x", 0.0)]
+    # and the ranked dim still flows through
+    ranked = spark.createDataFrame([("a", 7.5)], "host string, host_rank double")
+    got2 = sitemap_seeds(parsed, robots=ranked).collect()
+    assert [(r["url"], r["host_rank"]) for r in got2] == [("https://a/x", 7.5)]

@@ -712,3 +712,24 @@ def test_ngram_contamination_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+def test_pii_phone_requires_seven_digits(spark):
+    """r05 PII_PHONE tightening (ADVICE r04): a match needs >=7 actual
+    digits, so short digit/dash/space runs ('(12) 34-56', scores, ranges)
+    are no longer redacted; digit-dense non-phones (ISO timestamps) still
+    are — the documented, accepted conservative over-redaction."""
+    rows = [
+        (0, "call (12) 34-56 now"),          # 6 digits: keep
+        (1, "score was 42 - 17 yesterday"),  # 4 digits: keep
+        (2, "call 5550104 now"),             # 7 digits: redact
+        (3, "call +1 (555) 010-4242 now"),   # 11 digits: redact
+        (4, "logged 2026-01-02 03:04 utc"),  # timestamp: accepted redaction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.pii_counts(df).collect()}
+    assert got[0]["n_phones"] == 0 and "<PHONE>" not in got[0]["redacted"]
+    assert got[1]["n_phones"] == 0
+    assert got[2]["n_phones"] == 1 and got[2]["redacted"] == "call <PHONE> now"
+    assert got[3]["n_phones"] == 1 and got[3]["redacted"] == "call <PHONE> now"
+    assert got[4]["n_phones"] >= 1 and "<PHONE>" in got[4]["redacted"]

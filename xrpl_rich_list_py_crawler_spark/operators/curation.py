@@ -120,7 +120,7 @@ def token_ngrams_col(text, n: int = 13):
     floor idiom as dedup.char_ngrams_col, and the same in the DuckDB
     twin, so the sets match exactly)."""
     t = text if not isinstance(text, str) else F.col(text)
-    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    toks = F.split(F.lower(F.trim(t)), ts.WS)
     start = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
     )

@@ -462,19 +462,21 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard for given candidate pairs (JVM-side set
     ops over arrays — no Python). Gram sets persist: both join sides
     reference them."""
+    from .textstats import WS  # portable whitespace class (no bare \s)
+
     grams = df.select(
         id_col,
         F.array_distinct(
             F.transform(
                 F.slice(
-                    F.split(F.col(text_col), r"\s+"),
+                    F.split(F.col(text_col), WS),
                     1,
                     F.greatest(
-                        F.size(F.split(F.col(text_col), r"\s+")) - (n - 1), F.lit(0)
+                        F.size(F.split(F.col(text_col), WS)) - (n - 1), F.lit(0)
                     ),
                 ),
                 lambda _, i: F.concat_ws(
-                    " ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)
+                    " ", F.slice(F.split(F.col(text_col), WS), i + 1, n)
                 ),
             )
         ).alias("grams"),
@@ -575,9 +577,11 @@ def jaccard_similarity_join(
     then verified with the exact Jaccard. Shuffles: one token-frequency agg,
     one prefix-bucket join, one verify join; all linear-ish in corpus size.
     """
+    from .textstats import WS  # portable whitespace class (no bare \s)
+
     toks = df.select(
         id_col,
-        F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), WS)).alias("t"),
     )
     freq = (
         toks.select(F.explode("t").alias("tok"))

