@@ -78,9 +78,17 @@ def _materialize(df) -> int:
         return df.count()
 
 
-def bench_crawl(spark, sf_dir: str) -> dict:
+def bench_crawl(spark, sf_dir: str, bucketize: bool = False) -> dict:
     """3 frontier rounds on the matching pages corpus; throughput =
-    (candidates processed − deferred) / wall."""
+    (candidates processed − deferred) / wall.
+
+    ``bucketize=True`` runs the 100 TB fetch-join path instead: the corpus
+    is first written as a url_hash-bucketed table (one-time prep, excluded
+    from the timed window like fixture generation is) and every round's
+    fetch join reads it with NO pages-side exchange (plan pinned in
+    tests/test_plan_quality.py::test_bucketed_pages_fetch_join_no_pages_
+    exchange). The default path measures the in-memory ``pages_idx`` cache
+    the small-corpus deployment uses."""
     from pyspark.sql import functions as F
 
     from xrpl_rich_list_py_crawler_spark.plans.rounds import CrawlRun
@@ -118,9 +126,19 @@ def bench_crawl(spark, sf_dir: str) -> dict:
     )
     tmp = tempfile.mkdtemp(prefix="bench_cat_")
     try:
+        crawl_input = pages
+        if bucketize:
+            from xrpl_rich_list_py_crawler_spark.plans.rounds import (
+                bucketize_pages,
+            )
+
+            crawl_input = bucketize_pages(
+                spark, pages, table="bench_pages_bucketed",
+                path=os.path.join(tmp, "_pages_bucketed"),
+            )
         cat = SnapshotCatalog(tmp)
         t0 = time.time()
-        run = CrawlRun(spark, cat, pages, robots)
+        run = CrawlRun(spark, cat, crawl_input, robots)
         last = run.run(3, seeds)
         wall = time.time() - t0
         m = cat.read_appended(spark, "metrics", up_to_round=last)
@@ -141,6 +159,8 @@ def bench_crawl(spark, sf_dir: str) -> dict:
             "urls_per_sec": processed / wall if wall > 0 else 0.0,
         }
     finally:
+        if bucketize:
+            spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -334,8 +354,16 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {}
 
-    crawl = bench_crawl(spark, SF_DIR)
+    # crawl: 3 trials, report the MEDIAN (r04 verdict #1: the single-shot
+    # crawl number swung 34.5s ↔ 105.1s across same-code sessions on this
+    # co-tenant VM — the same adjudication the kernels already get). The
+    # bucketed variant (the stated 100 TB fetch-join path) gets its own
+    # line so BENCH finally measures it, not just the cached-pages path.
+    crawl_trials = [bench_crawl(spark, SF_DIR) for _ in range(3)]
+    crawl = sorted(crawl_trials, key=lambda t: t["sec"])[1]
     times["crawl_3rounds"] = round(crawl["sec"], 3)
+    crawl_bkt = bench_crawl(spark, SF_DIR, bucketize=True)
+    times["crawl_3rounds_bucketed"] = round(crawl_bkt["sec"], 3)
     parse = bench_corpus_parse(spark, SF_DIR)
     times["corpus_parse"] = round(parse["sec"], 3)
 
@@ -370,6 +398,8 @@ def main() -> None:
         "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
         "crawl_urls_processed": crawl["urls_processed"],
         "crawl_urls_fetched": crawl["urls_fetched"],
+        "crawl_trials_sec": [round(t["sec"], 3) for t in crawl_trials],
+        "crawl_bucketed_urls_per_sec": round(crawl_bkt["urls_per_sec"], 1),
         "parse_pages_per_sec": round(parse["pages_per_sec"], 1),
         "dedup_urls_per_sec": round(dedup["urls_per_sec"], 1),
         "canon_dedup_urls_per_sec": round(canon["urls_per_sec"], 1),

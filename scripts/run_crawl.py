@@ -54,6 +54,14 @@ def main() -> None:
                     help="prepare the corpus as a url_hash-bucketed table "
                          "with this many buckets first (shuffle-free fetch "
                          "join; use when the corpus exceeds cluster memory)")
+    ap.add_argument("--compact-seen-every", type=int, metavar="K", default=8,
+                    help="compact the append-only seen ledger every K "
+                         "rounds (default 8; 0 disables). The ledger is "
+                         "exempt from retention — without compaction a "
+                         "long crawl accretes one file set per round and "
+                         "every bloom rebuild/exact repair unions "
+                         "thousands of tiny files. Row multiset is "
+                         "preserved; crawl results are unchanged.")
     args = ap.parse_args()
     if not args.fixtures and not (args.robots and args.seeds):
         ap.error("--pages requires --robots and --seeds")
@@ -111,7 +119,8 @@ def main() -> None:
 
     cat = SnapshotCatalog(args.catalog)
     run = CrawlRun(spark, cat, pages, robots, transport=transport)
-    last = run.run(args.rounds, seeds)
+    last = run.run(args.rounds, seeds,
+                   compact_seen_every=args.compact_seen_every or None)
 
     metrics = cat.read_appended(spark, "metrics")
     summary = {"last_round": last}

@@ -149,6 +149,11 @@ def test_crawl_with_seen_compaction_equivalent(spark, crawl_sf0001, tmp_path):
     cat_b, res_b, seen_b = crawl("compacted", 1)
     assert res_a == res_b
     assert seen_a == seen_b
+    # non-multiple cadence (every 2 over 3 rounds: compaction fires
+    # mid-run at round 2, round 3 appends after it — the default-on
+    # runner path, scripts/run_crawl.py --compact-seen-every)
+    _, res_c, seen_c = crawl("compacted2", 2)
+    assert res_a == res_c and seen_a == seen_c
     # the compacted catalog really did merge: one seen dir per ledger
     assert len(os.listdir(os.path.join(str(tmp_path), "compacted", "seen"))) \
         < len(os.listdir(os.path.join(str(tmp_path), "plain", "seen")))

@@ -189,7 +189,12 @@ def test_parse_robots_txt_grammar_and_integration(spark):
     assert got["bare"]["has_rules"] and got["bare"]["disallow_prefixes"] == []
     assert got["two_star"]["disallow_prefixes"] == ["/first"]
     assert got["emptydis"]["disallow_prefixes"] == []
-    assert all(r["max_fetches_per_round"] == 16 for r in got.values())
+    # budget-from-delay coupling (r05): a supplied Crawl-delay derives the
+    # budget as floor(16s round / delay) in [1,16]; no delay → flat 16
+    assert got["multi"]["max_fetches_per_round"] == 6    # 16/2.5
+    assert got["lower"]["max_fetches_per_round"] == 5    # 16/3
+    for h in ("nostar", "empty", "bare", "two_star", "emptydis"):
+        assert got[h]["max_fetches_per_round"] == 16
     # JVM-only plan
     plan = dim._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
@@ -288,21 +293,26 @@ def test_robots_and_sitemap_bulk_fuzz_vs_python_re(spark):
         docs.append((f"h{i}", body))
 
     def py_robots(txt):
+        import math
+
         secs = re.split(pol.ROBOTS_UA_SPLIT, txt)
         star = [s for s in secs if re.search(pol.ROBOTS_STAR_LINE, s)]
         sec = star[0] if star else None
         dis = re.findall(pol.ROBOTS_DISALLOW, sec) if sec is not None else []
         m = re.search(pol.ROBOTS_DELAY, sec) if sec is not None else None
-        return (sec is not None, dis, float(m.group(1)) if m else 1.0)
+        delay = float(m.group(1)) if m else 1.0
+        budget = min(16, max(1, math.floor(16.0 / delay))) if m else 16
+        return (sec is not None, dis, delay, budget)
 
     raw = spark.createDataFrame(docs, "host string, robots_txt string")
     got = {r["host"]: r for r in pol.parse_robots_txt(raw).collect()}
     for host, txt in docs:
-        has, dis, delay = py_robots(txt)
+        has, dis, delay, budget = py_robots(txt)
         r = got[host]
         assert r["has_rules"] == has, (host, repr(txt))
         assert r["disallow_prefixes"] == dis, (host, repr(txt))
         assert r["crawl_delay_s"] == delay, (host, repr(txt))
+        assert r["max_fetches_per_round"] == budget, (host, repr(txt))
 
     # sitemap fuzz: shuffled well-formed/malformed fragments
     frags = [
@@ -388,3 +398,42 @@ def test_sitemap_seeds_accepts_parse_robots_txt_dim(spark):
     ranked = spark.createDataFrame([("a", 7.5)], "host string, host_rank double")
     got2 = sitemap_seeds(parsed, robots=ranked).collect()
     assert [(r["url"], r["host_rank"]) for r in got2] == [("https://a/x", 7.5)]
+
+
+def test_budget_from_delay_slots(spark):
+    """r05 budget coupling (VERDICT r04 #8): in the same round, a
+    7s-delay host gets floor(16/7)=2 selected slots while a 1s-delay
+    host gets all 16 — the reference's effective per-host rate is
+    batch_size × sleep, not a flat batch count."""
+    import datetime as dt
+
+    from xrpl_rich_list_py_crawler_spark.operators import politeness as pol
+
+    dim = pol.derive_budget_from_delay(
+        spark.createDataFrame(
+            [("slow", [], 7.0, 16), ("fast", [], 1.0, 16)],
+            "host string, disallow_prefixes array<string>, "
+            "crawl_delay_s double, max_fetches_per_round int",
+        )
+    )
+    budgets = {r["host"]: r["max_fetches_per_round"] for r in dim.collect()}
+    assert budgets == {"slow": 2, "fast": 16}
+    cand = spark.createDataFrame(
+        [
+            (f"https://{h}/p{i}", i, h, 0, 0.0, dt.datetime(2026, 1, 1))
+            for h in ("slow", "fast")
+            for i in range(20)
+        ],
+        "url string, url_hash long, host string, depth int, "
+        "host_rank double, discovery_ts timestamp",
+    )
+    assigned = pol.assign_politeness(pol.apply_robots(cand, dim))
+    sel = {
+        h: sum(r["selected"] for r in assigned.collect() if r["host"] == h)
+        for h in ("slow", "fast")
+    }
+    assert sel == {"slow": 2, "fast": 16}
+    # pacing still follows the host's own delay
+    slow = [r for r in assigned.collect()
+            if r["host"] == "slow" and r["host_slot"] == 2]
+    assert slow[0]["fetch_delay_s"] == 7.0

@@ -733,3 +733,84 @@ def test_pii_phone_requires_seven_digits(spark):
     assert got[2]["n_phones"] == 1 and got[2]["redacted"] == "call <PHONE> now"
     assert got[3]["n_phones"] == 1 and got[3]["redacted"] == "call <PHONE> now"
     assert got[4]["n_phones"] >= 1 and "<PHONE>" in got[4]["redacted"]
+
+
+def test_media_decode_real_containers(spark):
+    """r05 de-stubbed decode (VERDICT r04 #4): synth_container emits
+    WELL-FORMED WAV/BMP/PPM bytes; decode_media content-sniffs the magic
+    and parses the real headers back. Every decoded field must equal the
+    generator arithmetic; unknown magic → ok=False all-null (or
+    NotImplementedError under strict — the retained real-codec
+    boundary)."""
+    import pytest as _pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    got = {r["media_id"]: r for r in
+           mm.decode_media(mm.synth_media_fixture(ids)).collect()}
+    assert len(got) == 40
+    for i in range(40):
+        r, m = got[i], i % 4
+        kind, payload = mm.synth_container(i)
+        assert r["n_bytes"] == len(payload)
+        if m == 0:
+            assert r["format"] == "wav" and r["ok"]
+            assert r["n_channels"] == 1 + i % 2
+            assert r["sample_rate"] == 8000 + (i % 3) * 4000
+            assert r["duration_s"] == (100 + i % 400) / (8000 + (i % 3) * 4000)
+            assert r["width"] is None
+        elif m == 1:
+            assert r["format"] == "bmp" and r["ok"]
+            assert (r["width"], r["height"]) == (1 + i % 64, 1 + i % 48)
+            assert r["sample_rate"] is None
+        elif m == 2:
+            assert r["format"] == "ppm" and r["ok"]
+            assert (r["width"], r["height"]) == (1 + i % 32, 1 + i % 24)
+        else:
+            assert not r["ok"] and r["format"] is None
+            assert r["width"] is None and r["duration_s"] is None
+    # corrupt/truncated containers fail decode like a real codec
+    wav = mm.synth_container(0)[1]
+    assert mm.sniff_decode(wav[:20])["ok"] is False          # truncated RIFF
+    assert mm.sniff_decode(b"")["ok"] is False
+    with _pytest.raises(NotImplementedError):
+        mm.sniff_decode(b"JUNKJUNKJUNK", strict=True)
+
+
+def test_ngram_contamination_hashed_matches_string(spark):
+    """r05 web-scale decontamination: the xxhash64-keyed variant (with and
+    without the bloom prefilter) must reproduce the string-gram answer
+    row-for-row, and the bloom path must actually engage (Arrow eval of
+    the maybe-hit filter in the plan; the plain path has none)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        toks = [words[(i * 7 + j) % len(words)] for j in range(20)]
+        if i % 5 == 0:  # plant exact 13-gram overlap with the benchmark
+            toks[:13] = ["bench"] * 13
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id % 10 != 7")
+    bench = df.filter("doc_id % 10 = 7").unionByName(
+        spark.createDataFrame([(99, " ".join(["bench"] * 13))],
+                              "doc_id long, text string")
+    )
+
+    def _key(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    base = ngram_contamination(corpus, bench)
+    hashed = ngram_contamination(corpus, bench, hashed=True)
+    bloomed = ngram_contamination(corpus, bench, hashed=True,
+                                  bloom_prefilter=True)
+    assert _key(base) == _key(hashed) == _key(bloomed)
+    assert any(r["contaminated"] for r in base.collect())
+    plan_bloom = bloomed._jdf.queryExecution().executedPlan().toString()
+    plan_plain = base._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_bloom      # the bloom maybe-hit filter
+    assert "EvalPython" not in plan_plain  # string path stays fully JVM

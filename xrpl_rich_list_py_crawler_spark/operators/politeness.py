@@ -42,6 +42,7 @@ def parse_robots_txt(
     host_col: str = "host",
     default_delay_s: float = 1.0,
     default_budget: int = 16,
+    round_budget_s: float = 16.0,
 ) -> DataFrame:
     """Parse raw per-host robots.txt bodies into the politeness dimension
     :func:`apply_robots` consumes (north_rule: "robots.txt allow/deny
@@ -64,9 +65,14 @@ def parse_robots_txt(
       ``has_rules=false`` + empty prefixes = allow everything.
 
     Output: (host, has_rules, disallow_prefixes, crawl_delay_s,
-    max_fetches_per_round) — drop-in for ``apply_robots``
-    (``max_fetches_per_round`` is the engine's budget knob; robots.txt
-    has no such directive, so it's the injected default).
+    max_fetches_per_round) — drop-in for ``apply_robots``. robots.txt
+    has no budget directive, so the budget is DERIVED from the delay the
+    host did supply (r05, VERDICT r04 #8): ``floor(round_budget_s /
+    crawl_delay_s)`` clamped to [1, default_budget] — the reference's
+    effective per-host rate is likewise batch_size × sleep
+    (``validator.py:123,181``), so a host demanding a 7 s delay gets 2
+    slots of a 16 s round, not the same 16 a 1 s host gets. Hosts that
+    supplied NO delay keep the flat ``default_budget``.
     """
     # F.get, not element_at: under Spark 4's default ANSI mode
     # element_at raises INVALID_ARRAY_INDEX on the empty (no-star) array;
@@ -80,18 +86,56 @@ def parse_robots_txt(
     )
     dis = F.regexp_extract_all(sec, F.lit(ROBOTS_DISALLOW), 1)
     delay_raw = F.regexp_extract(sec, ROBOTS_DELAY, 1)
+    delay_supplied = delay_raw.isNotNull() & (delay_raw != "")
+    delay = F.when(delay_supplied, delay_raw.cast("double")).otherwise(
+        F.lit(default_delay_s)
+    )
     return raw.select(
         F.col(host_col).alias("host"),
         sec.isNotNull().alias("has_rules"),
         F.coalesce(dis, F.array().cast("array<string>")).alias(
             "disallow_prefixes"
         ),
+        delay.alias("crawl_delay_s"),
+        F.when(delay_supplied, _budget_from_delay(delay, round_budget_s, default_budget))
+        .otherwise(F.lit(default_budget))
+        .cast("int")
+        .alias("max_fetches_per_round"),
+    )
+
+
+def _budget_from_delay(delay, round_budget_s: float, default_budget: int):
+    """floor(round_budget_s / delay) clamped to [1, default_budget]."""
+    return F.least(
+        F.lit(default_budget),
+        F.greatest(
+            F.lit(1), F.floor(F.lit(round_budget_s) / delay).cast("int")
+        ),
+    )
+
+
+def derive_budget_from_delay(
+    robots: DataFrame,
+    round_budget_s: float = 16.0,
+    default_budget: int = 16,
+) -> DataFrame:
+    """Recompute ``max_fetches_per_round`` of an EXISTING robots dimension
+    from its ``crawl_delay_s`` (r05, VERDICT r04 #8): slow hosts get
+    proportionally fewer slots per round — ``floor(round_budget_s /
+    crawl_delay_s)`` clamped to [1, default_budget]; a null delay keeps
+    the flat default. Use on dims built elsewhere (the fixture dim, an
+    operator-supplied table); :func:`parse_robots_txt` applies the same
+    rule at build time for hosts whose robots.txt supplied a delay."""
+    return robots.withColumn(
+        "max_fetches_per_round",
         F.when(
-            delay_raw.isNull() | (delay_raw == ""), F.lit(default_delay_s)
+            F.col("crawl_delay_s").isNotNull(),
+            _budget_from_delay(
+                F.col("crawl_delay_s"), round_budget_s, default_budget
+            ),
         )
-        .otherwise(delay_raw.cast("double"))
-        .alias("crawl_delay_s"),
-        F.lit(default_budget).alias("max_fetches_per_round"),
+        .otherwise(F.lit(default_budget))
+        .cast("int"),
     )
 
 
