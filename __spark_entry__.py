@@ -787,6 +787,35 @@ def _q_ngram_contamination_hashed(spark, sf):
     )
 
 
+def _q_repetition_stats(spark, sf):
+    """Gopher/C4-family repetition quality gates (r05): duplicate-line
+    fraction + top-token and top-bigram mass per document
+    (operators/textstats.py:repetition_stats) — the standard webtext
+    boilerplate/keyboard-mash filters. Repetition is injected
+    deterministically from doc_id (the fixture corpus is word salad with
+    little natural repetition): %4==1 docs get a 5×-repeated token run,
+    %4==2 docs get a 3×-duplicated footer line, so every ratio branch
+    measurably engages. Explode → (doc,term) → (doc) two-level groupBy;
+    exact-integer ratios."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    rep_text = (
+        F.when(
+            did % 4 == 1,
+            F.concat(F.col("text"), F.lit(" spam spam spam spam spam")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit("\nfooter line\nfooter line\nfooter line"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return ts.repetition_stats(d.select("doc_id", rep_text.alias("text")))
+
+
 def _q_sitemap_parse(spark, sf):
     """Sitemap ingestion (operators/sitemap.py:parse_sitemap, r04): raw
     sitemap.xml bodies → one seed row per <url> entry with lastmod
@@ -1244,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) NEW in r5 ---
         "media_decode": _q_media_decode,
         "ngram_contamination_hashed": _q_ngram_contamination_hashed,
+        "repetition_stats": _q_repetition_stats,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2379,6 +2409,60 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
             FROM documents
         ) WHERE rk <= 10
+    """
+    out["repetition_stats"] = r"""
+        WITH docs AS (
+            SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                    WHEN 1 THEN text || ' spam spam spam spam spam'
+                    WHEN 2 THEN text || chr(10) || 'footer line' || chr(10)
+                        || 'footer line' || chr(10) || 'footer line'
+                    ELSE text END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, string_split(text, chr(10)) AS l FROM docs
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(l) AS INT) AS n_lines,
+                ROUND(CAST(len(l) - len(list_distinct(l)) AS DOUBLE)
+                      / len(l), 6) AS dup_line_ratio
+            FROM lines
+        ),
+        tarr AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            x -> x <> '') AS t
+            FROM docs
+        ),
+        toks AS (SELECT doc_id, unnest(t) AS term FROM tarr),
+        tcnt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        ttop AS (
+            SELECT doc_id, MAX(cnt) AS top_tok, SUM(cnt) AS n_tokens
+            FROM tcnt GROUP BY 1
+        ),
+        bigr AS (
+            SELECT doc_id,
+                unnest(list_transform(
+                    range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
+                )) AS term
+            FROM tarr
+        ),
+        bcnt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM bigr GROUP BY 1, 2),
+        btop AS (SELECT doc_id, MAX(cnt) AS top_bi FROM bcnt GROUP BY 1)
+        SELECT b.doc_id, b.n_lines, b.dup_line_ratio,
+            CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+            ROUND(CASE WHEN COALESCE(tt.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(tt.top_tok AS DOUBLE) / tt.n_tokens END, 6)
+                AS top_token_ratio,
+            ROUND(CASE WHEN COALESCE(tt.n_tokens, 0) = 0 THEN 0.0
+                ELSE LEAST(1.0, CAST(COALESCE(bt.top_bi, 0) * 2 AS DOUBLE)
+                                / tt.n_tokens) END, 6) AS top_bigram_ratio
+        FROM base b
+        LEFT JOIN ttop tt USING (doc_id)
+        LEFT JOIN btop bt USING (doc_id)
     """
     out["sitemap_parse"] = r"""
         WITH raw AS (

@@ -814,3 +814,33 @@ def test_ngram_contamination_hashed_matches_string(spark):
     plan_plain = base._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" in plan_bloom      # the bloom maybe-hit filter
     assert "EvalPython" not in plan_plain  # string path stays fully JVM
+
+
+def test_repetition_stats_semantics(spark):
+    """r05 Gopher/C4 repetition gates, hand-checked: duplicate-line
+    fraction, top-token share, top-bigram coverage (×2 per occurrence,
+    capped at 1.0 for overlapping degenerate runs), empty-doc zeros."""
+    rows = [
+        (0, "a b c d"),                      # no repetition
+        (1, "buy buy buy now"),              # top token buy=3/4
+        (2, "x y\nx y\nx y\nz"),             # 2 dup lines of 4
+        (3, "a a a a"),                      # bigram 'a a'=3 → 6/4 → cap 1.0
+        (4, ""),                             # empty: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.repetition_stats(df).collect()}
+    assert got[0]["dup_line_ratio"] == 0.0
+    assert got[0]["top_token_ratio"] == 0.25
+    assert got[0]["top_bigram_ratio"] == 0.5     # any of 3 bigrams ×2/4
+    assert got[1]["top_token_ratio"] == 0.75
+    assert got[1]["top_bigram_ratio"] == 1.0     # 'buy buy'=2 → 4/4
+    assert got[2]["n_lines"] == 4
+    assert got[2]["dup_line_ratio"] == 0.5       # 2 of 4 lines are repeats
+    assert got[2]["top_token_ratio"] == round(3 / 7, 6)
+    assert got[3]["top_bigram_ratio"] == 1.0     # capped from 6/4
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["top_token_ratio"] == 0.0
+    assert got[4]["top_bigram_ratio"] == 0.0
+    # plan: no Python eval, no cartesian
+    plan = ts.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -183,6 +183,8 @@ def decode_media(
                         **{k: meta.get(k) for k in cols if k not in ("n_bytes",)},
                     }
                 )
+            if not rows:  # empty Arrow batch: nothing to emit
+                continue
             out = pd.DataFrame(rows)
             yield out[["media_id"] + cols]
 

@@ -256,6 +256,102 @@ def unigram_vocab(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataF
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-family repetition filters (r05): the standard webtext
+    quality gates that catch boilerplate and keyboard-mash the
+    length/punctuation features miss.
+
+    Per document:
+
+    * ``n_lines`` / ``dup_line_ratio`` — fraction of newline-split lines
+      that are repeats of an earlier line (1 − distinct/total; boilerplate
+      nav/footer spam scores high). Array ops per row, no shuffle.
+    * ``top_token_ratio`` — most frequent token's share of all tokens
+      ("buy buy buy …" pages).
+    * ``top_bigram_ratio`` — share of token positions covered by the most
+      frequent adjacent token 2-gram (×2 tokens per occurrence, capped at
+      1.0 for the degenerate all-same-token doc where occurrences
+      overlap).
+
+    Scale shape: the token/bigram tops are explode → two-level groupBy
+    keyed by (doc, term) then (doc) — linear in corpus token count,
+    partitioned by doc id, never a per-doc O(len²) array scan and never a
+    global window. Ratios are exact integer counts divided once, so the
+    DuckDB twin is bit-identical (only the max COUNT is used — term ties
+    cannot affect any output).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+            / F.size(lines),
+            6,
+        ).alias("dup_line_ratio"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(t)), WS)).alias("term"),
+    ).filter(F.col("term") != "")
+    arr = F.filter(F.split(F.lower(F.trim(t)), WS), lambda x: x != "")
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda w, i: F.concat_ws(" ", w, F.get(arr, i + 1)),
+            )
+        ).alias("term"),
+    )
+
+    def _top(term_df, out_cnt: str, out_n: str):
+        per_term = term_df.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_term.groupBy(id_col).agg(
+            F.max("cnt").alias(out_cnt), F.sum("cnt").alias(out_n)
+        )
+
+    top_tok = _top(toks, "top_tok_cnt", "n_tokens")
+    top_bi = _top(bigrams, "top_bi_cnt", "n_bigrams")
+    return (
+        base.join(top_tok, id_col, "left")
+        .join(top_bi, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_ratio",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.col("top_tok_cnt").cast("double") / F.col("n_tokens")
+                ),
+                6,
+            ).alias("top_token_ratio"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce(F.col("top_bi_cnt") * 2, F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("n_tokens"),
+                    )
+                ),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
 def unigram_quality(
     df: DataFrame,
     vocab: DataFrame,
