@@ -343,6 +343,12 @@ HEADLINE = [
     "sitemap_parse",
     "pii_redaction",
     "domain_cap",
+    # r05 additions: corpus-frequency + repetition quality, web-scale
+    # decontamination, real container decode
+    "unigram_quality",
+    "repetition_stats",
+    "ngram_contamination_hashed",
+    "media_decode",
 ]
 
 

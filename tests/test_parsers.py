@@ -289,3 +289,25 @@ def test_format_label(spark):
         ).collect()
     ]
     assert got == [w for _, _, w in cases]
+
+
+def test_wav_parser_matches_stdlib_wave():
+    """Independent-decoder twin (r05): every synth_container WAV must
+    parse identically through the engine's RIFF walk and CPython's
+    stdlib `wave` module — channels, sample rate, frame count (duration
+    = frames/rate). Catches any drift between the byte writer and the
+    header parser that a self-roundtrip cannot."""
+    import io
+    import wave
+
+    from xrpl_rich_list_py_crawler_spark.operators import multimodal as mm
+
+    for i in range(0, 160, 4):  # every %4==0 id → WAV
+        kind, payload = mm.synth_container(i)
+        assert kind == "wav"
+        meta = mm.sniff_decode(payload)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert meta["n_channels"] == w.getnchannels()
+            assert meta["sample_rate"] == w.getframerate()
+            assert w.getsampwidth() == 2
+            assert meta["duration_s"] == w.getnframes() / w.getframerate()
