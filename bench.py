@@ -370,20 +370,22 @@ def main() -> None:
     times["crawl_3rounds"] = round(crawl["sec"], 3)
     crawl_bkt = bench_crawl(spark, SF_DIR, bucketize=True)
     times["crawl_3rounds_bucketed"] = round(crawl_bkt["sec"], 3)
-    parse = bench_corpus_parse(spark, SF_DIR)
-    times["corpus_parse"] = round(parse["sec"], 3)
 
-    # headline kernels: 3 interleaved repeats, report the MEDIAN (r03
-    # verdict: single runs on this co-tenant VM swing up to ~3x — the
-    # r03 canon "regression" was exactly such a one-shot number). Trial
+    # headline kernels + parse: 3 interleaved repeats each, report the
+    # MEDIAN (r03/r04 verdicts: single runs on this co-tenant VM swing up
+    # to ~3x — both recorded "regressions" were one-shot numbers). Trial
     # lists are emitted alongside so the noise envelope is visible.
+    parse_trials: list[dict] = []
     dedup_trials: list[dict] = []
     canon_trials: list[dict] = []
     for _ in range(3):
+        parse_trials.append(bench_corpus_parse(spark, SF_DIR))
         dedup_trials.append(bench_fetch_dedup(spark, SF_DIR))
         canon_trials.append(bench_canon_dedup(spark, SF_DIR))
+    parse = sorted(parse_trials, key=lambda t: t["sec"])[1]
     dedup = sorted(dedup_trials, key=lambda t: t["sec"])[1]
     canon = sorted(canon_trials, key=lambda t: t["sec"])[1]
+    times["corpus_parse"] = round(parse["sec"], 3)
     times["fetch_dedup_kernel"] = round(dedup["sec"], 3)
     times["canon_dedup_kernel"] = round(canon["sec"], 3)
 
@@ -409,6 +411,7 @@ def main() -> None:
         "parse_pages_per_sec": round(parse["pages_per_sec"], 1),
         "dedup_urls_per_sec": round(dedup["urls_per_sec"], 1),
         "canon_dedup_urls_per_sec": round(canon["urls_per_sec"], 1),
+        "parse_trials_sec": [round(t["sec"], 3) for t in parse_trials],
         "dedup_trials_sec": [round(t["sec"], 3) for t in dedup_trials],
         "canon_dedup_trials_sec": [round(t["sec"], 3) for t in canon_trials],
     }

@@ -148,11 +148,16 @@ class CrawlRun:
         # step 3 fetches through host-partitioned mapInPandas instead of
         # the corpus equi join — same output schema either way
         self.transport = transport
-        # decide the robots-join strategy ONCE per run (the dim is fixed):
-        # count is one cheap job against a tiny-schema dim
+        # decide the robots-join strategy ONCE per run (the dim is fixed).
+        # Bounded probe, not count(): the decision only needs "more rows
+        # than the ceiling?", and limit(ceiling+1).count() early-exits as
+        # soon as that many rows are seen — a 10^8-host dim answers from
+        # its first partitions instead of a full scan (r05)
         if robots_active_only is None:
+            cap = self.ROBOTS_BROADCAST_MAX_HOSTS
             robots_active_only = (
-                robots.count() > self.ROBOTS_BROADCAST_MAX_HOSTS
+                robots.select(F.lit(1).alias("_one")).limit(cap + 1).count()
+                > cap
             )
         self.robots_active_only = robots_active_only
         # cache the keyed corpus: every round's fetch join and each commit
