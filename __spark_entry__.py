@@ -787,6 +787,27 @@ def _q_ngram_contamination_hashed(spark, sf):
     )
 
 
+def _q_training_mix(spark, sf):
+    """The COMPLETE per-batch training-data decision (r05): curation
+    (exact + verified near-dup + token/punct gates) ∘ Gopher repetition
+    gates ∘ 13-gram benchmark decontamination ∘ per-source quota, one
+    verdict row per training doc (operators/curation.py:training_mix).
+    Thresholds chosen so every stage measurably engages at sf0.01:
+    top_token_ratio ≤ 0.12 drops the repetitive tail (fixture p90 is
+    0.143), per_source_cap=10 bites on 25-doc sources. The oracle
+    recomputes all four stages and the final window from scratch."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        training_mix,
+    )
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 7)
+    bench = d.filter(F.col("doc_id") % 10 == 7)
+    return training_mix(
+        train, bench, per_source_cap=10, max_top_token_ratio=0.12
+    )
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1274,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "ngram_contamination_hashed": _q_ngram_contamination_hashed,
         "repetition_stats": _q_repetition_stats,
+        "training_mix": _q_training_mix,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2409,6 +2431,120 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
             FROM documents
         ) WHERE rk <= 10
+    """
+    # training_mix: all four stages + the final quota window recomputed
+    # from scratch (same expressions the individual oracles use, scoped
+    # to the train/bench splits)
+    out["training_mix"] = r"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+        bench AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+        cg AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(text) - 8, 1) + 1, 3),
+                i -> substr(text, CAST(i AS INT), 9))) AS g
+            FROM train
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cg a JOIN cg b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+        ),
+        near_ids AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        curb AS (
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                                                    '[ \t\n\r\f\x0b]+'))
+                    END AS n_tokens,
+                ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    CAST(length(regexp_replace(text,
+                        '[A-Za-z0-9 \t\n\r\f\x0b]', '', 'g')) AS DOUBLE)
+                    / length(text) END, 6) AS punct_ratio,
+                doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+                    AS is_exact_dup
+            FROM train
+        ),
+        cur AS (
+            SELECT c.doc_id, c.is_exact_dup,
+                (n.doc_id IS NOT NULL) AS is_near_dup,
+                (NOT c.is_exact_dup AND n.doc_id IS NULL
+                 AND c.n_tokens >= 10 AND c.punct_ratio <= 0.3) AS keep
+            FROM curb c LEFT JOIN near_ids n USING (doc_id)
+        ),
+        lines AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM train),
+        repl AS (
+            SELECT doc_id, ROUND(CAST(len(l) - len(list_distinct(l))
+                                      AS DOUBLE) / len(l), 6)
+                AS dup_line_ratio
+            FROM lines
+        ),
+        tarr AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            x -> x <> '') AS t
+            FROM train
+        ),
+        toksx AS (SELECT doc_id, unnest(t) AS term FROM tarr),
+        tcnt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toksx GROUP BY 1, 2),
+        ttop AS (
+            SELECT doc_id, MAX(cnt) AS top_tok, SUM(cnt) AS n_tokens
+            FROM tcnt GROUP BY 1
+        ),
+        rep AS (
+            SELECT r.doc_id, r.dup_line_ratio,
+                ROUND(CASE WHEN COALESCE(tt.n_tokens, 0) = 0 THEN 0.0
+                    ELSE CAST(tt.top_tok AS DOUBLE) / tt.n_tokens END, 6)
+                    AS top_token_ratio
+            FROM repl r LEFT JOIN ttop tt USING (doc_id)
+        ),
+        gtrg AS (
+            SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                    range(1, greatest(len(t) - 12, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 12), ' ')
+                ))) AS gram
+            FROM tarr
+        ),
+        gbeg AS (
+            SELECT DISTINCT
+                unnest(list_distinct(list_transform(
+                    range(1, greatest(len(t) - 12, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 12), ' ')
+                ))) AS gram
+            FROM (SELECT list_filter(regexp_split_to_array(
+                        lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                        x -> x <> '') AS t FROM bench)
+        ),
+        hitd AS (
+            SELECT DISTINCT doc_id FROM gtrg
+            WHERE gram IN (SELECT gram FROM gbeg)
+        ),
+        joined AS (
+            SELECT cur.doc_id, d.source, d.n_chars,
+                cur.is_exact_dup, cur.is_near_dup,
+                (h.doc_id IS NOT NULL) AS contaminated,
+                rep.dup_line_ratio, rep.top_token_ratio,
+                (cur.keep AND h.doc_id IS NULL
+                 AND rep.dup_line_ratio <= 0.3
+                 AND rep.top_token_ratio <= 0.12) AS quality_ok
+            FROM cur
+            JOIN rep USING (doc_id)
+            LEFT JOIN hitd h USING (doc_id)
+            JOIN train d USING (doc_id)
+        ),
+        capped AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ) AS INT) AS cap_rank
+            FROM joined WHERE quality_ok
+        )
+        SELECT j.doc_id, j.source, j.is_exact_dup, j.is_near_dup,
+            j.contaminated, j.dup_line_ratio, j.top_token_ratio,
+            j.quality_ok, c.cap_rank,
+            COALESCE(c.cap_rank <= 10, FALSE) AS selected
+        FROM joined j LEFT JOIN capped c USING (doc_id)
     """
     out["repetition_stats"] = r"""
         WITH docs AS (

@@ -349,6 +349,7 @@ HEADLINE = [
     "repetition_stats",
     "ngram_contamination_hashed",
     "media_decode",
+    "training_mix",
 ]
 
 

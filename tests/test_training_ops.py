@@ -844,3 +844,38 @@ def test_repetition_stats_semantics(spark):
     # plan: no Python eval, no cartesian
     plan = ts.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_training_mix_every_stage_engages(spark, sf_dir):
+    """r05 composed pipeline: on the sf fixture every gate must
+    measurably fire — docs dropped by dedup, by the repetition gate, by
+    contamination, and by the per-source quota — and `selected` must
+    equal quality_ok ∧ cap_rank ≤ k with at most k selections per
+    source."""
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        training_mix,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = d.filter("doc_id % 10 != 7")
+    bench = d.filter("doc_id % 10 = 7")
+    rows = training_mix(
+        train, bench, per_source_cap=10, max_top_token_ratio=0.12
+    ).collect()
+    assert len(rows) == train.count()
+    assert any(r["is_exact_dup"] or r["is_near_dup"] for r in rows)
+    assert any(r["contaminated"] for r in rows)
+    assert any(not r["quality_ok"] and not r["contaminated"]
+               and not r["is_exact_dup"] and not r["is_near_dup"]
+               for r in rows)                       # repetition gate fired
+    assert any(r["quality_ok"] and not r["selected"] for r in rows)  # quota
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows if r["selected"])
+    assert per_src and max(per_src.values()) <= 10
+    for r in rows:
+        want = bool(r["quality_ok"] and r["cap_rank"] is not None
+                    and r["cap_rank"] <= 10)
+        assert r["selected"] == want

@@ -112,6 +112,98 @@ def cap_per_key(
     )
 
 
+def training_mix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    quality_col: str = "n_chars",
+    per_source_cap: int = 50,
+    max_dup_line_ratio: float = 0.3,
+    max_top_token_ratio: float = 0.2,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    contamination_n: int = 13,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The COMPLETE per-batch training-data decision (r05): every quality
+    stage the engine ships, composed into one per-document verdict —
+    what a pretraining pipeline actually runs before a doc reaches the
+    tokenizer.
+
+    Stages (each independently oracle-checked on its own query):
+
+    1. :func:`curate_corpus` — language/token/punct features, exact-dup
+       (md5 keep-lowest), verified MinHash-LSH near-dup → ``keep``;
+    2. :func:`~.textstats.repetition_stats` — Gopher/C4 gates:
+       duplicate-line fraction + top-token mass;
+    3. :func:`ngram_contamination` vs the held-out ``benchmark``;
+    4. per-source quota (:func:`cap_per_key` semantics inline): among
+       quality survivors, keep the best ``per_source_cap`` docs per
+       source by ``quality_col`` — ``selected`` is the final verdict.
+
+    Scale shape: unions of the stages' own shapes (all key-partitioned —
+    md5 groups, LSH buckets, (doc,term) pairs, gram keys, source
+    windows); the final joins are doc-id equi joins. No new shuffle
+    class is introduced by the composition.
+    """
+    from . import textstats as tstats
+
+    cur = curate_corpus(
+        docs, text_col=text_col, id_col=id_col, min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        near_dup_threshold=near_dup_threshold,
+        max_bucket_size=max_bucket_size,
+    ).select(id_col, "is_exact_dup", "is_near_dup", "keep")
+    rep = tstats.repetition_stats(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "dup_line_ratio", "top_token_ratio"
+    )
+    cont = ngram_contamination(
+        docs, benchmark, text_col=text_col, id_col=id_col, n=contamination_n
+    ).select(id_col, "contaminated")
+    meta = docs.select(id_col, source_col, quality_col)
+    j = (
+        cur.join(rep, id_col)
+        .join(cont, id_col, "left")
+        .join(meta, id_col)
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )
+    q = j.withColumn(
+        "quality_ok",
+        F.col("keep")
+        & ~F.col("contaminated")
+        & (F.col("dup_line_ratio") <= max_dup_line_ratio)
+        & (F.col("top_token_ratio") <= max_top_token_ratio),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        q.filter(F.col("quality_ok"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("int"))
+        .select(id_col, "cap_rank")
+    )
+    return (
+        q.join(ranked, id_col, "left")
+        .select(
+            id_col,
+            source_col,
+            "is_exact_dup",
+            "is_near_dup",
+            "contaminated",
+            "dup_line_ratio",
+            "top_token_ratio",
+            "quality_ok",
+            "cap_rank",
+            F.coalesce(
+                F.col("cap_rank") <= per_source_cap, F.lit(False)
+            ).alias("selected"),
+        )
+    )
+
+
 def token_ngrams_col(text, n: int = 13):
     """Distinct token ``n``-grams of a text column, pure JVM — the
     decontamination unit (13-token grams are the de-facto standard for
