@@ -808,6 +808,52 @@ def _q_training_mix(spark, sf):
     )
 
 
+def _q_line_dedup(spark, sf):
+    """Cross-document line deduplication (r05,
+    operators/curation.py:line_dedup): the CCNet/RefinedWeb boilerplate
+    strike — any line occurring in >1 DISTINCT docs is removed from
+    every doc, survivors reassembled in order. The fixture corpus is
+    single-line word salad, so boilerplate is injected deterministically
+    from doc_id: %3==0 docs carry a 2-line footer, %3==1 docs share one
+    of its lines ('cookie notice' lands in 2/3 of docs, 'all rights
+    reserved' in 1/3 — both struck), %3==2 docs get a doc-unique tail
+    that must survive. Exercises posexplode → distinct(doc,line) →
+    groupBy(line) df-count → left-anti join → ordered reassembly."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import line_dedup
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.lit("\ncookie notice\nall rights reserved"),
+        )
+        .when(did % 3 == 1, F.lit("\ncookie notice"))
+        .otherwise(F.concat(F.lit("\nunique tail "), did.cast("string"))),
+    )
+    return line_dedup(d.select("doc_id", txt.alias("text")))
+
+
+def _q_hash_sample(spark, sf):
+    """Deterministic stratified hash-sampling (r05,
+    operators/curation.py:hash_sample): u = md5(id:seed)[:8]/2^32 — a
+    pure per-row codegen function, so the training-mix draw is
+    reproducible across cluster sizes, restarts, and engines (unlike
+    DataFrame.sample's partition-local RNG). Five explicit per-source
+    mix weights + the default fallback for the other 15 sources; u is
+    an exact power-of-two division, bit-identical in the oracle."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import hash_sample
+
+    d = _t(spark, sf, "documents")
+    fr = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+          "src4": 0.1}
+    return hash_sample(
+        d.select("doc_id", "source"), fr, strata_col="source",
+        seed=20260817, default_fraction=0.05,
+    )
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1257,15 +1303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_quality, token_counts_by_lang, doc_fingerprints,
     minhash_neardups, neardup_components — several of their shared code
     paths changed in r04/r05, so their r03 green rows are stale-code
-    evidence), (b) the two NEW r05 queries (media_decode — real WAV/BMP/
+    evidence), (b) the NEW r05 queries (media_decode — real WAV/BMP/
     PPM header decode; ngram_contamination_hashed — the xxhash64+bloom
-    web-scale variant), and (c) every query whose code path changed in
+    web-scale variant; repetition_stats; training_mix; line_dedup —
+    cross-doc CCNet boilerplate strike; hash_sample — deterministic
+    stratified sampling), and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
     unigram_vocab top-k replan, and the politeness budget-from-delay
-    coupling — plus the flagship crawl chain. Demoted to the tail: 24
-    stable TPC-H-ish operator queries, every one green in the r04 window
-    (CORRECTNESS_r04.json) on code unchanged since.
+    coupling — plus the flagship crawl chain. Demoted to the tail: the
+    stable TPC-H-ish operator queries (every one green in the r04 window,
+    CORRECTNESS_r04.json, on code unchanged since) and, with the
+    line_dedup/hash_sample head additions, the ann_* trio (green r04,
+    similarity.py unchanged in r05) slides just past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1296,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination_hashed": _q_ngram_contamination_hashed,
         "repetition_stats": _q_repetition_stats,
         "training_mix": _q_training_mix,
+        "line_dedup": _q_line_dedup,
+        "hash_sample": _q_hash_sample,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2545,6 +2597,64 @@ def oracle_sql() -> dict[str, str]:
             j.quality_ok, c.cap_rank,
             COALESCE(c.cap_rank <= 10, FALSE) AS selected
         FROM joined j LEFT JOIN capped c USING (doc_id)
+    """
+    out["line_dedup"] = r"""
+        WITH docs AS (
+            SELECT doc_id, text ||
+                CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN chr(10) || 'cookie notice' || chr(10)
+                        || 'all rights reserved'
+                    WHEN 1 THEN chr(10) || 'cookie notice'
+                    ELSE chr(10) || 'unique tail '
+                        || CAST(doc_id AS VARCHAR)
+                END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                unnest(string_split(text, chr(10))) AS line,
+                generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM docs
+        ),
+        boiler AS (
+            SELECT line
+            FROM (SELECT DISTINCT doc_id, line FROM lines
+                  WHERE len(line) >= 1)
+            GROUP BY line HAVING COUNT(*) > 1
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line FROM lines l
+            WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS INT) AS n_lines
+            FROM docs
+        )
+        SELECT b.doc_id, b.n_lines,
+            CAST(b.n_lines - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+            COALESCE(a.text_clean, '') AS text_clean
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+    out["hash_sample"] = r"""
+        SELECT doc_id, source, u, u < frac AS sampled
+        FROM (
+            SELECT doc_id, source,
+                CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':20260817'), 1, 8) AS UBIGINT) AS DOUBLE)
+                    / 4294967296.0 AS u,
+                CASE source
+                    WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+                    WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                    WHEN 'src4' THEN 0.1 ELSE 0.05
+                END AS frac
+            FROM documents
+        )
     """
     out["repetition_stats"] = r"""
         WITH docs AS (

@@ -350,6 +350,10 @@ HEADLINE = [
     "ngram_contamination_hashed",
     "media_decode",
     "training_mix",
+    # r05 late additions: cross-doc boilerplate strike + deterministic
+    # stratified sampling
+    "line_dedup",
+    "hash_sample",
 ]
 
 

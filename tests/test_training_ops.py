@@ -879,3 +879,100 @@ def test_training_mix_every_stage_engages(spark, sf_dir):
         want = bool(r["quality_ok"] and r["cap_rank"] is not None
                     and r["cap_rank"] <= 10)
         assert r["selected"] == want
+
+
+def test_line_dedup_cross_doc_boilerplate(spark):
+    """A line in >1 distinct doc is struck everywhere; unique lines and
+    the empty line survive; order is preserved; an all-boilerplate doc
+    collapses to ''."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "alpha\ncookie notice\n\nbody one"),
+        (2, "beta\ncookie notice\n\nbody two"),
+        (3, "cookie notice"),
+        (4, "gamma only"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "alpha\n\nbody one"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "beta\n\nbody two"
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == "gamma only" and out[4]["n_removed"] == 0
+
+
+def test_line_dedup_doc_freq_within_doc_repeats(spark):
+    """df counts DISTINCT docs, not occurrences: a line repeated 3x in
+    ONE doc is not boilerplate at max_doc_freq=1; max_doc_freq=2 spares
+    a 2-doc line; min_line_chars exempts short lines."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "x\nx\nx\nshared\nok"),
+        (2, "shared\nzz"),
+        (3, "zz\nend"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_clean"] == "x\nx\nx\nok"          # within-doc kept
+    assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 2
+    out2 = {
+        r["doc_id"]: r for r in line_dedup(df, max_doc_freq=2).collect()
+    }
+    assert out2[2]["text_clean"] == "shared\nzz"
+    out3 = {
+        r["doc_id"]: r
+        for r in line_dedup(df, min_line_chars=3).collect()
+    }
+    assert out3[2]["text_clean"] == "zz"                   # 'zz' spared, 'shared' cut
+    assert out3[3]["text_clean"] == "zz\nend"              # 'zz' spared here too
+    assert out3[1]["n_removed"] == 1                       # 'shared' still cut
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    """Selection is a pure function of (id, seed): invariant under
+    repartitioning, tracks the requested fraction, honors per-stratum
+    weights with the default fallback, and changes with the seed."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+    )
+    a = hash_sample(df, 0.25).filter("sampled")
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), 0.25)
+        .filter("sampled")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a == ids_b
+    assert 0.2 < len(ids_a) / 4000 < 0.3
+    ids_seed = {
+        r["doc_id"]
+        for r in hash_sample(df, 0.25, seed=7)
+        .filter("sampled")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_seed != ids_a
+    strat = hash_sample(
+        df, {"s0": 1.0, "s1": 0.5, "s2": 0.0}, strata_col="src"
+    )
+    got = {
+        r["src"]: r["n"]
+        for r in strat.filter("sampled")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got.get("s0") == 1000
+    assert 400 < got.get("s1", 0) < 600
+    assert "s2" not in got and "s3" not in got  # explicit 0 + default 0

@@ -1,7 +1,14 @@
 """Reusable dataflow operators (SURVEY.md §2 mappings + §4.2 custom ops)."""
 
 from .asof import asof_lookup, banded_asof_lookup, latest_per_key  # noqa: F401
-from .curation import cap_per_key, curate_corpus  # noqa: F401
+from .curation import (  # noqa: F401
+    cap_per_key,
+    curate_corpus,
+    hash_sample,
+    line_dedup,
+    ngram_contamination,
+    training_mix,
+)
 from .frontier import global_rank, priority_order, salted_repartition  # noqa: F401
 from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401
 from .sitemap import child_sitemaps, parse_sitemap, sitemap_seeds  # noqa: F401

@@ -320,3 +320,134 @@ def ngram_contamination(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line deduplication (r05): CCNet/RefinedWeb-style
+    boilerplate removal. A line that occurs in more than ``max_doc_freq``
+    DISTINCT documents is corpus boilerplate (nav bars, cookie banners,
+    footers) and is struck from EVERY document that carries it; surviving
+    lines are reassembled in their original order.
+
+    This is the cross-corpus complement of
+    :func:`~.textstats.repetition_stats` (which measures repetition
+    WITHIN one document): the reference validates per-round row dedup
+    (validator.py:137-158 upsert-by-key); this extends the idea to line
+    granularity across the whole corpus, the standard webtext cleaning
+    step before tokenization.
+
+    Matching is byte-exact on the raw line (no normalization), so the
+    result is bit-identical across engines and reruns. Lines shorter
+    than ``min_line_chars`` (e.g. the empty line, with the default 1)
+    are never counted and never removed; since eligibility is a function
+    of the line string alone, one left-anti join on the line suffices —
+    an ineligible occurrence can never match a boilerplate key.
+
+    Output per input doc: ``id_col``, ``n_lines``, ``n_removed``,
+    ``text_clean`` (empty string when every line was boilerplate).
+
+    Scale shape: ``posexplode`` is linear in corpus bytes; doc-frequency
+    is DISTINCT (doc, line) → groupBy(line) with map-side partial
+    aggregation, so the heavy boilerplate keys collapse per partition
+    before the shuffle; removal is a left-anti join keyed by the line —
+    key-partitioned, never all-pairs; reassembly is one groupBy(doc).
+    At web scale, key the anti join on ``xxhash64(line)`` to shrink the
+    shuffle to 8-byte keys — the same disclosed trade as
+    :func:`ngram_contamination` ``hashed=True``.
+    """
+    t = F.col(text_col)
+    split_arr = F.split(t, "\n")
+    base = df.select(
+        F.col(id_col), F.size(split_arr).cast("int").alias("n_lines")
+    )
+    lines = df.select(
+        F.col(id_col), F.posexplode(split_arr).alias("pos", "line")
+    )
+    boiler = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter(F.col("df_docs") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fractions,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based (stratified) sampling (r05): the way a
+    100 TB pipeline actually downsamples to hit training-mix weights.
+    ``DataFrame.sample()`` draws from partition-local RNG streams, so its
+    selection changes with partitioning, retries, and engine — useless
+    for a reproducible corpus spec. Here each row's uniform is derived
+    from a cryptographic hash of its id and the seed:
+
+        u = int(md5(id || ':' || seed)[:8 hex], 16) / 2^32
+
+    so the decision is a pure per-row function — stateless, shuffle-free
+    whole-stage-codegen, identical on any cluster size, restart, or
+    engine (md5 is engine-portable where xxhash64 is not), and a new
+    ``seed`` gives an independent draw. The division is by a power of
+    two, so ``u`` is exact in binary floating point — the oracle twin is
+    bit-identical.
+
+    ``fractions`` is either one float (uniform sampling) or a
+    ``{stratum: fraction}`` dict keyed by ``strata_col`` values
+    (per-source mix weights; unlisted strata fall back to
+    ``default_fraction``). Output: the input columns plus ``u`` and the
+    boolean ``sampled``.
+    """
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        frac = F.lit(float(default_fraction))
+        for k, v in sorted(fractions.items()):
+            frac = F.when(
+                F.col(strata_col) == F.lit(k), F.lit(float(v))
+            ).otherwise(frac)
+    else:
+        frac = F.lit(float(fractions))
+    return df.select(
+        "*", u.alias("u"), (u < frac).alias("sampled")
+    )
