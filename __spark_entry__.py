@@ -854,6 +854,42 @@ def _q_hash_sample(spark, sf):
     )
 
 
+def _q_substring_dedup(spark, sf):
+    """Exact-substring span dedup (r05, operators/dedup.py:
+    substring_dedup): Lee-et-al-2021 removal of every ≥8-token run that
+    occurs more than once in the corpus — strikes repeated licence/
+    boilerplate passages inside otherwise-unique docs, the sub-document
+    gap doc-level dedup can't reach. Injected deterministically: %4==1
+    docs share a 10-token sentence (cross-doc duplicate — struck from
+    all of them), %4==3 docs carry a doc-unique 8-token phrase twice
+    (WITHIN-doc occurrence counting — both copies struck). Exercises
+    window explode → groupBy(gram) occurrence count → semi join →
+    sequence-explode strike → gaps-and-islands span merge → ordered
+    reassembly."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    phrase = F.concat(
+        F.lit(" rep"), did.cast("string"),
+        F.lit(" one two three four five six seven"),
+    )
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 1,
+            F.lit(" the quick brown fox jumps over the lazy sleeping dog"),
+        )
+        .when(did % 4 == 3, F.concat(phrase, phrase))
+        .otherwise(F.lit("")),
+    )
+    return substring_dedup(
+        d.select("doc_id", txt.alias("text")), min_run_tokens=8
+    )
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1307,15 +1343,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PPM header decode; ngram_contamination_hashed — the xxhash64+bloom
     web-scale variant; repetition_stats; training_mix; line_dedup —
     cross-doc CCNet boilerplate strike; hash_sample — deterministic
-    stratified sampling), and (c) every query whose code path changed in
+    stratified sampling; substring_dedup — Lee-et-al exact-substring
+    span removal), and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
     unigram_vocab top-k replan, and the politeness budget-from-delay
     coupling — plus the flagship crawl chain. Demoted to the tail: the
     stable TPC-H-ish operator queries (every one green in the r04 window,
     CORRECTNESS_r04.json, on code unchanged since) and, with the
-    line_dedup/hash_sample head additions, the ann_* trio (green r04,
-    similarity.py unchanged in r05) slides just past the 50-entry window.
+    line_dedup/hash_sample/substring_dedup head additions, the ann_*
+    trio + embedding_neardups_lsh (green r04, similarity.py unchanged
+    in r05) slide just past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1348,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": _q_training_mix,
         "line_dedup": _q_line_dedup,
         "hash_sample": _q_hash_sample,
+        "substring_dedup": _q_substring_dedup,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2655,6 +2694,89 @@ def oracle_sql() -> dict[str, str]:
                 END AS frac
             FROM documents
         )
+    """
+    out["substring_dedup"] = r"""
+        WITH docs AS (
+            SELECT doc_id, text ||
+                CASE CAST(doc_id % 4 AS INT)
+                    WHEN 1 THEN
+                        ' the quick brown fox jumps over the lazy'
+                        || ' sleeping dog'
+                    WHEN 3 THEN repeat(' rep' || CAST(doc_id AS VARCHAR)
+                        || ' one two three four five six seven', 2)
+                    ELSE ''
+                END AS text
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(text,
+                    '[ \t\n\r\f\x0b]+'), x -> x <> '') AS t
+            FROM docs
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, t FROM tok
+        ),
+        g2 AS (
+            SELECT doc_id, CAST(start AS INT) AS start,
+                array_to_string(list_slice(t, CAST(start AS INT),
+                    CAST(start AS INT) + 7), ' ') AS gram
+            FROM (
+                SELECT doc_id, t,
+                    unnest(range(1, greatest(len(t) - 6, 1))) AS start
+                FROM base
+            )
+        ),
+        dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1),
+        hits AS (
+            SELECT doc_id, start FROM g2
+            WHERE gram IN (SELECT gram FROM dup)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id,
+                CAST(unnest(range(start, start + 8)) AS INT) AS pos
+            FROM hits
+        ),
+        removed AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed
+            FROM covered GROUP BY doc_id
+        ),
+        spans AS (
+            SELECT doc_id, CAST(SUM(flag) AS INT) AS n_spans FROM (
+                SELECT doc_id,
+                    CASE WHEN pe IS NULL OR start > pe THEN 1 ELSE 0 END
+                        AS flag
+                FROM (
+                    SELECT doc_id, start,
+                        MAX(start + 7) OVER (PARTITION BY doc_id
+                            ORDER BY start ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS pe
+                    FROM hits
+                )
+            ) GROUP BY doc_id
+        ),
+        tokens AS (
+            SELECT doc_id, CAST(generate_subscripts(t, 1) AS INT) AS pos,
+                unnest(t) AS tok
+            FROM base
+        ),
+        kept AS (
+            SELECT k.doc_id, k.pos, k.tok FROM tokens k
+            WHERE NOT EXISTS (SELECT 1 FROM covered c
+                WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+        ),
+        clean AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+            COALESCE(r.n_removed, 0) AS n_removed,
+            COALESCE(s.n_spans, 0) AS n_spans,
+            COALESCE(c.text_clean, '') AS text_clean
+        FROM base b
+        LEFT JOIN removed r USING (doc_id)
+        LEFT JOIN spans s USING (doc_id)
+        LEFT JOIN clean c USING (doc_id)
     """
     out["repetition_stats"] = r"""
         WITH docs AS (

@@ -354,6 +354,7 @@ HEADLINE = [
     # stratified sampling
     "line_dedup",
     "hash_sample",
+    "substring_dedup",
 ]
 
 

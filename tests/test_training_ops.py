@@ -976,3 +976,72 @@ def test_hash_sample_deterministic_and_stratified(spark):
     assert got.get("s0") == 1000
     assert 400 < got.get("s1", 0) < 600
     assert "s2" not in got and "s3" not in got  # explicit 0 + default 0
+
+
+def test_substring_dedup_hand_matrix(spark):
+    """Hand-checked Lee-et-al semantics at n=3: cross-doc shared run
+    struck from BOTH docs, within-doc repeat struck (occurrence count,
+    not doc count), short and unique docs untouched, overlap-merged
+    span counting."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x a b c d y"),
+        (3, "p q r p q r p q"),
+        (4, "u v"),
+        (5, "m n o"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            min_run_tokens=3,
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "e f" and out[1]["n_removed"] == 4
+    assert out[1]["n_spans"] == 1
+    assert out[2]["text_clean"] == "x y" and out[2]["n_removed"] == 4
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 8
+    assert out[3]["n_spans"] == 1
+    assert out[4]["text_clean"] == "u v" and out[4]["n_removed"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["n_tokens"] == 2
+    assert out[5]["text_clean"] == "m n o" and out[5]["n_removed"] == 0
+
+
+def test_substring_dedup_hashed_equals_string(spark, sf_dir):
+    """The xxhash64-keyed scale path must reproduce the string-keyed
+    answer row-for-row on the fixture corpus."""
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .limit(200)
+        .select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit(" one two three four five six seven eight"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    a = sorted(
+        map(tuple, substring_dedup(d, min_run_tokens=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            substring_dedup(d, min_run_tokens=8, hashed=True).collect(),
+        )
+    )
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # the injected shared run engaged
