@@ -292,3 +292,46 @@ def test_unigram_vocab_topk_is_parallel(spark, sf_dir):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     # and no global Sort of the full counts frame anywhere
     assert "Sort [cnt" not in plan
+
+
+def test_line_dedup_no_cartesian_no_global_window(spark, sf_dir):
+    """line_dedup's boilerplate strike must stay an anti hash join keyed
+    by the line (never all-pairs), and its only window-free shape must
+    not smuggle in a SinglePartition window or global sort."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import line_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(line_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_hash_sample_is_shuffle_free_codegen(spark, sf_dir):
+    """hash_sample is a pure per-row decision: no Exchange anywhere in
+    the plan (the whole point — a 100 TB sample adds zero shuffle), no
+    Python eval, one whole-stage-codegen span over the scan."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import hash_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(hash_sample(docs, 0.25))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "codegen id" in plan
+
+
+def test_substring_dedup_keyed_joins_only(spark, sf_dir):
+    """substring_dedup (string and hashed paths): every join is a keyed
+    hash/sort-merge join — no cartesian fallback — and the span-merge
+    window partitions by doc id, never SinglePartition."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for hashed in (False, True):
+        plan = _plan(substring_dedup(docs, min_run_tokens=8, hashed=hashed))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SinglePartition" not in plan
