@@ -890,6 +890,21 @@ def _q_substring_dedup(spark, sf):
     )
 
 
+def _q_classifier_score(spark, sf):
+    """Model-based quality scoring (r05, operators/textstats.py:
+    hashed_bow_score): the fastText/CCNet-style hashed bag-of-words
+    linear gate — md5-portable feature hashing into 4096 buckets,
+    INTEGER stand-in weights (exact, order-independent sums; the one
+    float step is the final sigmoid, rounded), model-as-broadcast-dim-
+    table architecture (swapping in trained weights = replacing the dim
+    table). Supervised complement of unigram_quality/quality_score."""
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        hashed_bow_score,
+    )
+
+    return hashed_bow_score(_t(spark, sf, "documents"))
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1344,16 +1359,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     web-scale variant; repetition_stats; training_mix; line_dedup —
     cross-doc CCNet boilerplate strike; hash_sample — deterministic
     stratified sampling; substring_dedup — Lee-et-al exact-substring
-    span removal), and (c) every query whose code path changed in
+    span removal; classifier_score — fastText-style hashed-BOW quality
+    gate), and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
     unigram_vocab top-k replan, and the politeness budget-from-delay
     coupling — plus the flagship crawl chain. Demoted to the tail: the
     stable TPC-H-ish operator queries (every one green in the r04 window,
-    CORRECTNESS_r04.json, on code unchanged since) and, with the
-    line_dedup/hash_sample/substring_dedup head additions, the ann_*
-    trio + embedding_neardups_lsh (green r04, similarity.py unchanged
-    in r05) slide just past the 50-entry window.
+    CORRECTNESS_r04.json, on code unchanged since) and, with the four
+    line_dedup/hash_sample/substring_dedup/classifier_score head
+    additions, the ann_* trio + embedding_neardups{,_lsh} (green r04,
+    similarity.py unchanged in r05) slide just past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1387,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "hash_sample": _q_hash_sample,
         "substring_dedup": _q_substring_dedup,
+        "classifier_score": _q_classifier_score,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2694,6 +2711,34 @@ def oracle_sql() -> dict[str, str]:
                 END AS frac
             FROM documents
         )
+    """
+    out["classifier_score"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                    x -> x <> '')) AS term
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    AS BIGINT) % 4096 AS bucket
+            FROM toks
+        ),
+        per AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM((bucket * 2654435761) % 2001 - 1000) AS BIGINT)
+                    AS raw
+            FROM b GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+            COALESCE(p.n_tokens, 0) AS n_tokens,
+            COALESCE(p.raw, 0) AS raw,
+            ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.5
+                ELSE 1.0 / (1.0 + exp(-(CAST(p.raw AS DOUBLE)
+                    / (1000.0 * p.n_tokens)))) END, 6) AS score
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """
     out["substring_dedup"] = r"""
         WITH docs AS (

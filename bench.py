@@ -355,6 +355,7 @@ HEADLINE = [
     "line_dedup",
     "hash_sample",
     "substring_dedup",
+    "classifier_score",
 ]
 
 

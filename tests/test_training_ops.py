@@ -1045,3 +1045,42 @@ def test_substring_dedup_hashed_equals_string(spark, sf_dir):
     )
     assert a == b
     assert any(r[2] > 0 for r in a)  # the injected shared run engaged
+
+
+def test_hashed_bow_score_hand_check_and_weights_table(spark):
+    """Default stand-in weights match a Python recompute (md5 feature
+    hash + integer weights); supplying the same weights as a broadcast
+    dim table reproduces the inline formula row-for-row; empty doc
+    scores 0.5."""
+    import hashlib
+    import math
+
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        hashed_bow_score,
+    )
+
+    rows = [(0, "alpha beta Beta  gamma"), (1, ""), (2, "  x  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_bow_score(df).collect()}
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+        return (b * 2654435761) % 2001 - 1000
+
+    toks0 = ["alpha", "beta", "beta", "gamma"]
+    raw0 = sum(w(t) for t in toks0)
+    assert got[0]["n_tokens"] == 4 and got[0]["raw"] == raw0
+    assert got[0]["score"] == pytest.approx(
+        round(1 / (1 + math.exp(-raw0 / (1000.0 * 4))), 6), abs=1e-9
+    )
+    assert got[1]["n_tokens"] == 0 and got[1]["score"] == 0.5
+    assert got[2]["n_tokens"] == 1
+
+    wtab = spark.createDataFrame(
+        [(b, (b * 2654435761) % 2001 - 1000) for b in range(4096)],
+        "bucket long, weight long",
+    )
+    via_table = sorted(
+        map(tuple, hashed_bow_score(df, weights=wtab).collect())
+    )
+    assert via_table == sorted(map(tuple, (tuple(r) for r in got.values())))

@@ -401,3 +401,85 @@ def unigram_quality(
             6,
         ).alias("oov_ratio"),
     )
+
+
+def hashed_bow_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based quality scoring (r05): the fastText/CCNet-style
+    hashed bag-of-words linear classifier that LLaMA/RefinedWeb-class
+    pipelines run as their "is this page worth training on" gate —
+    the supervised complement of :func:`unigram_quality` (corpus-LM
+    stand-in) and :func:`quality_score` (surface heuristics).
+
+    Architecture is the Spark-first one: the MODEL IS A DIM TABLE.
+    Each token hashes to one of ``n_buckets`` feature buckets
+    (md5-derived, engine-portable); ``weights`` is a (bucket, weight)
+    DataFrame — thousands of rows for any real model — that joins
+    broadcast against the exploded token stream; per-doc logit =
+    sum(weight) / (1000 · n_tokens), score = sigmoid(logit). Swapping
+    in a trained model is replacing the dim table; nothing else moves.
+
+    When ``weights`` is None, a deterministic integer stand-in is used:
+    ``w(b) = (b·2654435761 mod 2001) − 1000`` ∈ [−1000, 1000] —
+    computed inline (no join at all). Weights are INTEGERS so the
+    per-doc sum is exact and order-independent (float accumulation
+    order would diverge between engines); the single final division +
+    sigmoid is the only float step, rounded to 6 places.
+
+    Output: ``id_col``, ``n_tokens``, ``raw`` (the exact integer
+    weight sum), ``score`` (0.5 for empty docs).
+
+    Scale shape: explode is linear in corpus tokens; the weight join is
+    broadcast (model ≪ executor memory, always); the per-doc reduce is
+    one groupBy(doc) with map-side partial integer sums. No global
+    state, no Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS),
+                     lambda x: x != "")
+        ).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    toks = toks.select(id_col, bucket.alias("bucket"))
+    if weights is not None:
+        toks = toks.join(
+            F.broadcast(weights.select("bucket", "weight")), "bucket", "left"
+        ).withColumn("w", F.coalesce(F.col("weight"), F.lit(0)))
+    else:
+        toks = toks.withColumn(
+            "w", (F.col("bucket") * F.lit(2654435761)) % 2001 - 1000
+        )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("raw"),
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("raw", F.lit(0)).cast("bigint").alias("raw"),
+        F.round(
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.5))
+            .otherwise(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(F.col("raw").cast("double")
+                          / (F.lit(1000.0) * F.col("n_tokens")))
+                    )
+                )
+            ),
+            6,
+        ).alias("score"),
+    )
