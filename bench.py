@@ -372,6 +372,21 @@ def main() -> None:
     # co-tenant VM — the same adjudication the kernels already get). The
     # bucketed variant (the stated 100 TB fetch-join path) gets its own
     # line so BENCH finally measures it, not just the cached-pages path.
+    #
+    # Cold-start control (r05): an UNTIMED warm-up first — one crawl on
+    # the sf0.01 fixture (JVM JIT + Arrow worker spin-up + codegen cache)
+    # and one scan of the target corpus (OS page cache). Without it the
+    # first trial measures cold-start, not the engine: same-code first
+    # trials read 157-216s vs 33s warmed in r05 sessions. Steady-state is
+    # the honest target — a production crawler amortizes startup over
+    # thousands of rounds.
+    from xrpl_rich_list_py_crawler_spark.sources.fixtures import (
+        ensure_crawl_fixtures,
+    )
+
+    bench_crawl(spark, os.path.join(os.path.dirname(SF_DIR), "sf0.01"))
+    _d_warm = ensure_crawl_fixtures(_sf_name(SF_DIR))
+    spark.read.parquet(os.path.join(_d_warm, "pages.parquet")).count()
     crawl_trials = [bench_crawl(spark, SF_DIR) for _ in range(3)]
     crawl = sorted(crawl_trials, key=lambda t: t["sec"])[1]
     times["crawl_3rounds"] = round(crawl["sec"], 3)
