@@ -905,6 +905,34 @@ def _q_classifier_score(spark, sf):
     return hashed_bow_score(_t(spark, sf, "documents"))
 
 
+def _q_bigram_quality(spark, sf):
+    """Bigram transition-LM quality (r05, operators/lm.py): top-500
+    corpus bigram vocab (TakeOrderedAndProject cut) with pre-joined
+    left-context counts -> broadcast join -> per-doc mass-weighted
+    conditional transition probability times in-vocab coverage, plus
+    OOV ratio — the engine's perplexity stand-in (CCNet filters on a
+    Wikipedia-LM perplexity; this rises/falls with the same signal on
+    exact integer sufficient statistics, divisions only at the end)."""
+    from xrpl_rich_list_py_crawler_spark.operators import lm
+
+    d = _t(spark, sf, "documents")
+    return lm.bigram_quality(d, lm.bigram_vocab(d, k=500))
+
+
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (r05, operators/lm.py, Xie et al. 2023):
+    hashed-feature target-vs-source mass ratio per doc, with the
+    deterministic doc_id%10<2 slice as the stand-in target domain. The
+    (bucket, t_cnt, s_cnt) model is a <=4096-row broadcast dim table;
+    scoring is explode -> broadcast join -> one groupBy(doc)."""
+    from xrpl_rich_list_py_crawler_spark.operators import lm
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 < 2).alias("is_target")
+    )
+    return lm.dsir_weights(d)
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1360,16 +1388,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cross-doc CCNet boilerplate strike; hash_sample — deterministic
     stratified sampling; substring_dedup — Lee-et-al exact-substring
     span removal; classifier_score — fastText-style hashed-BOW quality
-    gate), and (c) every query whose code path changed in
+    gate; bigram_quality — transition-LM perplexity stand-in;
+    dsir_weights — DSIR hashed-feature importance resampling weights),
+    and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
     unigram_vocab top-k replan, and the politeness budget-from-delay
     coupling — plus the flagship crawl chain. Demoted to the tail: the
     stable TPC-H-ish operator queries (every one green in the r04 window,
     CORRECTNESS_r04.json, on code unchanged since) and, with the four
-    line_dedup/hash_sample/substring_dedup/classifier_score head
-    additions, the ann_* trio + embedding_neardups{,_lsh} (green r04,
-    similarity.py unchanged in r05) slide just past the 50-entry window.
+    line_dedup/hash_sample/substring_dedup/classifier_score/
+    bigram_quality/dsir_weights head additions, the ann_* trio +
+    embedding_neardups{,_lsh} (green r04, similarity.py unchanged in
+    r05), media_frames (multimodal.py's r05 diff is purely additive —
+    sample_frames untouched), and simhash_neardups (simhash_near_dups +
+    chargram_jaccard_pairs both outside the r05 WS sweep) slide just
+    past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1404,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "substring_dedup": _q_substring_dedup,
         "classifier_score": _q_classifier_score,
+        "bigram_quality": _q_bigram_quality,
+        "dsir_weights": _q_dsir_weights,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2739,6 +2775,111 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 1.0 / (1.0 + exp(-(CAST(p.raw AS DOUBLE)
                     / (1000.0 * p.n_tokens)))) END, 6) AS score
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    out["bigram_quality"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                    x -> x <> '') AS t
+            FROM documents
+        ),
+        bgs AS (
+            SELECT doc_id,
+                unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        ),
+        counts AS (SELECT bigram, COUNT(*) AS cnt FROM bgs GROUP BY 1),
+        ctx AS (
+            SELECT split_part(bigram, ' ', 1) AS w1,
+                COUNT(*) AS w1_cnt
+            FROM bgs GROUP BY 1
+        ),
+        vocab AS (
+            SELECT bigram, cnt FROM (
+                SELECT bigram, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rk
+                FROM counts
+            ) WHERE rk <= 500
+        ),
+        vocab2 AS (
+            SELECT v.bigram, v.cnt, c.w1_cnt
+            FROM vocab v JOIN ctx c ON split_part(v.bigram, ' ', 1) = c.w1
+        ),
+        joined AS (
+            SELECT b.doc_id, v.cnt, v.w1_cnt
+            FROM bgs b LEFT JOIN vocab2 v USING (bigram)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(cnt) AS in_vocab,
+                COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS trans_mass,
+                COALESCE(CAST(SUM(w1_cnt) AS BIGINT), 0) AS ctx_mass
+            FROM joined GROUP BY 1
+        )
+        SELECT d.doc_id,
+            CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            CAST(COALESCE(p.in_vocab, 0) AS INT) AS in_vocab,
+            CAST(COALESCE(p.trans_mass, 0) AS BIGINT) AS trans_mass,
+            ROUND(CASE WHEN COALESCE(p.ctx_mass, 0) > 0
+                THEN (CAST(p.trans_mass AS DOUBLE)
+                      / CAST(p.ctx_mass AS DOUBLE))
+                     * (CAST(p.in_vocab AS DOUBLE)
+                        / CAST(p.n_bigrams AS DOUBLE))
+                ELSE 0.0 END, 9) AS trans_score,
+            ROUND(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN CAST(p.n_bigrams - p.in_vocab AS DOUBLE)
+                     / CAST(p.n_bigrams AS DOUBLE)
+                ELSE 0.0 END, 6) AS oov_ratio
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    out["dsir_weights"] = r"""
+        WITH d AS (
+            SELECT doc_id, text, (doc_id % 10) < 2 AS is_target
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, is_target,
+                unnest(list_filter(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                    x -> x <> '')) AS term
+            FROM d
+        ),
+        b AS (
+            SELECT doc_id, is_target,
+                CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    AS BIGINT) % 4096 AS bucket
+            FROM toks
+        ),
+        model AS (
+            SELECT bucket,
+                CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_cnt,
+                CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END)
+                    AS BIGINT) AS s_cnt
+            FROM b GROUP BY 1
+        ),
+        totals AS (
+            SELECT CAST(SUM(t_cnt) AS BIGINT) AS tt,
+                CAST(SUM(s_cnt) AS BIGINT) AS st
+            FROM model
+        ),
+        per AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(m.t_cnt) AS BIGINT) AS t_mass,
+                CAST(SUM(m.s_cnt) AS BIGINT) AS s_mass
+            FROM b t JOIN model m USING (bucket) GROUP BY 1
+        )
+        SELECT d.doc_id,
+            COALESCE(p.n_tokens, 0) AS n_tokens,
+            COALESCE(p.t_mass, 0) AS t_mass,
+            COALESCE(p.s_mass, 0) AS s_mass,
+            ROUND((CAST(COALESCE(p.t_mass, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(p.s_mass, 0) + 1 AS DOUBLE))
+                  * (CAST((SELECT st FROM totals) + 1 AS DOUBLE)
+                     / CAST((SELECT tt FROM totals) + 1 AS DOUBLE)), 6)
+                AS importance
+        FROM d LEFT JOIN per p USING (doc_id)
     """
     out["substring_dedup"] = r"""
         WITH docs AS (

@@ -1,0 +1,140 @@
+"""Bigram transition-LM quality + DSIR importance weights (operators/lm.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    natural = "the cat sat on the mat and the cat sat on the rug"
+    # same token multiset as `natural`, adjacency destroyed (fixed
+    # permutation, NOT random — determinism)
+    salad = "mat the on cat rug sat the and on the sat cat the"
+    rows = [
+        (0, natural),
+        (1, natural),
+        (2, natural),
+        (3, salad),
+        (4, "one"),          # single token: no bigrams
+        (5, ""),             # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_col_semantics(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("  x ",), ("",), ("A  B",)], "text string"
+    )
+    got = [r[0] for r in df.select(lm.bigram_col(F.col("text"))).collect()]
+    assert got == [["a b", "b c"], [], [], ["a b"]]
+
+
+def test_bigram_vocab_counts_and_prefix_counts(spark):
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    # bigrams: "a b", "b a", "a b", "b c"
+    v = {r["bigram"]: (r["cnt"], r["w1_cnt"], r["rank"])
+         for r in lm.bigram_vocab(df, k=10).collect()}
+    assert v["a b"] == (2, 2, 1)   # c(a·)=2
+    assert v["b a"] == (1, 2, 2)   # c(b·)=2 ("b a" and "b c")
+    assert v["b c"] == (1, 2, 3)
+    # k cut keeps the top by (cnt desc, bigram)
+    top1 = lm.bigram_vocab(df, k=1).collect()
+    assert [(r["bigram"], r["rank"]) for r in top1] == [("a b", 1)]
+
+
+def test_bigram_quality_flags_word_salad(corpus):
+    # k=8 keeps exactly the 8 natural-prose bigrams (corpus counts >= 3,
+    # boosted by the 3 natural copies); the salad's own bigrams are
+    # singletons and fall below the cut, so they register as OOV. k=100
+    # would admit every bigram and make oov_ratio 0 for all docs.
+    v = lm.bigram_vocab(corpus, k=8)
+    q = {r["doc_id"]: r.asDict()
+         for r in lm.bigram_quality(corpus, v).collect()}
+    # same tokens, same unigram stats — but the salad's transitions are
+    # rare, so it scores lower on the transition metric and higher OOV
+    assert q[0]["trans_score"] > q[3]["trans_score"]
+    assert q[0]["oov_ratio"] < q[3]["oov_ratio"]
+    # edge docs: no bigrams → zeros, never null / divide-by-zero
+    for d in (4, 5):
+        assert q[d]["n_bigrams"] == 0
+        assert q[d]["trans_score"] == 0.0
+        assert q[d]["oov_ratio"] == 0.0
+    # every doc appears exactly once
+    assert sorted(q) == [0, 1, 2, 3, 4, 5]
+
+
+def test_bigram_quality_exact_arithmetic(spark):
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    v = lm.bigram_vocab(df, k=2)  # keeps "a b"(cnt 2) and "b a"(cnt 1)
+    row = lm.bigram_quality(df, v).collect()[0]
+    # doc bigrams: a b, b a, a b, b c → 3 hits (2×"a b" + "b a"), 1 OOV
+    assert row["n_bigrams"] == 4
+    assert row["in_vocab"] == 3
+    assert row["trans_mass"] == 2 + 1 + 2          # Σ cnt over hits
+    # ctx mass: c(a·)=2 twice + c(b·)=2 once = 6; coverage 3/4
+    assert row["trans_score"] == round((5 / 6) * (3 / 4), 9)
+    assert row["oov_ratio"] == 0.25
+
+
+def test_bigram_vocab_topk_is_take_ordered(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    plan = lm.bigram_vocab(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only window runs AFTER the k-row cut — no global sort of the
+    # full bigram frame
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_dsir_weights_separate_target_from_source(spark):
+    # target docs talk about wikis, source docs about spam; the probe
+    # docs (one of each flavor, marked source) must rank correctly
+    rows = [
+        (0, "wiki article history science wiki article", True),
+        (1, "science history wiki citation article needed", True),
+        (2, "buy cheap pills now buy cheap pills", False),
+        (3, "click here win prize click here now", False),
+        (4, "wiki science citation history article", False),   # target-like
+        (5, "cheap prize pills click buy", False),             # source-like
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    w = {r["doc_id"]: r["importance"] for r in lm.dsir_weights(df).collect()}
+    assert w[4] > 1.0 > w[5]
+    assert w[0] > w[2]
+
+
+def test_dsir_weights_exact_arithmetic(spark):
+    rows = [(0, "x x y", True), (1, "y z z", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    w = {r["doc_id"]: r.asDict() for r in lm.dsir_weights(df).collect()}
+    # bucket counts: x→(t=2,s=0), y→(t=1,s=1), z→(t=0,s=2); totals t=3,s=3
+    # (md5 buckets of distinct 1-char tokens collide with prob ~3/4096 —
+    # the arithmetic below assumes no collision, which holds for x,y,z)
+    assert w[0]["t_mass"] == 2 + 2 + 1 and w[0]["s_mass"] == 0 + 0 + 1
+    assert w[1]["t_mass"] == 1 + 0 + 0 and w[1]["s_mass"] == 1 + 2 + 2
+    assert w[0]["importance"] == round((6 / 2) * (4 / 4), 6)
+    assert w[1]["importance"] == round((2 / 6) * (4 / 4), 6)
+
+
+def test_dsir_empty_doc_is_neutral(spark):
+    rows = [(0, "a b", True), (1, "c d", False), (2, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    w = {r["doc_id"]: r.asDict() for r in lm.dsir_weights(df).collect()}
+    assert w[2]["n_tokens"] == 0 and w[2]["t_mass"] == 0 and w[2]["s_mass"] == 0
+    # (0+1)/(0+1) · norm — the doc contributes no evidence either way
+    assert w[2]["importance"] == round((1 / 1) * (3 / 3), 6)
+
+
+def test_lm_model_joins_are_broadcast(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", True), (1, "d e f", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    v = lm.bigram_vocab(df, k=10)
+    p1 = lm.bigram_quality(df, v)._jdf.queryExecution().executedPlan().toString()
+    p2 = lm.dsir_weights(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p1
+    assert "BroadcastHashJoin" in p2
+    for plan in (p1, p2):
+        assert "CartesianProduct" not in plan

