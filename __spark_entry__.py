@@ -933,6 +933,39 @@ def _q_dsir_weights(spark, sf):
     return lm.dsir_weights(d)
 
 
+def _q_blocklist_filter(spark, sf):
+    """UT1-style domain-blocklist strike (r05, operators/curation.py:
+    blocklist_filter): host → dot-suffix explode (bounded fan-out) →
+    equi join against the broadcast domain dim → per-doc verdict. Hosts
+    synthesized from id arithmetic (documents carries no hostname);
+    the list hits exact, subdomain, and parent-domain branches."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    base = F.element_at(
+        F.array(
+            F.lit("news.example.com"),
+            F.lit("shop.example.com"),
+            F.lit("ads.tracker.net"),
+            F.lit("cdn.media.org"),
+            F.lit("blog.example.com"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("w"), (F.col("doc_id") % 7).cast("string"), F.lit("."), base
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("ads.tracker.net",), ("shop.example.com",), ("media.org",)],
+        "domain string",
+    )
+    return blocklist_filter(docs, bl)
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1389,7 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stratified sampling; substring_dedup — Lee-et-al exact-substring
     span removal; classifier_score — fastText-style hashed-BOW quality
     gate; bigram_quality — transition-LM perplexity stand-in;
-    dsir_weights — DSIR hashed-feature importance resampling weights),
+    dsir_weights — DSIR hashed-feature importance resampling weights;
+    blocklist_filter — UT1-style domain-blocklist strike),
     and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
@@ -1398,12 +1432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stable TPC-H-ish operator queries (every one green in the r04 window,
     CORRECTNESS_r04.json, on code unchanged since) and, with the four
     line_dedup/hash_sample/substring_dedup/classifier_score/
-    bigram_quality/dsir_weights head additions, the ann_* trio +
-    embedding_neardups{,_lsh} (green r04, similarity.py unchanged in
-    r05), media_frames (multimodal.py's r05 diff is purely additive —
-    sample_frames untouched), and simhash_neardups (simhash_near_dups +
-    chargram_jaccard_pairs both outside the r05 WS sweep) slide just
-    past the 50-entry window.
+    bigram_quality/dsir_weights/blocklist_filter head additions, the
+    ann_* trio + embedding_neardups{,_lsh} (green r04, similarity.py
+    unchanged in r05), media_plumbing + media_frames (multimodal.py's
+    r05 diff is purely additive — the plumbing functions untouched),
+    and simhash_neardups (simhash_near_dups + chargram_jaccard_pairs
+    both outside the r05 WS sweep) slide just past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1440,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _q_classifier_score,
         "bigram_quality": _q_bigram_quality,
         "dsir_weights": _q_dsir_weights,
+        "blocklist_filter": _q_blocklist_filter,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2832,6 +2867,36 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(p.n_bigrams AS DOUBLE)
                 ELSE 0.0 END, 6) AS oov_ratio
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    out["blocklist_filter"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                'w' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+                (['news.example.com', 'shop.example.com',
+                  'ads.tracker.net', 'cdn.media.org',
+                  'blog.example.com'])[CAST(doc_id % 5 AS INT) + 1]
+                    AS host
+            FROM documents
+        ),
+        bl(domain) AS (VALUES ('ads.tracker.net'), ('shop.example.com'),
+                              ('media.org')),
+        sfx AS (
+            SELECT doc_id,
+                unnest(list_transform(
+                    range(1, len(string_split(host, '.')) + 1),
+                    i -> array_to_string(list_slice(
+                        string_split(host, '.'), i,
+                        len(string_split(host, '.'))), '.'))) AS domain
+            FROM d
+        ),
+        hits AS (
+            SELECT s.doc_id, min(s.domain) AS matched_domain
+            FROM sfx s JOIN bl USING (domain) GROUP BY 1
+        )
+        SELECT d.doc_id, d.host,
+            h.matched_domain IS NOT NULL AS blocked,
+            h.matched_domain
+        FROM d LEFT JOIN hits h USING (doc_id)
     """
     out["dsir_weights"] = r"""
         WITH d AS (

@@ -356,6 +356,9 @@ HEADLINE = [
     "hash_sample",
     "substring_dedup",
     "classifier_score",
+    # r05 LM family: bigram transition model + DSIR importance weights
+    "bigram_quality",
+    "dsir_weights",
 ]
 
 

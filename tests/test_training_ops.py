@@ -1084,3 +1084,68 @@ def test_hashed_bow_score_hand_check_and_weights_table(spark):
         map(tuple, hashed_bow_score(df, weights=wtab).collect())
     )
     assert via_table == sorted(map(tuple, (tuple(r) for r in got.values())))
+
+
+def test_host_suffixes_semantics(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        host_suffixes_col,
+    )
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",), ("",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(host_suffixes_col(F.col("host"))).collect()]
+    assert got[0] == [
+        "a.b.example.com", "b.example.com", "example.com", "com",
+    ]
+    assert got[1] == ["example.com", "com"]
+    assert got[2] == ["localhost"]
+    assert got[3] == [""]
+
+
+def test_blocklist_filter_verdicts(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ads.tracker.net"),        # exact match
+            (1, "x.ads.tracker.net"),      # parent-domain match
+            (2, "tracker.net"),            # parent of a blocked sub — CLEAN
+            (3, "news.example.com"),       # clean
+            (4, "a.bad.org"),              # under two entries: min wins
+            (5, ""),                       # empty host: clean
+        ],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame(
+        [("ads.tracker.net",), ("bad.org",), ("a.bad.org",)], "domain string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in blocklist_filter(docs, bl).collect()}
+    assert out[0]["blocked"] and out[0]["matched_domain"] == "ads.tracker.net"
+    assert out[1]["blocked"] and out[1]["matched_domain"] == "ads.tracker.net"
+    assert not out[2]["blocked"] and out[2]["matched_domain"] is None
+    assert not out[3]["blocked"]
+    # host a.bad.org matches both "a.bad.org" and "bad.org" → min
+    assert out[4]["blocked"] and out[4]["matched_domain"] == "a.bad.org"
+    assert not out[5]["blocked"]
+    # every input doc appears exactly once, input columns preserved
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]
+    assert set(out[0]) == {"doc_id", "host", "blocked", "matched_domain"}
+
+
+def test_blocklist_filter_plan_broadcasts_dim(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame([(0, "a.example.com")], "doc_id long, host string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = (
+        blocklist_filter(docs, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -15,7 +15,7 @@ the near-dup id set — no all-pairs work anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup as dd
@@ -450,4 +450,71 @@ def hash_sample(
         frac = F.lit(float(fractions))
     return df.select(
         "*", u.alias("u"), (u < frac).alias("sampled")
+    )
+
+
+def host_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of a hostname as an array column, longest first —
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com]. Pure JVM (split + sequence + slice), bounded by the label
+    count (practically ≤ ~8), so the downstream explode is a small
+    constant fan-out, never quadratic.
+
+    DuckDB twin: ``list_transform(range(1, len(l)+1),
+    i -> array_to_string(list_slice(l, i, len(l)), '.'))``.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """UT1-style domain-blocklist verdict: a doc is blocked when its host
+    equals a blocklisted domain OR sits under one (any parent-domain
+    suffix matches) — the standard adult/spam/tracker domain strike a
+    CCNet/RefinedWeb-class pipeline applies before content filters.
+
+    ``blocklist`` is a one-column ``domain`` frame (the dim table — UT1
+    ships ~4M entries). Matching explodes each host into its ≤ ~8 dot
+    suffixes and equi-joins on the domain key: linear in corpus size with
+    a small constant fan-out, never a per-row scan of the blocklist and
+    never a LIKE-join (which would be a cartesian filter). With
+    ``broadcast_blocklist`` (default) the dim broadcasts — right up to
+    UT1 scale, a few-million-row string table is ~100 MB and still the
+    cheapest plan; set it False on a truly oversized list to shuffle
+    both sides on the domain key instead.
+
+    Output: input columns + ``blocked`` boolean + ``matched_domain``
+    (the alphabetically-first matching domain, for reproducibility; null
+    when clean).
+
+    Reference parity: generalizes the reference's per-source allowlist
+    gating (validator.py:94-123 only fetches configured sources) to the
+    corpus-hygiene direction, per SURVEY.md §2's training-data mandate.
+    """
+    bl = blocklist.select(F.col("domain").cast("string").alias("domain"))
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    sfx = df.select(
+        F.col(id_col),
+        F.explode(host_suffixes_col(F.col(host_col))).alias("domain"),
+    )
+    hits = (
+        sfx.join(bl, "domain")
+        .groupBy(id_col)
+        .agg(F.min("domain").alias("matched_domain"))
+    )
+    return df.join(hits, id_col, "left").select(
+        *df.columns,
+        F.col("matched_domain").isNotNull().alias("blocked"),
+        F.col("matched_domain"),
     )
