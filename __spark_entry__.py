@@ -966,6 +966,24 @@ def _q_blocklist_filter(spark, sf):
     return blocklist_filter(docs, bl)
 
 
+def _q_image_ahash_neardups(spark, sf):
+    """Image near-dup via 64-bit average hash (r05, operators/
+    multimodal.py): REAL patterned-PPM bytes built per doc_id →
+    pixel decode → integer-exact ahash (strict cell*64 > Σ threshold,
+    32-bit halves so bit 63 never signs) → SimHash-style 8-byte-chunk
+    pigeonhole Hamming join (exact recall for hamming ≤ 7). The oracle
+    recomputes the hash closed-form from the same id arithmetic and
+    brute-forces all pairs — byte build, pixel parse, hash, and
+    blocking all checked end-to-end."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        ahash_near_dups, image_ahash, synth_patterned_fixture,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    sigs = image_ahash(synth_patterned_fixture(ids))
+    return ahash_near_dups(sigs, max_hamming=7)
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher/C4-family repetition quality gates (r05): duplicate-line
     fraction + top-token and top-bigram mass per document
@@ -1423,7 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span removal; classifier_score — fastText-style hashed-BOW quality
     gate; bigram_quality — transition-LM perplexity stand-in;
     dsir_weights — DSIR hashed-feature importance resampling weights;
-    blocklist_filter — UT1-style domain-blocklist strike),
+    blocklist_filter — UT1-style domain-blocklist strike;
+    image_ahash_neardups — real-pixel average-hash image near-dup),
     and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
@@ -1432,12 +1451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stable TPC-H-ish operator queries (every one green in the r04 window,
     CORRECTNESS_r04.json, on code unchanged since) and, with the four
     line_dedup/hash_sample/substring_dedup/classifier_score/
-    bigram_quality/dsir_weights/blocklist_filter head additions, the
-    ann_* trio + embedding_neardups{,_lsh} (green r04, similarity.py
-    unchanged in r05), media_plumbing + media_frames (multimodal.py's
-    r05 diff is purely additive — the plumbing functions untouched),
-    and simhash_neardups (simhash_near_dups + chargram_jaccard_pairs
-    both outside the r05 WS sweep) slide just past the 50-entry window.
+    bigram_quality/dsir_weights/blocklist_filter/image_ahash_neardups
+    head additions, the ann_* trio + embedding_neardups{,_lsh} (green
+    r04, similarity.py unchanged in r05), media_plumbing + media_frames
+    (multimodal.py's r05 diff is purely additive — the plumbing
+    functions untouched), simhash_neardups (simhash_near_dups +
+    chargram_jaccard_pairs both outside the r05 WS sweep), and
+    trustline_rich_list (entry-file chain, code unchanged since its
+    green r04 row) slide just past the 50-entry window.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1475,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_quality": _q_bigram_quality,
         "dsir_weights": _q_dsir_weights,
         "blocklist_filter": _q_blocklist_filter,
+        "image_ahash_neardups": _q_image_ahash_neardups,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -2867,6 +2889,40 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(p.n_bigrams AS DOUBLE)
                 ELSE 0.0 END, 6) AS oov_ratio
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    out["image_ahash_neardups"] = r"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        px AS (
+            SELECT doc_id, x, y,
+                (17 * x + 31 * y + 7 * (doc_id % 16)) % 256 AS g
+            FROM ids, range(0, 8) rx(x), range(0, 8) ry(y)
+        ),
+        s AS (
+            SELECT doc_id, CAST(SUM(g) AS BIGINT) AS tot
+            FROM px GROUP BY 1
+        ),
+        bits AS (
+            SELECT p.doc_id, CAST(p.y * 8 + p.x AS INT) AS i,
+                CASE WHEN p.g * 64 > s.tot THEN 1 ELSE 0 END AS b
+            FROM px p JOIN s USING (doc_id)
+        ),
+        h AS (
+            SELECT doc_id,
+                CAST(SUM(CASE WHEN i >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                    ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(SUM(CASE WHEN i < 32
+                    THEN b * (CAST(1 AS BIGINT) << i)
+                    ELSE 0 END) AS BIGINT) AS hash_lo
+            FROM bits GROUP BY 1
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                     + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT)
+                    AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 7
     """
     out["blocklist_filter"] = r"""
         WITH d AS (

@@ -1149,3 +1149,122 @@ def test_blocklist_filter_plan_broadcasts_dim(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _bmp_from_gray(rows):
+    """Test helper: 24-bit bottom-up padded BMP from a gray matrix."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    stride = 3 * w + (4 - (3 * w) % 4) % 4
+    px = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up storage
+        for x in range(w):
+            g = rows[y][x]
+            px.extend((g, g, g))
+        px.extend(b"\x00" * (stride - 3 * w))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return bytes(hdr) + bytes(px)
+
+
+def test_ahash64_bit_placement_and_identity():
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import ahash64
+
+    zeros = [[0] * 8 for _ in range(8)]
+    assert ahash64(8, 8, zeros) == (0, 0)
+    one = [[0] * 8 for _ in range(8)]
+    one[0][0] = 255                       # bit i = y*8+x = 0 → lo bit 0
+    assert ahash64(8, 8, one) == (0, 1)
+    corner = [[0] * 8 for _ in range(8)]
+    corner[7][7] = 255                    # i = 63 → hi bit 31
+    assert ahash64(8, 8, corner) == (1 << 31, 0)
+
+
+def test_ahash64_block_mean_downsample():
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import ahash64
+
+    small = [[(17 * x + 31 * y) % 256 for x in range(8)] for y in range(8)]
+    # 16×16 nearest-block blow-up: every 2×2 block constant = small[y][x]
+    big = [
+        [small[y // 2][x // 2] for x in range(16)] for y in range(16)
+    ]
+    assert ahash64(16, 16, big) == ahash64(8, 8, small)
+
+
+def test_gray_pixels_bmp_equals_ppm():
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        _gray_pixels, ahash64, synth_patterned_ppm,
+    )
+
+    ppm = synth_patterned_ppm(5)
+    w, h, rows = _gray_pixels(ppm)
+    assert (w, h) == (8, 8)
+    bmp = _bmp_from_gray(rows)
+    assert _gray_pixels(bmp) == (8, 8, rows)   # bottom-up + padding undone
+    assert ahash64(8, 8, rows) == ahash64(*_gray_pixels(bmp))
+    assert _gray_pixels(b"JUNK1234") is None
+
+
+def test_image_ahash_neardups_matches_bruteforce(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        _gray_pixels, ahash64, image_ahash, ahash_near_dups,
+        synth_patterned_fixture, synth_patterned_ppm,
+    )
+
+    ids = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    media = synth_patterned_fixture(ids)
+    sigs = image_ahash(media)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dups(sigs, max_hamming=7).collect()
+    }
+    # brute-force truth from the same real bytes, plain Python
+    hs = {
+        i: ahash64(*_gray_pixels(synth_patterned_ppm(i))) for i in range(48)
+    }
+    want = {}
+    for a in range(48):
+        for b in range(a + 1, 48):
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+    assert any(d == 0 for d in want.values())  # mod-16 clusters engage
+
+
+def test_image_ahash_refuses_non_image(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        image_ahash, ahash_near_dups,
+    )
+
+    media = spark.createDataFrame(
+        [(0, bytearray(b"JUNKJUNKJUNK")), (1, bytearray(b"P6\n8 8\n255\n"))],
+        "media_id long, payload binary",
+    )  # row 1: truncated raster → also refused
+    rows = {r["media_id"]: r.asDict() for r in image_ahash(media).collect()}
+    assert not rows[0]["ok"] and rows[0]["hash_hi"] is None
+    assert not rows[1]["ok"]
+    assert ahash_near_dups(image_ahash(media)).count() == 0
+
+
+def test_ahash_near_dups_plan_no_cartesian(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        ahash_near_dups,
+    )
+    import pytest as _pytest
+
+    sigs = spark.createDataFrame(
+        [(0, True, 1, 2), (1, True, 1, 2)],
+        "media_id long, ok boolean, hash_hi long, hash_lo long",
+    )
+    plan = (
+        ahash_near_dups(sigs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    with _pytest.raises(ValueError):
+        ahash_near_dups(sigs, max_hamming=8)

@@ -298,3 +298,231 @@ def sample_frames(
     return media.filter(F.col("kind") == "video").mapInPandas(
         _run, "media_id long, frame_no int, frame binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# image average-hash near-dup (r05): the multimodal member of the dedup
+# family — decode REAL container pixels (BMP/PPM, pure Python), reduce to a
+# 64-bit average hash, then find near-duplicate images with the same
+# pigeonhole chunk blocking the text SimHash path uses (dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _gray_pixels(payload: bytes):
+    """Row-major TOP-DOWN grayscale ints from a BMP (24-bit uncompressed)
+    or binary-PPM payload, or None if the payload is neither. Grayscale is
+    the integer mean (r+g+b)//3 — exact, engine-free arithmetic. BMP rows
+    are stored bottom-up (positive height) with 4-byte row padding; both
+    are undone here so the same image hashes identically in either
+    container (pinned by test)."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) >= 54 and b[0:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        (off,) = struct.unpack("<I", b[10:14])
+        if w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = 3 * w + (4 - (3 * w) % 4) % 4
+        if len(b) < off + stride * h:
+            return None
+        rows = []
+        for y in range(h):
+            src = y if top_down else h - 1 - y
+            base = off + src * stride
+            row = [
+                (b[base + 3 * x] + b[base + 3 * x + 1] + b[base + 3 * x + 2])
+                // 3
+                for x in range(w)
+            ]
+            rows.append(row)
+        return w, h, rows
+    if len(b) >= 2 and b[0:2] == b"P6":
+        toks, tok, i = [], b"", 2
+        while i < len(b) and len(toks) < 3:
+            c = b[i : i + 1]
+            if c in b" \t\r\n":
+                if tok:
+                    toks.append(tok)
+                    tok = b""
+                    if len(toks) == 3:
+                        break  # i already points past the single delimiter
+            else:
+                tok += c
+            i += 1
+        try:
+            w, h = int(toks[0]), int(toks[1])
+        except (IndexError, ValueError):
+            return None
+        if w <= 0 or h <= 0 or len(b) < i + 1 + 3 * w * h:
+            return None
+        base0 = i + 1
+        rows = []
+        for y in range(h):
+            base = base0 + y * 3 * w
+            row = [
+                (b[base + 3 * x] + b[base + 3 * x + 1] + b[base + 3 * x + 2])
+                // 3
+                for x in range(w)
+            ]
+            rows.append(row)
+        return w, h, rows
+    return None
+
+
+def ahash64(w: int, h: int, rows) -> tuple[int, int]:
+    """64-bit average hash as (hash_hi, hash_lo) 32-bit halves — two
+    always-non-negative BIGINTs, so no engine disagrees about bit-63
+    sign. Block-mean downsample to 8×8 (floor boundaries, floor mean —
+    identity for an 8×8 input, which is what the oracle fixture pins;
+    larger inputs are pinned by pytest against a hand-rolled reference),
+    then bit i (= y*8+x, row-major top-left) is 1 iff cell*64 > Σcells:
+    strictly-greater integer cross-multiplication, never a float mean."""
+    cells = []
+    for by in range(8):
+        y0, y1 = (by * h) // 8, ((by + 1) * h) // 8
+        y1 = max(y1, y0 + 1)
+        for bx in range(8):
+            x0, x1 = (bx * w) // 8, ((bx + 1) * w) // 8
+            x1 = max(x1, x0 + 1)
+            tot = n = 0
+            for y in range(y0, min(y1, h)):
+                for x in range(x0, min(x1, w)):
+                    tot += rows[y][x]
+                    n += 1
+            cells.append(tot // n if n else 0)
+    total = sum(cells)
+    hi = lo = 0
+    for i, c in enumerate(cells):
+        if c * 64 > total:
+            if i >= 32:
+                hi |= 1 << (i - 32)
+            else:
+                lo |= 1 << i
+    return hi, lo
+
+
+def image_ahash(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image 64-bit average hash over real container bytes
+    (mapInPandas, Arrow-batched): (id, ok, hash_hi, hash_lo). Non-image
+    payloads report ok=false with null halves — same refusal contract as
+    :func:`sniff_decode`."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, his, los = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _gray_pixels(bytes(payload))
+                ids.append(mid)
+                if parsed is None:
+                    oks.append(False)
+                    his.append(None)
+                    los.append(None)
+                else:
+                    hi, lo = ahash64(*parsed)
+                    oks.append(True)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "ok": oks,
+                    "hash_hi": pd.array(his, dtype="Int64"),
+                    "hash_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _run, f"{id_col} long, ok boolean, hash_hi long, hash_lo long"
+    )
+
+
+def ahash_near_dups(
+    sigs: DataFrame, id_col: str = "media_id", max_hamming: int = 7
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the average
+    hash — the same exact pigeonhole as the text SimHash path
+    (dedup.py:simhash_near_dups): 8 byte-chunks of the 64-bit hash, so
+    any pair within ``max_hamming`` ≤ 7 shares at least one identical
+    chunk (8 chunks, ≤7 differing bits). Shuffle is keyed by (chunk,
+    byte): linear in images, never all-pairs; Hamming is JVM
+    ``bit_count(xor)`` on the two 32-bit halves. For a boilerplate-logo
+    corpus the hot identical-hash buckets are the star-collapse case —
+    compose with ``dedup.salt_split_oversize`` exactly as SimHash does
+    if a cap is needed."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("pigeonhole over 8 byte-chunks needs max_hamming in [0, 7]")
+    byte_keys = [
+        F.shiftright(F.col("hash_lo"), 8 * j).bitwiseAND(F.lit(255))
+        for j in range(4)
+    ] + [
+        F.shiftright(F.col("hash_hi"), 8 * j).bitwiseAND(F.lit(255))
+        for j in range(4)
+    ]
+    chunks = sigs.filter(F.col("ok")).select(
+        id_col,
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(F.array(*byte_keys)).alias("chunk", "key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo"))
+                )
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_patterned_ppm(doc_id: int, mod: int = 16) -> bytes:
+    """Deterministic 8×8 binary PPM whose grayscale plane is
+    ``(17x + 31y + 7·(doc_id % mod)) % 256`` with r=g=b — ids congruent
+    mod ``mod`` are pixel-identical (hash-identical), giving the ahash
+    near-dup fixture its clusters; the DuckDB oracle recomputes the hash
+    closed-form from the same arithmetic."""
+    vals = bytearray()
+    for y in range(8):
+        for x in range(8):
+            g = (17 * x + 31 * y + 7 * (doc_id % mod)) % 256
+            vals.extend((g, g, g))
+    return b"P6\n8 8\n255\n" + bytes(vals)
+
+
+def synth_patterned_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed (media_id, payload) rows of real patterned-PPM bytes —
+    ids stay partitioned, no driver collect."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        synth_patterned_ppm(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(_run, "media_id long, payload binary")
