@@ -750,6 +750,32 @@ def _q_unigram_quality(spark, sf):
     return ts.unigram_quality(d, ts.unigram_vocab(d, k=200))
 
 
+def _q_seq_packing(spark, sf):
+    """Training-sequence packing (operators/packing.py, r05): the corpus
+    laid out as one global token stream (doc_id order, +1 EOS per doc)
+    and cut into 256-token training sequences — one row per (document,
+    sequence it overlaps) with exact integer slice offsets. The global
+    prefix sum runs the two-phase distributed plan (range shuffle +
+    P-row broadcast offset dim), NEVER a single-partition window; the
+    oracle's naive ``SUM() OVER (ORDER BY)`` certifies the scale plan
+    computes the identical stream layout."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, capacity=256)
+
+
+def _q_bpe_merge_pairs(spark, sf):
+    """BPE tokenizer-training iteration (operators/textstats.py:
+    bpe_merge_pairs, r05): top-200 adjacent character pairs by corpus
+    frequency over the BPE_UNIT pre-tokens — the merge candidates of the
+    first byte-pair-encoding round, computed on the distinct-unit frame
+    weighted by unit counts (the classic BPE-training optimization).
+    Top-k cut via orderBy().limit() → TakeOrderedAndProject."""
+    d = _t(spark, sf, "documents")
+    return ts.bpe_merge_pairs(d, k=200)
+
+
 def _q_ngram_contamination(spark, sf):
     """Benchmark decontamination (operators/curation.py:
     ngram_contamination, r04): 13-token-gram overlap between the
@@ -1442,7 +1468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate; bigram_quality — transition-LM perplexity stand-in;
     dsir_weights — DSIR hashed-feature importance resampling weights;
     blocklist_filter — UT1-style domain-blocklist strike;
-    image_ahash_neardups — real-pixel average-hash image near-dup),
+    image_ahash_neardups — real-pixel average-hash image near-dup;
+    seq_packing — fixed-capacity training-sequence packing via a
+    two-phase distributed prefix sum; bpe_merge_pairs — first BPE
+    tokenizer-training iteration over the distinct-pre-token frame),
     and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
@@ -1458,7 +1487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     functions untouched), simhash_neardups (simhash_near_dups +
     chargram_jaccard_pairs both outside the r05 WS sweep), and
     trustline_rich_list (entry-file chain, code unchanged since its
-    green r04 row) slide just past the 50-entry window.
+    green r04 row) slide just past the 50-entry window — as do, with
+    the late seq_packing + bpe_merge_pairs head additions, domain_cap
+    (cap_per_key unchanged since its green r04 row) and
+    url_canonicalization (udfs.py canon path unchanged in r05, green
+    r04).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1497,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "blocklist_filter": _q_blocklist_filter,
         "image_ahash_neardups": _q_image_ahash_neardups,
+        "seq_packing": _q_seq_packing,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
@@ -1512,6 +1547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen_after3": _q_crawl_seen_after3,
         "robots_txt_parse": _q_robots_txt_parse,
         "robots_denied": _q_robots_denied,
+        # --- 50-entry driver window ends here: with seq_packing +
+        #     bpe_merge_pairs head-slotted, domain_cap (cap_per_key
+        #     unchanged since its green r04 row) and url_canonicalization
+        #     (udfs.py canon path unchanged in r05, green r04) slide just
+        #     past the window ---
         "domain_cap": _q_domain_cap,
         "url_canonicalization": _q_url_canonicalization,
         "trustline_rich_list": _q_trustline_rich_list,
@@ -2593,6 +2633,70 @@ def oracle_sql() -> dict[str, str]:
             ROUND(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 6)
                 AS oov_ratio
         FROM per_doc
+    """
+    # seq_packing: the oracle RUNS the naive single-window prefix sum —
+    # fine at sf0.01 — certifying that the engine's two-phase
+    # range-shuffle + broadcast-offset plan computes the identical global
+    # token-stream layout. All slice columns are exact integer arithmetic.
+    out["seq_packing"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text),
+                          '[ \t\n\r\f\x0b]+')) END) + 1 AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS strt
+            FROM tok
+        ),
+        spans AS (
+            SELECT doc_id, strt, strt + n_tok AS fin,
+                CAST(strt // 256 AS BIGINT) AS s0,
+                CAST((strt + n_tok - 1) // 256 AS BIGINT) AS s1
+            FROM cum
+        ),
+        ex AS (
+            SELECT doc_id, strt, fin,
+                unnest(range(s0, s1 + 1)) AS seq_id
+            FROM spans
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+            CAST(GREATEST(strt, seq_id * 256) - seq_id * 256 AS INT)
+                AS seq_off,
+            CAST(GREATEST(strt, seq_id * 256) - strt AS BIGINT) AS doc_off,
+            CAST(LEAST(fin, (seq_id + 1) * 256)
+                 - GREATEST(strt, seq_id * 256) AS INT) AS n_toks
+        FROM ex
+    """
+    # bpe_merge_pairs: both engines index characters 1-based; pair counts
+    # are exact integers, rank tiebreak (cnt desc, pair asc) is total.
+    out["bpe_merge_pairs"] = r"""
+        WITH units AS (
+            SELECT unnest(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS unit
+            FROM documents
+        ),
+        wc AS (SELECT unit, COUNT(*) AS wcnt FROM units GROUP BY 1),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, CAST(length(unit) AS BIGINT)),
+                       i -> unit[i] || ' ' || unit[i + 1])) AS pair,
+                   wcnt
+            FROM wc WHERE length(unit) >= 2
+        ),
+        agg AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+                FROM pairs GROUP BY 1),
+        ranked AS (
+            SELECT pair, cnt,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT)
+                    AS rank
+            FROM agg
+        )
+        SELECT pair, cnt, rank FROM ranked WHERE rank <= 200
     """
     # media_decode: every decoded field recomputed from the generator's id
     # arithmetic — the Spark side must round-trip REAL bytes to match

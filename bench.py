@@ -359,6 +359,9 @@ HEADLINE = [
     # r05 LM family: bigram transition model + DSIR importance weights
     "bigram_quality",
     "dsir_weights",
+    # r05 dataloader prep: two-phase prefix-sum packing + BPE merge count
+    "seq_packing",
+    "bpe_merge_pairs",
 ]
 
 

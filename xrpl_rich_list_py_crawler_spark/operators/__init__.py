@@ -10,6 +10,7 @@ from .curation import (  # noqa: F401
     training_mix,
 )
 from .frontier import global_rank, priority_order, salted_repartition  # noqa: F401
+from .packing import global_cumsum, pack_sequences  # noqa: F401
 from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401
 from .sitemap import child_sitemaps, parse_sitemap, sitemap_seeds  # noqa: F401
 from .seen import (  # noqa: F401

@@ -1,0 +1,159 @@
+"""Training-sequence packing: lay the whole corpus out as one global
+token stream and cut it into fixed-capacity training sequences.
+
+GPT-style pretraining consumes fixed-length token sequences (e.g. 2048
+or 8192 tokens); the corpus is concatenated in a deterministic document
+order, an EOS token is appended per document, and the stream is split
+every ``capacity`` tokens — documents freely cross sequence boundaries.
+The operator that makes this distributed is a **global prefix sum** over
+per-document token counts: once every document knows its absolute start
+offset in the stream, its (sequence, slice) assignments are pure row-local
+integer arithmetic.
+
+The naive cumulative sum — ``sum() OVER (ORDER BY doc_id)`` — collapses
+to ONE partition, the same anti-pattern :func:`frontier.global_rank`
+exists to avoid (and the reason the r04 verdict flagged
+``unigram_vocab``'s global window). :func:`global_cumsum` is the
+prefix-sum twin of ``global_rank``'s two-phase plan:
+
+1. range-repartition by the order keys (one shuffle, sampled balanced
+   boundaries) and sort within partitions;
+2. one tiny aggregate: per-partition token totals (P rows, P =
+   parallelism) → prefix-summed into per-partition offsets on a P-row
+   frame;
+3. broadcast the offset dim back; each row's global offset = partition
+   offset + intra-partition running sum.
+
+The big data is touched by exactly one shuffle; the only global object
+is the P-row offset table. The result is **boundary-invariant**: range
+partitioning's sampled split points may vary, but "sum of all values
+ordered before mine" does not depend on where partition cuts land, so
+output is identical at any parallelism (the north_rule local[8] ==
+local[32] invariant) — pinned in tests/test_packing.py.
+
+At 100 TB: explode output is ``n_docs + total_tokens/capacity`` rows
+(each doc emits one row per sequence it touches; a doc shorter than
+``capacity`` usually touches one). Downstream sequence assembly groups
+by ``seq_id`` — dense integer ids, so a range repartition co-locates
+each sequence's slices with zero skew.
+
+Reference parity: the reference crawler has no packing stage; this is
+part of SURVEY.md §2's training-data-pipeline mandate (the step between
+a curated corpus and a token-stream dataloader).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count_col
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` in ``order_by`` order
+    (sum of all strictly-earlier rows; first row gets 0).
+
+    Two-phase distributed plan — see module docstring. ``order_by`` must
+    be a total order (ties would make "earlier" ambiguous); callers pass
+    a unique key such as ``doc_id``.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+    # Materialize the partition ids ONCE (same discipline as global_rank:
+    # spark_partition_id() is physical-plan-dependent, and the offset
+    # branch and the output branch must agree on pids).
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
+    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_ptotal").over(w), F.lit(0)).cast("long")
+    ).select("_pid", "_offset")
+    intra = Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("_offset")
+                + F.coalesce(F.sum(value_col).over(intra), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_tokens: int = 1,
+    n_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Assign every document its slice(s) of the fixed-capacity training
+    sequences cut from the concatenated corpus token stream.
+
+    Documents are laid out in ascending ``id_col`` order; each document
+    contributes its whitespace token count plus ``eos_tokens`` separator
+    tokens. Output one row per (document, sequence it overlaps):
+
+    * ``seq_id``     — 0-based training-sequence index (bigint)
+    * ``doc_id``     — the document
+    * ``seq_off``    — position within the sequence where this doc's
+      slice starts (int, 0..capacity-1)
+    * ``doc_off``    — offset within the document's own token stream
+      (incl. trailing EOS) where the slice starts (bigint)
+    * ``n_toks``     — slice length in tokens (int, ≥1)
+
+    Every column is exact integer arithmetic on the prefix sum, so the
+    DuckDB oracle twin reproduces it bit-for-bit.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    cap = F.lit(capacity).cast("long")
+    toks = df.select(
+        F.col(id_col),
+        (token_count_col(F.col(text_col)) + F.lit(eos_tokens)).cast("long").alias(
+            "_n_tok"
+        ),
+    )
+    cum = global_cumsum(
+        toks,
+        [F.col(id_col).asc()],
+        "_n_tok",
+        out_col="_start",
+        n_partitions=n_partitions,
+        cache_registry=cache_registry,
+    )
+    fin = F.col("_start") + F.col("_n_tok")
+    s0 = F.floor(F.col("_start") / cap).cast("long")
+    s1 = F.floor((fin - 1) / cap).cast("long")
+    spans = cum.select(
+        F.col(id_col),
+        F.col("_start"),
+        fin.alias("_fin"),
+        F.explode(F.sequence(s0, s1)).alias("seq_id"),
+    )
+    seq_base = F.col("seq_id") * cap
+    slice_start = F.greatest(F.col("_start"), seq_base)
+    slice_end = F.least(F.col("_fin"), seq_base + cap)
+    return spans.select(
+        "seq_id",
+        id_col,
+        (slice_start - seq_base).cast("int").alias("seq_off"),
+        (slice_start - F.col("_start")).cast("long").alias("doc_off"),
+        (slice_end - slice_start).cast("int").alias("n_toks"),
+    )
