@@ -776,6 +776,43 @@ def _q_bpe_merge_pairs(spark, sf):
     return ts.bpe_merge_pairs(d, k=200)
 
 
+def _q_host_pagerank(spark, sf):
+    """Host-graph PageRank (operators/graph.py, r05): derive the crawl's
+    ``host_rank`` frontier-priority input from the link graph itself —
+    5 iterations of integer-exact PageRank (ranks scaled by 10^12, every
+    step integral ``div``), so Spark and DuckDB produce bit-identical
+    scores and the result is partitioning-independent. The edge list is
+    synthesized deterministically from doc_id (src = id % 57, dst =
+    (id·7+3) % 60 — hosts 57-59 are dangling: in-links but no out-links,
+    exercising the dangling-mass redistribution). The oracle UNROLLS all
+    5 iterations as plain SQL CTEs — a full independent PageRank, not a
+    golden file. Real-graph composition (JVM link extraction → edges →
+    pagerank → frontier host_rank) is pinned in tests/test_graph.py."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import host_pagerank
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    edges = (
+        d.select((did % 57).alias("src"), ((did * 7 + 3) % 60).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return host_pagerank(edges, n_iter=5)
+
+
+def _q_sessionization(spark, sf):
+    """Sessionization (operators/sessions.py, r05): split each user's
+    event stream into sessions at >30-minute inactivity gaps — the
+    classic gaps-and-islands window, computed per-user (never a global
+    window) with the gap comparison on integer epoch-microseconds. One
+    row per (user, session) with count/start/end/integer duration; no
+    float aggregates (double summation is order-dependent across
+    engines)."""
+    from xrpl_rich_list_py_crawler_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf, "events"))
+
+
 def _q_ngram_contamination(spark, sf):
     """Benchmark decontamination (operators/curation.py:
     ngram_contamination, r04): 13-token-gram overlap between the
@@ -1471,7 +1508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     image_ahash_neardups — real-pixel average-hash image near-dup;
     seq_packing — fixed-capacity training-sequence packing via a
     two-phase distributed prefix sum; bpe_merge_pairs — first BPE
-    tokenizer-training iteration over the distinct-pre-token frame),
+    tokenizer-training iteration over the distinct-pre-token frame;
+    host_pagerank — integer-exact link-graph PageRank deriving the
+    crawl's host_rank input, oracle-checked against 5 fully-unrolled
+    SQL iterations; sessionization — per-user gaps-and-islands session
+    windows on integer epoch-microseconds),
     and (c) every query whose code path changed in
     r05: the portable-whitespace-class sweep (unigram/ngram/token/lang/
     curation/fingerprint families), the PII_PHONE tightening, the
@@ -1488,10 +1529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     chargram_jaccard_pairs both outside the r05 WS sweep), and
     trustline_rich_list (entry-file chain, code unchanged since its
     green r04 row) slide just past the 50-entry window — as do, with
-    the late seq_packing + bpe_merge_pairs head additions, domain_cap
-    (cap_per_key unchanged since its green r04 row) and
-    url_canonicalization (udfs.py canon path unchanged in r05, green
-    r04).
+    the late seq_packing / bpe_merge_pairs / host_pagerank /
+    sessionization head additions, domain_cap (cap_per_key unchanged
+    since its green r04 row), url_canonicalization (udfs.py canon path
+    unchanged in r05, green r04), robots_denied (apply_robots unchanged
+    — the r05 politeness diff is entirely inside parse_robots_txt,
+    re-certified in-window by robots_txt_parse), and sitemap_parse
+    (parse_sitemap unchanged — the r05 sitemap diff is entirely inside
+    sitemap_seeds).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -1532,12 +1577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_neardups": _q_image_ahash_neardups,
         "seq_packing": _q_seq_packing,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "host_pagerank": _q_host_pagerank,
+        "sessionization": _q_sessionization,
         # --- (c) r05-changed code paths re-certified in-window ---
         "unigram_quality": _q_unigram_quality,
         "pii_redaction": _q_pii_redaction,
         "ngram_contamination": _q_ngram_contamination,
         "politeness_assignment": _q_politeness_assignment,
-        "sitemap_parse": _q_sitemap_parse,
         "token_jaccard_pairs": _q_token_jaccard_pairs,
         "bpe_token_counts": _q_bpe_token_counts,
         "lang_id": _q_lang_id,
@@ -1546,12 +1592,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round1": _q_crawl_round1,
         "crawl_seen_after3": _q_crawl_seen_after3,
         "robots_txt_parse": _q_robots_txt_parse,
+        # --- 50-entry driver window ends here: with seq_packing,
+        #     bpe_merge_pairs, host_pagerank, and sessionization
+        #     head-slotted, four r04-green entries whose specific code is
+        #     unchanged in r05 slide just past the window: domain_cap
+        #     (cap_per_key untouched), url_canonicalization (udfs.py
+        #     canon path untouched), robots_denied (apply_robots
+        #     untouched — the r05 politeness diff is entirely inside
+        #     parse_robots_txt, which robots_txt_parse re-certifies
+        #     in-window), and sitemap_parse (parse_sitemap untouched —
+        #     the r05 sitemap diff is entirely inside sitemap_seeds) ---
         "robots_denied": _q_robots_denied,
-        # --- 50-entry driver window ends here: with seq_packing +
-        #     bpe_merge_pairs head-slotted, domain_cap (cap_per_key
-        #     unchanged since its green r04 row) and url_canonicalization
-        #     (udfs.py canon path unchanged in r05, green r04) slide just
-        #     past the window ---
+        "sitemap_parse": _q_sitemap_parse,
         "domain_cap": _q_domain_cap,
         "url_canonicalization": _q_url_canonicalization,
         "trustline_rich_list": _q_trustline_rich_list,
@@ -2633,6 +2685,73 @@ def oracle_sql() -> dict[str, str]:
             ROUND(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 6)
                 AS oov_ratio
         FROM per_doc
+    """
+    # host_pagerank: the oracle unrolls all 5 integer-PageRank iterations
+    # as plain CTEs — a fully independent DuckDB PageRank over the same
+    # deterministic edge list, not a golden file. Every step is integral
+    # (// floor division ≡ Spark's `div` on non-negative longs), so ranks
+    # are bit-identical.
+    _pr = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+        edges AS (
+            SELECT DISTINCT doc_id % 57 AS src, (doc_id*7+3) % 60 AS dst
+            FROM ids WHERE doc_id % 57 <> (doc_id*7+3) % 60
+        ),
+        hosts AS (SELECT DISTINCT h AS host FROM
+            (SELECT src AS h FROM edges UNION SELECT dst AS h FROM edges)),
+        nn AS (SELECT COUNT(*) AS n FROM hosts),
+        bb AS (SELECT CAST(1000000000000 // n AS BIGINT) AS b FROM nn),
+        outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY 1),
+        r0 AS (SELECT host, (SELECT b FROM bb) AS rank FROM hosts)"""
+    for _i in range(1, 6):
+        _p = f"r{_i - 1}"
+        _pr += f""",
+        c{_i} AS (
+            SELECT e.dst AS host,
+                CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+            FROM edges e
+            JOIN {_p} r ON e.src = r.host
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY 1
+        ),
+        d{_i} AS (
+            SELECT CAST(COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn)
+                AS BIGINT) AS dshare
+            FROM {_p} r LEFT JOIN outdeg o ON r.host = o.src
+            WHERE o.src IS NULL
+        ),
+        r{_i} AS (
+            SELECT r.host,
+                CAST((15 * (SELECT b FROM bb)
+                      + 85 * (COALESCE(c.insum, 0)
+                              + (SELECT dshare FROM d{_i}))) // 100
+                    AS BIGINT) AS rank
+            FROM {_p} r LEFT JOIN c{_i} c USING (host)
+        )"""
+    _pr += "\n        SELECT host, rank FROM r5"
+    out["host_pagerank"] = _pr
+    out["sessionization"] = r"""
+        WITH o AS (
+            SELECT user_id, event_id, ts,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+            FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+            COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+            CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                AS duration_us
+        FROM s GROUP BY 1, 2
     """
     # seq_packing: the oracle RUNS the naive single-window prefix sum —
     # fine at sf0.01 — certifying that the engine's two-phase

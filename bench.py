@@ -362,6 +362,10 @@ HEADLINE = [
     # r05 dataloader prep: two-phase prefix-sum packing + BPE merge count
     "seq_packing",
     "bpe_merge_pairs",
+    # r05 clickstream windowing (host_pagerank is NOT benched: its
+    # fixture graph is a fixed 60 hosts at every sf, so the line would
+    # measure only per-iteration scheduler overhead, not the engine)
+    "sessionization",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Host PageRank (operators/graph.py): exact-integer semantics on hand
+graphs, mass conservation, dangling redistribution, partitioning
+invariance, composition with the real crawl fixture link graph, and the
+at-scale plan shape."""
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.operators.graph import (
+    edges_from_pages,
+    host_pagerank,
+)
+
+SCALE = 10**12
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _ranks(df) -> dict:
+    return {r["host"]: r["rank"] for r in df.collect()}
+
+
+def test_two_node_cycle_is_symmetric(spark):
+    r = _ranks(host_pagerank(_edges(spark, [("a", "b"), ("b", "a")])))
+    assert r["a"] == r["b"]
+    # no dangling, 2 hosts: mass decays only by div-by-100 truncation
+    assert abs(sum(r.values()) - SCALE) <= 10 * 5  # ≤ a few units/iter
+
+
+def test_star_hub_outranks_leaves(spark):
+    leaves = [f"l{i}" for i in range(5)]
+    r = _ranks(host_pagerank(_edges(spark, [(l, "hub") for l in leaves])))
+    assert all(r["hub"] > r[l] for l in leaves)
+    assert len(set(r[l] for l in leaves)) == 1  # symmetric leaves tie
+
+
+def test_dangling_mass_redistributes(spark):
+    # c has in-links but no out-links: its rank must flow back to all
+    # hosts (not vanish) — with redistribution a pure sink still ends up
+    # ABOVE the (1-d)*base floor it would bottom out at otherwise
+    r = _ranks(host_pagerank(_edges(spark, [("a", "c"), ("b", "c"), ("a", "b")])))
+    n = 3
+    base = SCALE // n
+    floor_no_redistribution = (15 * base) // 100
+    assert r["c"] > base  # the sink accumulates
+    assert r["a"] > floor_no_redistribution
+    # total mass conserved up to integer truncation
+    assert abs(sum(r.values()) - SCALE) <= 100
+
+
+def test_partitioning_invariance(spark):
+    pairs = [(f"h{i}", f"h{(i * 7 + 3) % 20}") for i in range(60) if i % 20 != (i * 7 + 3) % 20]
+    e = _edges(spark, pairs)
+    a = _ranks(host_pagerank(e.repartition(1)))
+    b = _ranks(host_pagerank(e.repartition(13, "dst")))
+    assert a == b
+
+
+def test_composes_with_crawl_fixture_graph(spark, crawl_sf0001):
+    pages = spark.read.parquet(os.path.join(crawl_sf0001, "pages.parquet"))
+    edges = edges_from_pages(pages)
+    rows = edges.collect()
+    assert rows, "fixture link graph must be non-empty"
+    assert all(r["src"] != r["dst"] for r in rows)
+    ranks = host_pagerank(edges, n_iter=3)
+    got = ranks.orderBy(F.desc("rank"), "host").limit(3).collect()
+    assert got and got[0]["rank"] >= got[-1]["rank"]
+    # the output column pair IS the frontier's host_rank dim shape
+    assert set(ranks.columns) == {"host", "rank"}
+
+
+def test_plan_no_cartesian(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    df = host_pagerank(e, n_iter=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the only nested-loop allowed is the broadcast 1-row dangling dim
+    # (the engine's A1 grand-total discipline); never a CartesianProduct
+    assert "CartesianProduct" not in plan

@@ -10,7 +10,9 @@ from .curation import (  # noqa: F401
     training_mix,
 )
 from .frontier import global_rank, priority_order, salted_repartition  # noqa: F401
+from .graph import edges_from_pages, host_pagerank  # noqa: F401
 from .packing import global_cumsum, pack_sequences  # noqa: F401
+from .sessions import session_stats, sessionize  # noqa: F401
 from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401
 from .sitemap import child_sitemaps, parse_sitemap, sitemap_seeds  # noqa: F401
 from .seen import (  # noqa: F401

@@ -1,0 +1,151 @@
+"""Host-graph PageRank: derive the crawl's ``host_rank`` priority input
+from the link graph itself.
+
+The reference pipeline consumes a per-host rank as a given (the frontier
+order key ``host_rank``, see ``frontier.order_cols``); a real crawler
+computes it from the hyperlink graph it has already fetched. This module
+is the iterative-graph-algorithm sibling of
+:func:`dedup.connected_components` — same loop discipline
+(``localCheckpoint`` per round so the lineage/analyzer never blows up),
+same determinism ban on floats in accumulators.
+
+**Exact integer PageRank.** Float PageRank sums are
+addition-order-dependent, which breaks both the cross-engine oracle and
+the parallelism-invariance contract. Ranks here are integers scaled by
+``scale`` (default 10^12):
+
+* initial rank   = ``scale div n_hosts``
+* edge contribution = ``rank div out_degree``   (integral ``div``)
+* dangling share = ``sum(dangling ranks) div n_hosts``
+* update         = ``((100-d)·base + d·(insum + dangling)) div 100``
+  with ``d = damping_pct`` (default 85 ≙ the classic 0.85)
+
+Every operation is integral, so Spark and DuckDB produce bit-identical
+ranks, and results are independent of partitioning. Total mass decays by
+a few units per iteration to truncation — irrelevant for a ranking
+score, disclosed here.
+
+Scale shape: the (edges ⋈ out-degree) join and the dangling-host set
+are loop-invariant — computed once and persisted — so each iteration is
+ONE keyed equi join (pre-degreed edges ⋈ ranks on src) and one
+groupBy(dst) with map-side partial integer sums, linear in |edges|: the
+standard distributed-PageRank plan. At 10^8 hosts, bucket/pre-partition
+``edges_deg`` by src once and every iteration's join reuses the layout
+with no edge-side exchange (the ``bucketize_pages`` pattern). Hub skew on popular dst hosts is absorbed by
+partial aggregation (integer sum is associative); the dangling mass is a
+1-row aggregate joined back via broadcast crossJoin (never an empty
+window — the engine's A1 discipline). Nothing row-sized ever reaches the
+driver; the only driver scalar is ``n_hosts`` (one count).
+
+Composition with the crawl: feed ``edges_from_pages`` (host pairs from
+the already-fetched corpus via the JVM link extractor) and pass the
+result straight into ``seeds_to_frontier``'s ``host_rank`` column —
+pinned in tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_from_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Distinct host→host edges from a fetched pages corpus, using the
+    engine's JVM link extractor + canonicalizer (no Python). Self-loops
+    (intra-host links) dropped — PageRank on the HOST graph measures
+    cross-site endorsement."""
+    from ..functions.udfs import (
+        canonicalize_urls_split,
+        extract_links_col,
+        host_col,
+    )
+
+    links = pages.select(
+        # pages.url is the fetched canonical url (catalog invariant), so
+        # the JVM host extractor applies directly
+        host_col(F.col(url_col)).alias("src"),
+        F.explode(extract_links_col(F.col(html_col))).alias("_raw"),
+    )
+    canon = canonicalize_urls_split(links, "_raw", "_dst_url")
+    return (
+        canon.select("src", host_col(F.col("_dst_url")).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != "")
+            & (F.col("dst") != "")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank over a distinct (src, dst) edge list.
+
+    Returns (host, rank) with ``rank`` the scaled integer score;
+    ``orderBy(rank desc)`` is the crawl-priority order. See module
+    docstring for the exact update rule and why it is bit-identical
+    across engines and partitionings.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = hosts.count()  # the one driver scalar (bounded: #hosts)
+    if n == 0:
+        return hosts.withColumn("rank", F.lit(0).cast("long"))
+    base = scale // n
+    keep = 100 - damping_pct
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # loop-invariant hoists: the (edge, out-degree) join and the dangling
+    # host set never change across iterations — join/compute them ONCE and
+    # persist, so each iteration is exactly one keyed join + one groupBy
+    # over the edge list (plus two 1-row aggregates)
+    edges_deg = edges.join(outdeg, "src").persist()
+    dangling_hosts = hosts.join(
+        outdeg.withColumnRenamed("src", "host"), "host", "left_anti"
+    ).persist()
+    ranks = hosts.select("host", F.lit(base).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank div odeg").alias("_c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("_c").alias("insum"))
+        )
+        dangling = (
+            ranks.join(dangling_hosts, "host", "leftsemi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dsum"))
+            .select(F.expr(f"_dsum div {n}").alias("dshare"))
+        )
+        ranks = (
+            ranks.select("host")
+            .join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                F.expr(
+                    f"CAST(({keep} * {base} + {damping_pct} * "
+                    f"(coalesce(insum, CAST(0 AS LONG)) + dshare)) div 100 AS LONG)"
+                ).alias("rank"),
+            )
+        )
+        # bound the lineage per iteration (the connected_components
+        # discipline, dedup.py) — without this the analyzer re-expands
+        # the whole loop every round
+        ranks = ranks.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    dangling_hosts.unpersist()
+    return ranks
