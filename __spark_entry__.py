@@ -1468,22 +1468,23 @@ def _q_media_frames(spark, sf):
 
 def _q_media_decode(spark, sf):
     """REAL container decode (r05, closing VERDICT r04 What's-wrong #3):
-    deterministic WELL-FORMED WAV/BMP/PPM payloads are synthesized from
-    doc_id (operators/multimodal.py:synth_container — genuine RIFF chunk
-    layout, row-padded BITMAPINFOHEADER, ASCII P6 header), then
+    deterministic WELL-FORMED WAV/BMP/PPM/PNG/GIF payloads are
+    synthesized from doc_id (operators/multimodal.py:synth_container —
+    genuine RIFF chunk layout, row-padded BITMAPINFOHEADER, ASCII P6
+    header, CRC'd PNG IHDR, GIF89a logical screen descriptor), then
     decode_media content-sniffs the magic bytes and parses the actual
     headers back (≅ the reference's content sniffing,
     check_xrpscan_api.py:18-71). The oracle recomputes every decoded
     field — dims, channels, sample rate, duration, total byte size —
     from the same id arithmetic, so BOTH the byte construction and the
-    parse must be right for the hash to match; id%4==3 rows carry an
+    parse must be right for the hash to match; id%6==3 rows carry an
     unknown magic the decoder must refuse (ok=false, all-null metadata).
     WAV duration is the raw IEEE division n_frames/rate (bit-identical
     across engines; no round — see multimodal.py)."""
     from xrpl_rich_list_py_crawler_spark.operators import multimodal as mm
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
-    return mm.decode_media(mm.synth_media_fixture(d))
+    return mm.decode_media(mm.synth_media_fixture(d, mod=6))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2822,27 +2823,35 @@ def oracle_sql() -> dict[str, str]:
     out["media_decode"] = """
         WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         p AS (
-            SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+            SELECT doc_id, CAST(doc_id % 6 AS INT) AS m,
                 1 + doc_id % 2 AS wch,
                 8000 + (doc_id % 3) * 4000 AS wrate,
                 100 + doc_id % 400 AS wframes,
                 1 + doc_id % 64 AS bw, 1 + doc_id % 48 AS bh,
-                1 + doc_id % 32 AS pw, 1 + doc_id % 24 AS ph
+                1 + doc_id % 32 AS pw, 1 + doc_id % 24 AS ph,
+                1 + doc_id % 96 AS nw, 1 + doc_id % 80 AS nh,
+                1 + doc_id % 50 AS gw, 1 + doc_id % 40 AS gh
             FROM ids
         )
         SELECT doc_id AS media_id,
             CASE m WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+                 WHEN 4 THEN 'png' WHEN 5 THEN 'gif'
                  ELSE NULL END AS format,
             m <> 3 AS ok,
-            CAST(CASE m WHEN 1 THEN bw WHEN 2 THEN pw END AS INT) AS width,
-            CAST(CASE m WHEN 1 THEN bh WHEN 2 THEN ph END AS INT) AS height,
-            CAST(CASE m WHEN 0 THEN wch END AS INT) AS n_channels,
+            CAST(CASE m WHEN 1 THEN bw WHEN 2 THEN pw
+                 WHEN 4 THEN nw WHEN 5 THEN gw END AS INT) AS width,
+            CAST(CASE m WHEN 1 THEN bh WHEN 2 THEN ph
+                 WHEN 4 THEN nh WHEN 5 THEN gh END AS INT) AS height,
+            CAST(CASE m WHEN 0 THEN wch WHEN 4 THEN 3 END AS INT)
+                AS n_channels,
             CAST(CASE m WHEN 0 THEN wrate END AS INT) AS sample_rate,
             CAST(CASE m
                 WHEN 0 THEN 44 + wframes * wch * 2
                 WHEN 1 THEN 54 + (3 * bw + (4 - (3 * bw) % 4) % 4) * bh
                 WHEN 2 THEN 9 + length(CAST(pw AS VARCHAR))
                             + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
+                WHEN 4 THEN 45
+                WHEN 5 THEN 14
                 ELSE 12 END AS INT) AS n_bytes,
             CASE m WHEN 0 THEN CAST(wframes AS DOUBLE) / wrate END
                 AS duration_s

@@ -778,6 +778,40 @@ def test_media_decode_real_containers(spark):
         mm.sniff_decode(b"JUNKJUNKJUNK", strict=True)
 
 
+def test_media_decode_png_gif(spark):
+    """r05 format widening: mod=6 synthesis adds CRC'd-IHDR PNG and
+    GIF89a containers; dims/channels parse back from the real bytes,
+    malformed variants refuse, and the default mod=4 fixture stays
+    byte-identical (media_plumbing/media_frames goldens depend on it)."""
+    from xrpl_rich_list_py_crawler_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    got = {r["media_id"]: r for r in
+           mm.decode_media(mm.synth_media_fixture(ids, mod=6)).collect()}
+    for i in range(60):
+        r, m = got[i], i % 6
+        if m == 4:
+            assert r["format"] == "png" and r["ok"]
+            assert (r["width"], r["height"]) == (1 + i % 96, 1 + i % 80)
+            assert r["n_channels"] == 3 and r["n_bytes"] == 45
+            assert r["sample_rate"] is None and r["duration_s"] is None
+        elif m == 5:
+            assert r["format"] == "gif" and r["ok"]
+            assert (r["width"], r["height"]) == (1 + i % 50, 1 + i % 40)
+            assert r["n_channels"] is None and r["n_bytes"] == 14
+    png = mm.synth_container(4, mod=6)[1]
+    assert mm.sniff_decode(png[:15])["ok"] is False          # truncated IHDR
+    bad_color = bytearray(png)
+    bad_color[25] = 9                                        # invalid color type
+    assert mm.sniff_decode(bytes(bad_color))["ok"] is False
+    gif = mm.synth_container(5, mod=6)[1]
+    assert mm.sniff_decode(gif[:8])["ok"] is False           # truncated LSD
+    zero = bytearray(gif)
+    zero[6:8] = b"\x00\x00"                                  # zero width
+    assert mm.sniff_decode(bytes(zero))["ok"] is False
+    assert mm.synth_container(7) == mm.synth_container(7, mod=4)
+
+
 def test_ngram_contamination_hashed_matches_string(spark):
     """r05 web-scale decontamination: the xxhash64-keyed variant (with and
     without the bloom prefilter) must reproduce the string-gram answer

@@ -138,16 +138,49 @@ def _parse_ppm(b: bytes) -> dict | None:
     return {"format": "ppm", "width": w, "height": h}
 
 
+def _parse_png(b: bytes) -> dict | None:
+    """PNG signature + IHDR: width/height big-endian uint32 at offsets
+    16/20, channel count from the color type (0 gray, 2 RGB, 3 palette,
+    4 gray+alpha, 6 RGBA). Chunk CRCs are not validated — this is the
+    header fast path, same policy as the other container parsers."""
+    import struct
+
+    if len(b) < 26 or b[0:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    if w == 0 or h == 0:
+        return None
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+    if ch is None:
+        return None
+    return {"format": "png", "width": w, "height": h, "n_channels": ch}
+
+
+def _parse_gif(b: bytes) -> dict | None:
+    """GIF87a/GIF89a logical screen descriptor: width/height
+    little-endian uint16 at offsets 6/8."""
+    import struct
+
+    if len(b) < 10 or b[0:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    if w == 0 or h == 0:
+        return None
+    return {"format": "gif", "width": w, "height": h}
+
+
 def sniff_decode(payload: bytes, strict: bool = False) -> dict:
     """Content-sniff a media payload by magic bytes and parse its real
     header — the de-stubbed decode path (VERDICT r04 What's-missing #3;
     format-by-content mirrors the reference's content sniffing,
     ``check_xrpscan_api.py:18-71``). Pure Python, zero codec deps: WAV
     duration comes from the RIFF data/fmt chunks, BMP/PPM dims from their
-    headers. ``strict=True`` raises :class:`NotImplementedError` on an
+    headers, PNG dims/channels from the IHDR chunk, GIF dims from the
+    logical screen descriptor. ``strict=True`` raises
+    :class:`NotImplementedError` on an
     unrecognized container (the real-codec boundary stays visible);
     default marks the row ``ok=False``."""
-    for parse in (_parse_wav, _parse_bmp, _parse_ppm):
+    for parse in (_parse_wav, _parse_bmp, _parse_ppm, _parse_png, _parse_gif):
         meta = parse(bytes(payload))
         if meta is not None:
             return {"ok": True, **meta}
@@ -191,18 +224,38 @@ def decode_media(
     return media.mapInPandas(_run, DECODED_SCHEMA)
 
 
-def synth_container(doc_id: int) -> tuple[str, bytes]:
+def synth_container(doc_id: int, mod: int = 4) -> tuple[str, bytes]:
     """Deterministic, WELL-FORMED container bytes from an integer id —
     the fixture encoder behind the ``media_decode`` oracle (the DuckDB
     twin recomputes every decoded field from the same id arithmetic, so
     the byte construction AND the parse are both checked end-to-end).
 
-    id % 4: 0 → WAV (variable rate/channels/length), 1 → BMP (row-padded
-    pixel array), 2 → binary PPM, 3 → unknown magic (decode must refuse).
+    id % mod: 0 → WAV (variable rate/channels/length), 1 → BMP
+    (row-padded pixel array), 2 → binary PPM, 3 → unknown magic (decode
+    must refuse); with ``mod=6`` additionally 4 → PNG (signature + IHDR
+    + real-CRC IEND) and 5 → GIF89a (logical screen descriptor +
+    trailer). Default ``mod=4`` keeps the r04 fixture byte-identical
+    (media_plumbing / media_frames goldens depend on it).
     """
     import struct
+    import zlib
 
-    m = doc_id % 4
+    m = doc_id % mod
+    if m == 4:
+        w, h = 1 + doc_id % 96, 1 + doc_id % 80
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND"))
+        )
+        return "png", png
+    if m == 5:
+        w, h = 1 + doc_id % 50, 1 + doc_id % 40
+        return "gif", b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
     if m == 0:
         rate = 8000 + (doc_id % 3) * 4000
         ch = 1 + doc_id % 2
@@ -230,14 +283,16 @@ def synth_container(doc_id: int) -> tuple[str, bytes]:
     return "unknown", b"JUNK" + struct.pack("<Q", doc_id)
 
 
-def synth_media_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_media_fixture(
+    ids: DataFrame, id_col: str = "doc_id", mod: int = 4
+) -> DataFrame:
     """Distributed fixture builder: (id) → (media_id, payload) rows of
     real container bytes via :func:`synth_container` (mapInPandas — no
     driver-side collect; ids stay partitioned)."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [synth_container(int(i))[1] for i in pdf[id_col]]
+            payloads = [synth_container(int(i), mod)[1] for i in pdf[id_col]]
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
