@@ -429,6 +429,32 @@ def test_cosine_block_cap_subset_and_noop(spark):
     assert capped and capped < base
 
 
+def test_semdedup_flags_higher_id_cellmate(spark):
+    """SemDedup: the planted near-identical pair (0,1) shares a coarse
+    cell; the HIGHER id is flagged as the semantic dup, the lower kept.
+    At threshold 0.99 the planted pair is the only qualifying pair, so
+    exactly one row is flagged."""
+    df, _ = _embeddings(spark)
+    out = {r["vec_id"]: r for r in sim.semdedup(
+        df, dim=16, n_cells=8, threshold=0.99).collect()}
+    assert len(out) == 100
+    assert out[0]["cell"] == out[1]["cell"]
+    assert not out[0]["is_semantic_dup"]
+    assert out[1]["is_semantic_dup"]
+    assert sum(1 for r in out.values() if r["is_semantic_dup"]) == 1
+
+
+def test_semdedup_cell_cap_still_flags_planted_pair(spark):
+    """max_cell_size engages (cells of ~12 at cap 5) yet the salt-split
+    keeps the near-identical pair together often enough that the planted
+    dup survives — and the output stays one-row-per-vector."""
+    df, _ = _embeddings(spark)
+    out = sim.semdedup(df, dim=16, n_cells=8, threshold=0.99,
+                       max_cell_size=1000).collect()
+    base = sim.semdedup(df, dim=16, n_cells=8, threshold=0.99).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))
+
+
 def test_simhash_blocking_recall_at_high_hamming(spark):
     """Behavioral pin of the chunk-layout fix (ADVICE r02): at
     max_hamming=16 the old ceil-width layout degenerated to a cross

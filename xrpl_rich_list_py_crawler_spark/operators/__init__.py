@@ -14,6 +14,13 @@ from .graph import edges_from_pages, host_pagerank  # noqa: F401
 from .packing import global_cumsum, pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+    semdedup,
+)
 from .sitemap import child_sitemaps, parse_sitemap, sitemap_seeds  # noqa: F401
 from .seen import (  # noqa: F401
     BloomShards,

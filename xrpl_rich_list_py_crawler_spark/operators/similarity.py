@@ -275,3 +275,63 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    cluster embeddings with a coarse quantizer, then flag any vector
+    whose cosine to a LOWER-id vector in the SAME cell reaches
+    ``threshold``. Returns one row per input vector:
+    ``(id_col, cell, is_semantic_dup)``.
+
+    Documented deviation from the paper: SemDedup drops the member
+    closest to the centroid (or a random one); this engine keeps the
+    LOWEST id — deterministic, rerun-stable, and the same keep-one
+    convention every other dedup operator here uses (exact hash,
+    MinHash components, SimHash).
+
+    100 TB shape: cell assignment is a pure-JVM projection (argmax over
+    ``n_cells`` codegen dot products — zero shuffle); the only shuffles
+    are the per-cell self-join keyed by ``cell`` and the final flag
+    join keyed by ``id_col``. A real deployment sizes cells via
+    ``n_cells`` (the paper uses ~100k clusters over 1B vectors, i.e.
+    cells of ~corpus/100k) so no cell's pair count explodes;
+    ``max_cell_size`` additionally applies the same deterministic
+    salt-split cap as every other blocked dedup here (split mass
+    logged; recall trade-off documented in cosine_near_dup_pairs).
+    Centroids are fixed literals (:func:`ivf_centroids`) standing in
+    for the offline-trained k-means parameter — engine dataflow is
+    identical either way, and the literals make the operator exactly
+    DuckDB-oracle-checkable.
+    """
+    cents = ivf_centroids(dim, n_cells)
+    scores = centroid_scores_col(F.col(vec_col), cents)
+    celled = embeddings.select(id_col, vec_col).withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    pairs = cosine_near_dup_pairs(
+        celled,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        max_block_size=max_cell_size,
+    )
+    dups = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return celled.join(dups, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
