@@ -1395,6 +1395,66 @@ def _q_embedding_neardups_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_url_traps(spark, sf):
+    """Crawl-trap detection (operators/frontier.py:trap_features) over a
+    deterministically synthesized URL mix — one bucket per trap family so
+    EVERY verdict branch fires: doc_id%5 = 0 normal (with a %10==5
+    slice of >512-char session-blob URLs), 1 = 13-deep path, 2 =
+    /cal/cal/cal/ recursion, 3 = 8-param faceted explosion, 4 =
+    /blog/2024/01/... calendar archive. Synthesized identically in both
+    engines from `documents.doc_id` arithmetic (FIXTURES.md contract)."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        trap_features,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    kind = F.pmod(did, F.lit(5))
+    host = F.concat(
+        F.lit("https://h"),
+        F.pmod(did, F.lit(53)).cast("string"),
+        F.lit(".example.com"),
+    )
+    path = (
+        F.when(
+            kind == 0,
+            F.when(
+                F.pmod(did, F.lit(10)) == 5,
+                F.concat(F.lit("/long/"), F.repeat(F.lit("z"), 600)),
+            ).otherwise(
+                F.concat(F.lit("/a/"), F.pmod(did, F.lit(100)).cast("string"))
+            ),
+        )
+        .when(
+            kind == 1,
+            F.concat(
+                F.lit("/d"),
+                F.pmod(did, F.lit(7)).cast("string"),
+                F.lit("/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11"),
+            ),
+        )
+        .when(kind == 2, F.lit("/cal/cal/cal/x"))
+        .when(kind == 3, F.lit("/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8"))
+        .otherwise(
+            F.concat(
+                F.lit("/blog/2024/01/0"),
+                F.pmod(did, F.lit(10)).cast("string"),
+                F.lit("/why-i-crawl/page/2/extra"),
+            )
+        )
+    )
+    urls = d.select("doc_id", F.concat(host, path).alias("url"))
+    return trap_features(urls).select(
+        "doc_id",
+        "path_depth",
+        "n_repeat",
+        "n_params",
+        "has_calendar",
+        "url_len",
+        "is_trap",
+    )
+
+
 def _q_semdedup(spark, sf):
     """SemDedup (Abbas et al. 2023): coarse-quantizer cell assignment +
     within-cell cosine flagging, keep-lowest-id. Threshold 0.3 — the
@@ -1660,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     locally oracle-verified via scripts/check_correctness.py,
         #     head-slot candidates for the r06 window) ---
         "semdedup": _q_semdedup,
+        "url_traps": _q_url_traps,
     }
 
 
@@ -2465,6 +2526,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "url_traps": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                    'https://h' || CAST(doc_id % 53 AS VARCHAR)
+                        || '.example.com' ||
+                    CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN CASE WHEN doc_id % 10 = 5
+                            THEN '/long/' || repeat('z', 600)
+                            ELSE '/a/' || CAST(doc_id % 100 AS VARCHAR) END
+                      WHEN 1 THEN '/d' || CAST(doc_id % 7 AS VARCHAR)
+                            || '/s0/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11'
+                      WHEN 2 THEN '/cal/cal/cal/x'
+                      WHEN 3 THEN '/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8'
+                      ELSE '/blog/2024/01/0' || CAST(doc_id % 10 AS VARCHAR)
+                            || '/why-i-crawl/page/2/extra'
+                    END AS url
+                FROM documents
+            ),
+            pqs AS (
+                SELECT doc_id, url,
+                    regexp_replace(url,
+                        '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*', '') AS pq
+                FROM urls
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                    split_part(pq, '?', 1) AS path,
+                    split_part(pq, '?', 2) AS raw_q
+                FROM pqs
+            ),
+            segged AS (
+                SELECT doc_id, url, path, raw_q,
+                    list_filter(string_split(path, '/'),
+                                x -> x <> '') AS segs
+                FROM parts
+            )
+            SELECT doc_id,
+                CAST(len(segs) AS INT) AS path_depth,
+                CAST(len(segs) - len(list_distinct(segs)) AS INT)
+                    AS n_repeat,
+                CAST(CASE WHEN raw_q = '' THEN 0
+                     ELSE len(list_filter(string_split(raw_q, '&'),
+                                          x -> x <> '')) END AS INT)
+                    AS n_params,
+                regexp_matches(path, '/(19|20)[0-9][0-9]/[0-9]{1,2}(/|$)')
+                    AS has_calendar,
+                CAST(length(url) AS INT) AS url_len,
+                (CAST(len(segs) AS INT) > 8
+                 OR len(segs) - len(list_distinct(segs)) >= 2
+                 OR (CASE WHEN raw_q = '' THEN 0
+                     ELSE len(list_filter(string_split(raw_q, '&'),
+                                          x -> x <> '')) END) > 6
+                 OR (regexp_matches(path,
+                        '/(19|20)[0-9][0-9]/[0-9]{1,2}(/|$)')
+                     AND len(segs) > 4)
+                 OR length(url) > 512) AS is_trap
+            FROM segged
         """,
         "semdedup": f"""
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding

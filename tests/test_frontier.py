@@ -77,3 +77,50 @@ def test_salted_repartition_preserves_rows_and_splits_hot_host(spark):
         .count()
     )
     assert nparts > 1
+
+
+def test_trap_features_every_branch(spark):
+    """One URL per verdict branch, hand-checked feature values."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        filter_traps,
+        trap_features,
+    )
+
+    urls = [
+        (0, "https://a.com/x/1"),                                # clean
+        (1, "https://a.com/a/b/c/d/e/f/g/h/i"),                  # depth 9
+        (2, "https://a.com/gal/gal/gal/p"),                      # repeats
+        (3, "https://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7"),      # 7 params
+        (4, "https://a.com/blog/2019/07/why/i/crawl"),           # calendar
+        (5, "https://a.com/long/" + "z" * 600),                  # length
+        (6, "https://a.com/2020/1"),                             # cal, shallow
+        (7, "https://a.com/p?a=1&b=2"),                          # few params
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in trap_features(df).collect()}
+    assert not got[0]["is_trap"] and got[0]["path_depth"] == 2
+    assert got[1]["is_trap"] and got[1]["path_depth"] == 9
+    assert got[2]["is_trap"] and got[2]["n_repeat"] == 2
+    assert got[3]["is_trap"] and got[3]["n_params"] == 7
+    assert got[4]["is_trap"] and got[4]["has_calendar"]
+    assert got[5]["is_trap"] and got[5]["url_len"] > 512
+    # calendar alone (depth <= 4) and a small param count do NOT fire
+    assert got[6]["has_calendar"] and not got[6]["is_trap"]
+    assert not got[7]["is_trap"] and got[7]["n_params"] == 2
+    kept = filter_traps(df)
+    assert kept.columns == ["doc_id", "url"]
+    assert {r["doc_id"] for r in kept.collect()} == {0, 6, 7}
+
+
+def test_trap_features_no_shuffle(spark):
+    """Frontier-ingest gate must stay inside the scan: no Exchange in the
+    physical plan (pure codegen Column ops)."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        trap_features,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x")], "doc_id long, url string"
+    )
+    plan = trap_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -94,3 +94,73 @@ def global_rank(
         .withColumn(rank_col, (F.col("_offset") + F.row_number().over(intra)).cast("int"))
         .drop("_pid", "_offset")
     )
+
+
+def trap_features(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    max_params: int = 6,
+    max_len: int = 512,
+) -> DataFrame:
+    """Crawl-trap detection for frontier hygiene — the filter a web-scale
+    crawler runs BEFORE a URL ever enters the frontier, so traps never
+    consume fetch budget. The reference crawls a closed URL universe and
+    needs none of this (loader.py's lists are curated); an open-web
+    frontier dies without it: calendar pages, session-id explosions, and
+    self-linking galleries generate unbounded URL spaces.
+
+    Adds five feature columns plus the verdict (all pure whole-stage-
+    codegen Column ops — zero shuffle, runs inside the frontier scan):
+
+    * ``path_depth``   — non-empty ``/``-segments in the path
+    * ``n_repeat``     — segments minus distinct segments (>=2 means some
+                         segment repeats 3x, or two segments repeat —
+                         the /gallery/gallery/gallery/ recursion trap)
+    * ``n_params``     — non-empty ``&``-split query parameters
+                         (session-id / faceted-search explosion)
+    * ``has_calendar`` — ``/(19|20)\\d\\d/\\d{1,2}(/|$)`` in the path (the
+                         infinite-archive trap; fires the verdict only
+                         when the page is also deep, depth > 4)
+    * ``url_len``      — total URL length
+
+    ``is_trap`` = depth > max_depth OR n_repeat >= 2 OR
+    n_params > max_params OR (has_calendar AND depth > 4) OR
+    url_len > max_len. Thresholds follow common crawler practice
+    (e.g. heritrix TooManyPathSegmentsDecideRule defaults).
+
+    Every expression has an exact DuckDB twin (split_part/string_split/
+    list_distinct), so the operator is fully value-hash oracle-checked.
+    """
+    url = F.col(url_col)
+    pq = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+    path = F.split_part(pq, F.lit("?"), F.lit(1))
+    raw_q = F.split_part(pq, F.lit("?"), F.lit(2))
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs)
+    n_repeat = depth - F.size(F.array_distinct(segs))
+    n_params = F.when(raw_q == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(raw_q, "&"), lambda x: x != ""))
+    )
+    has_cal = path.rlike(r"/(19|20)[0-9][0-9]/[0-9]{1,2}(/|$)")
+    out = (
+        df.withColumn("path_depth", depth)
+        .withColumn("n_repeat", n_repeat)
+        .withColumn("n_params", n_params)
+        .withColumn("has_calendar", has_cal)
+        .withColumn("url_len", F.length(url))
+    )
+    return out.withColumn(
+        "is_trap",
+        (F.col("path_depth") > max_depth)
+        | (F.col("n_repeat") >= 2)
+        | (F.col("n_params") > max_params)
+        | (F.col("has_calendar") & (F.col("path_depth") > 4))
+        | (F.col("url_len") > max_len),
+    )
+
+
+def filter_traps(df: DataFrame, url_col: str = "url", **kw) -> DataFrame:
+    """Frontier-ingest gate: drop trap URLs, keep the input schema."""
+    flagged = trap_features(df, url_col=url_col, **kw)
+    return flagged.filter(~F.col("is_trap")).select(*df.columns)
