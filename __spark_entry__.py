@@ -1395,6 +1395,38 @@ def _q_embedding_neardups_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_mixture_sample(spark, sf):
+    """Static training-mixture sampling (late r05, operators/curation.py:
+    mixture_sample): target token proportions over four listed sources
+    (0.4/0.3/0.2/0.1); with ~equal availability src0 binds (rate 1) and
+    the others downsample to w_d·T/avail_d; the other 16 sources drop to
+    rate 0. Keep decisions are the hash_sample md5 uniform, so the
+    realized mix is engine- and cluster-size-reproducible."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", ts.token_count_col(F.col("text")))
+        .drop("text")
+    )
+    out = mixture_sample(
+        d,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        seed=20260817,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("rate", 6).alias("rate"),
+        "u",
+        "sampled",
+    )
+
+
 def _q_url_traps(spark, sf):
     """Crawl-trap detection (operators/frontier.py:trap_features) over a
     deterministically synthesized URL mix — one bucket per trap family so
@@ -1721,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     head-slot candidates for the r06 window) ---
         "semdedup": _q_semdedup,
         "url_traps": _q_url_traps,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -2526,6 +2559,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "mixture_sample": r"""
+            WITH base AS (
+                SELECT doc_id, source,
+                    CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text),
+                                  '[ \t\n\r\f\x0b]+'))
+                        END AS INT) AS n_tokens
+                FROM documents
+            ),
+            w AS (
+                SELECT 'src0' AS source, CAST(0.4 AS DOUBLE) AS w
+                UNION ALL SELECT 'src1', CAST(0.3 AS DOUBLE)
+                UNION ALL SELECT 'src2', CAST(0.2 AS DOUBLE)
+                UNION ALL SELECT 'src3', CAST(0.1 AS DOUBLE)
+            ),
+            avail AS (
+                SELECT b.source, SUM(b.n_tokens) AS avail,
+                       any_value(w.w) AS w
+                FROM base b JOIN w USING (source) GROUP BY b.source
+            ),
+            t AS (SELECT MIN(avail / w) AS T FROM avail),
+            rates AS (
+                SELECT source,
+                    LEAST(1.0, w * (SELECT T FROM t) / avail) AS rate
+                FROM avail
+            ),
+            scored AS (
+                SELECT b.doc_id, b.source, b.n_tokens,
+                    COALESCE(r.rate, 0.0) AS rate0,
+                    CAST(CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)
+                        || ':20260817'), 1, 8) AS UBIGINT) AS DOUBLE)
+                        / 4294967296.0 AS u
+                FROM base b LEFT JOIN rates r USING (source)
+            )
+            SELECT doc_id, source, n_tokens,
+                ROUND(rate0, 6) AS rate, u, u < rate0 AS sampled
+            FROM scored
         """,
         "url_traps": r"""
             WITH urls AS (

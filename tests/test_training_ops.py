@@ -1328,3 +1328,31 @@ def test_ahash_near_dups_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     with _pytest.raises(ValueError):
         ahash_near_dups(sigs, max_hamming=8)
+
+
+def test_mixture_sample_rates_and_binding_domain(spark):
+    """Feasibility math: T = min_d avail_d/w_d; the binding domain gets
+    rate exactly 1.0, others w_d*T/avail_d; unlisted domains rate 0 and
+    never sampled. Expected kept-token mass per listed domain = w_d*T."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    # avail: a=b=c=10000. weights: a 0.5, b 0.25 -> T=min(10000/.5, 10000/.25)=20000
+    # rate_a = .5*20000/10000 = 1.0 (binding), rate_b = .25*20000/10000 = 0.5
+    out = mixture_sample(df, {"a": 0.5, "b": 0.25}).collect()
+    rates = {}
+    for r in out:
+        rates.setdefault(r["source"], set()).add(round(r["rate"], 9))
+    assert rates["a"] == {1.0}
+    assert rates["b"] == {0.5}
+    assert rates["c"] == {0.0}
+    assert all(r["sampled"] for r in out if r["source"] == "a")
+    assert not any(r["sampled"] for r in out if r["source"] == "c")
+    # deterministic under repartition
+    out2 = mixture_sample(
+        df.repartition(7), {"a": 0.5, "b": 0.25}
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))

@@ -6,10 +6,17 @@ from .curation import (  # noqa: F401
     curate_corpus,
     hash_sample,
     line_dedup,
+    mixture_sample,
     ngram_contamination,
     training_mix,
 )
-from .frontier import global_rank, priority_order, salted_repartition  # noqa: F401
+from .frontier import (  # noqa: F401
+    filter_traps,
+    global_rank,
+    priority_order,
+    salted_repartition,
+    trap_features,
+)
 from .graph import edges_from_pages, host_pagerank  # noqa: F401
 from .packing import global_cumsum, pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401

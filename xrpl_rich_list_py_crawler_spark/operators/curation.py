@@ -518,3 +518,68 @@ def blocklist_filter(
         F.col("matched_domain").isNotNull().alias("blocked"),
         F.col("matched_domain"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Static training-mixture sampling (late r05): downsample each
+    domain so the KEPT token mass follows the target proportions
+    ``weights`` — the DoReMi/Pile-style "domain weights" step that turns
+    a curated corpus into a training mix.
+
+    Feasibility math: with ``avail_d`` tokens available per listed
+    domain, the largest total token budget reachable WITHOUT upsampling
+    any domain is ``T = min_d avail_d / w_d``; the binding domain keeps
+    everything (rate exactly 1) and every other listed domain keeps
+    ``rate_d = w_d * T / avail_d``. Unlisted domains are dropped
+    (rate 0). Keep decisions reuse :func:`hash_sample`'s engine-portable
+    md5 uniform, so the realized mix is reproducible on any cluster
+    size, restart, or engine, and E[kept tokens_d] = w_d * T exactly.
+
+    100 TB shape: one map-side-combined groupBy over ``domain_col``
+    (a |domains|-row dim — domains number in the hundreds, never
+    data-scale), a 1-row min aggregate, and one broadcast join back;
+    the keep decision itself is per-row whole-stage codegen. Output:
+    input columns + ``rate``, ``u``, ``sampled``.
+    """
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{domain_col} string, w double",
+    )
+    avail = (
+        df.groupBy(domain_col)
+        .agg(F.sum(tokens_col).alias("avail"))
+        .join(F.broadcast(wdim), domain_col)
+    )
+    tmin = avail.agg(
+        F.min(F.col("avail") / F.col("w")).alias("T")
+    )
+    rates = avail.crossJoin(F.broadcast(tmin)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0), F.col("w") * F.col("T") / F.col("avail")
+        ).alias("rate"),
+    )
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    rate = F.coalesce(F.col("rate"), F.lit(0.0))
+    return df.join(F.broadcast(rates), domain_col, "left").select(
+        *df.columns,
+        rate.alias("rate"),
+        u.alias("u"),
+        (u < rate).alias("sampled"),
+    )
