@@ -54,6 +54,11 @@ def main() -> None:
                     help="prepare the corpus as a url_hash-bucketed table "
                          "with this many buckets first (shuffle-free fetch "
                          "join; use when the corpus exceeds cluster memory)")
+    ap.add_argument("--trap-gate", action="store_true",
+                    help="drop crawl-trap URLs (deep/repeating/"
+                         "param-exploded/calendar paths) at link "
+                         "discovery, before they enter the frontier — "
+                         "recommended for open-web crawls")
     ap.add_argument("--compact-seen-every", type=int, metavar="K", default=8,
                     help="compact the append-only seen ledger every K "
                          "rounds (default 8; 0 disables). The ledger is "
@@ -118,7 +123,8 @@ def main() -> None:
         transport = urllib_transport(timeout_s=args.http_timeout)
 
     cat = SnapshotCatalog(args.catalog)
-    run = CrawlRun(spark, cat, pages, robots, transport=transport)
+    run = CrawlRun(spark, cat, pages, robots, transport=transport,
+                   trap_gate=args.trap_gate)
     last = run.run(args.rounds, seeds,
                    compact_seen_every=args.compact_seen_every or None)
 

@@ -124,3 +124,55 @@ def test_trap_features_no_shuffle(spark):
     )
     plan = trap_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_trap_gate_blocks_discovery(spark, tmp_path):
+    """CrawlRun(trap_gate=True) drops trap links at discovery — they
+    never enter the frontier or get fetched; default (off) crawls them.
+    Hand-built 3-page universe: seed links to one clean and one
+    /gal/gal/gal/ recursion-trap URL."""
+    from datetime import datetime
+
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import CrawlRun
+    from xrpl_rich_list_py_crawler_spark.sources.catalog import (
+        SnapshotCatalog,
+    )
+
+    epoch = datetime(2026, 1, 1)
+    seed_u = "https://a.example.com/start"
+    clean = "https://a.example.com/ok/1"
+    trap = "https://a.example.com/gal/gal/gal/x"
+    page = (
+        '<html><head><title>S</title></head><body><p>hi</p>'
+        f'<a href="{trap}">t</a><a href="{clean}">c</a></body></html>'
+    )
+    leaf = "<html><head><title>L</title></head><body><p>x</p></body></html>"
+    pages = spark.createDataFrame(
+        [
+            (seed_u, epoch, bytearray(page.encode())),
+            (clean, epoch, bytearray(leaf.encode())),
+            (trap, epoch, bytearray(leaf.encode())),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("a.example.com", [], 1.0, 16, 1.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double,"
+        " max_fetches_per_round int, host_rank double",
+    )
+    seeds = spark.createDataFrame(
+        [(seed_u, 0, 1.0, epoch)],
+        "url string, depth int, host_rank double, discovery_ts timestamp",
+    )
+
+    def crawled(gate):
+        cat = SnapshotCatalog(str(tmp_path / f"gate_{gate}"))
+        CrawlRun(spark, cat, pages, robots, trap_gate=gate).run(2, seeds)
+        return {
+            r["url"] for r in cat.read_appended(spark, "results").collect()
+        }
+
+    off, on = crawled(False), crawled(True)
+    assert trap in off and clean in off
+    assert trap not in on and clean in on
+    assert off - on == {trap}

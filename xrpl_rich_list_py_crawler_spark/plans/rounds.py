@@ -138,6 +138,7 @@ class CrawlRun:
         job_id: str = "crawl",
         robots_active_only: bool | None = None,
         transport=None,
+        trap_gate: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -148,6 +149,13 @@ class CrawlRun:
         # step 3 fetches through host-partitioned mapInPandas instead of
         # the corpus equi join — same output schema either way
         self.transport = transport
+        # opt-in frontier-ingest trap gate (operators/frontier.py:
+        # trap_features): drops crawl-trap URLs at link discovery, BEFORE
+        # they enter the frontier or consume politeness budget. Default
+        # off — the closed fixture universe has no traps and the crawl
+        # goldens pin the ungated order; an open-web deployment turns it
+        # on (zero-shuffle codegen gate, SURVEY.md §2.9).
+        self.trap_gate = trap_gate
         # decide the robots-join strategy ONCE per run (the dim is fixed).
         # Bounded probe, not count(): the decision only needs "more rows
         # than the ceiling?", and limit(ceiling+1).count() early-exits as
@@ -324,6 +332,10 @@ class CrawlRun:
             )
             .withColumn("host_rank", F.coalesce("host_rank", F.lit(0.0)))
         )
+        if self.trap_gate:
+            from ..operators.frontier import filter_traps
+
+            links = filter_traps(links)
 
         # 8. next frontier = deferred ∪ new links, collapsed per url_hash to
         #    min (depth, discovery_ts), minus everything now seen. The seen
