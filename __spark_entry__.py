@@ -1395,6 +1395,92 @@ def _q_embedding_neardups_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_robots_wildcard_gate(spark, sf):
+    """REP wildcard/longest-match robots gating (late r05,
+    operators/politeness.py:robots_rule_regex + robots_wildcard_allowed):
+    closes the r04 'wildcards treated literally' simplification as an
+    opt-in. Bodies per host by doc_id%4 — a *-and-$ Disallow with a plain
+    Allow, an Allow-overrides-Disallow pair, a root Disallow with the
+    '/$' root-exception, and an empty file; probe path per host by
+    doc_id%6 so every precedence branch (longest wins, allow tie-break,
+    anchor, no-rules) fires across the fleet. Both engines build the
+    IDENTICAL pattern→regex strings."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        parse_robots_txt,
+        robots_wildcard_allowed,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+    did = F.col("doc_id")
+    body = (
+        F.when(
+            did % 4 == 0,
+            F.lit("User-agent: *\nDisallow: /p*/x$\nAllow: /public\n"),
+        )
+        .when(
+            did % 4 == 1,
+            F.lit("User-agent: *\nDisallow: /a\nAllow: /a/open*\n"),
+        )
+        .when(
+            did % 4 == 2,
+            F.lit("User-agent: *\nDisallow: /\nAllow: /$\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = d.select(
+        F.concat(F.lit("h"), did.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        body.alias("robots_txt"),
+    )
+    dim = parse_robots_txt(raw, collect_allow=True)
+    hid = F.regexp_extract(F.col("host"), r"h([0-9]+)\.", 1).cast("bigint")
+    paths = ["/pA/q/x", "/public/z", "/a/open/1", "/a/closed", "/", "/idx"]
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in paths]), (hid % 6 + 1).cast("int")
+    )
+    return dim.select(
+        "host",
+        path.alias("path"),
+        "has_rules",
+        F.size("allow_prefixes").alias("n_allow"),
+        F.size("disallow_prefixes").alias("n_disallow"),
+        robots_wildcard_allowed(
+            path, F.col("allow_prefixes"), F.col("disallow_prefixes")
+        ).alias("allowed"),
+    )
+
+
+def _q_recrawl_schedule(spark, sf):
+    """Adaptive recrawl scheduling (late r05, operators/frontier.py:
+    recrawl_schedule): events replayed as a fetch ledger — user_id as the
+    URL key, floor(value/25) as the content fingerprint (coarse enough
+    that unchanged runs actually occur) — then per-key exponential
+    backoff with integer-exact bit-shift intervals. ``due`` compares
+    against an injected literal 'now' (F12 determinism)."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        recrawl_schedule,
+    )
+
+    e = _t(spark, sf, "events")
+    hist = e.select(
+        F.col("user_id").alias("url_key"),
+        F.col("ts").alias("fetch_ts"),
+        F.floor(F.col("value") / F.lit(25.0)).alias("content_hash"),
+        "event_id",
+    )
+    out = recrawl_schedule(hist, key_col="url_key", id_col="event_id")
+    return out.withColumn(
+        "due",
+        F.col("next_fetch_ts")
+        <= F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )
+
+
 def _q_mixture_sample(spark, sf):
     """Static training-mixture sampling (late r05, operators/curation.py:
     mixture_sample): target token proportions over four listed sources
@@ -1754,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "url_traps": _q_url_traps,
         "mixture_sample": _q_mixture_sample,
+        "recrawl_schedule": _q_recrawl_schedule,
+        "robots_wildcard_gate": _q_robots_wildcard_gate,
     }
 
 
@@ -2560,6 +2648,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
         """,
+        "recrawl_schedule": r"""
+            WITH hist AS (
+                SELECT user_id AS url_key, ts AS fetch_ts, event_id,
+                    CAST(FLOOR(value / 25.0) AS BIGINT) AS content_hash
+                FROM events
+            ),
+            flagged AS (
+                SELECT url_key, fetch_ts, content_hash,
+                    (lag(content_hash) OVER w IS NULL
+                     OR content_hash != lag(content_hash) OVER w)
+                        AS changed,
+                    ROW_NUMBER() OVER w AS rn
+                FROM hist
+                WINDOW w AS (PARTITION BY url_key
+                             ORDER BY fetch_ts, event_id)
+            ),
+            agg AS (
+                SELECT url_key,
+                    MAX(fetch_ts) AS last_fetch_ts,
+                    CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                    CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_changes,
+                    MAX(CASE WHEN changed THEN rn END) AS lcrn
+                FROM flagged GROUP BY url_key
+            ),
+            staged AS (
+                SELECT url_key, last_fetch_ts, n_fetches, n_changes,
+                    CAST(n_fetches - lcrn AS INT) AS trailing_unchanged,
+                    LEAST(CAST(2592000 AS BIGINT),
+                          CAST(3600 AS BIGINT)
+                          * (CAST(1 AS BIGINT)
+                             << LEAST(CAST(n_fetches - lcrn AS INT), 20)))
+                        AS interval_s
+                FROM agg
+            )
+            SELECT url_key, last_fetch_ts, n_fetches, n_changes,
+                trailing_unchanged, interval_s,
+                last_fetch_ts + to_seconds(interval_s) AS next_fetch_ts,
+                (last_fetch_ts + to_seconds(interval_s)
+                 <= TIMESTAMP '2024-03-01 00:00:00') AS due
+            FROM staged
+        """,
         "mixture_sample": r"""
             WITH base AS (
                 SELECT doc_id, source,
@@ -2762,6 +2892,67 @@ def oracle_sql() -> dict[str, str]:
     # robots.txt builder: e'…' escape strings give DuckDB the same real
     # newlines Python string literals give Spark; every regex is the
     # RE2/Java-portable grammar from operators/politeness.py
+    # REP pattern -> anchored regex, the SQL twin of
+    # politeness.robots_rule_regex (escape metachars, * -> .*, trailing
+    # $ -> anchor). DuckDB regexp_replace needs the explicit 'g' flag.
+    def _rep_regex_sql(var: str) -> str:
+        return (
+            "'^' || regexp_replace(regexp_replace(regexp_replace("
+            + var
+            + r""", '([\\.\+\?\(\)\[\]\{\}\|\^\$])', '\\\1', 'g'),"""
+            + r""" '\*', '.*', 'g'), '\\\$$', '$')"""
+        )
+
+    def _rep_best_sql(arr: str) -> str:
+        return (
+            f"COALESCE(list_max(list_transform({arr}, p -> CASE WHEN "
+            f"regexp_matches(path, {_rep_regex_sql('p')}) "
+            "THEN CAST(length(p) AS INT) ELSE -1 END)), -1)"
+        )
+
+    out["robots_wildcard_gate"] = rf"""
+        WITH raw AS (
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN
+                        e'User-agent: *\nDisallow: /p*/x$\nAllow: /public\n'
+                    WHEN 1 THEN
+                        e'User-agent: *\nDisallow: /a\nAllow: /a/open*\n'
+                    WHEN 2 THEN e'User-agent: *\nDisallow: /\nAllow: /$\n'
+                    ELSE '' END AS robots_txt
+            FROM documents WHERE doc_id < 48
+        ),
+        parsed AS (
+            SELECT host, doc_id,
+                (list_filter(
+                    regexp_split_to_array(robots_txt, '(?i)user-agent:'),
+                    s -> regexp_matches(s, '^[ \t]*\*[ \t]*(\r\n|\n|$)')
+                ))[1] AS sec
+            FROM raw
+        ),
+        shaped AS (
+            SELECT host, doc_id,
+                sec IS NOT NULL AS has_rules,
+                COALESCE(regexp_extract_all(
+                    sec, '(?i)disallow:[ \t]*([^ \t\r\n]+)', 1), []) AS dis,
+                COALESCE(regexp_extract_all(
+                    sec, '(?im)^[ \t]*allow:[ \t]*([^ \t\r\n]+)', 1), [])
+                    AS al
+            FROM parsed
+        ),
+        pathed AS (
+            SELECT host, has_rules, al, dis,
+                (['/pA/q/x', '/public/z', '/a/open/1', '/a/closed', '/',
+                  '/idx'])[CAST(doc_id % 6 AS INT) + 1] AS path
+            FROM shaped
+        )
+        SELECT host, path, has_rules,
+            CAST(len(al) AS INT) AS n_allow,
+            CAST(len(dis) AS INT) AS n_disallow,
+            {_rep_best_sql('al')} >= {_rep_best_sql('dis')} AS allowed
+        FROM pathed
+    """
     out["robots_txt_parse"] = r"""
         WITH raw AS (
             SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,

@@ -366,6 +366,11 @@ HEADLINE = [
     # fixture graph is a fixed 60 hosts at every sf, so the line would
     # measure only per-iteration scheduler overhead, not the engine)
     "sessionization",
+    # late-r05 additions: semantic dedup over embedding cells, crawl-trap
+    # frontier gate, feasibility-derived training-mixture sampling
+    "semdedup",
+    "url_traps",
+    "mixture_sample",
 ]
 
 

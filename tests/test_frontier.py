@@ -176,3 +176,45 @@ def test_trap_gate_blocks_discovery(spark, tmp_path):
     assert trap in off and clean in off
     assert trap not in on and clean in on
     assert off - on == {trap}
+
+
+def test_recrawl_schedule_backoff_and_reset(spark):
+    """Hand-built ledger: key 1 never changes after first fetch (backoff
+    doubles per unchanged fetch); key 2 changes at the last fetch
+    (interval resets to the floor); key 3 has one fetch (trailing 0 →
+    floor interval); clamp engages at a long unchanged tail."""
+    from datetime import datetime, timedelta
+
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        recrawl_schedule,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # key 1: fetches 0..3, content constant -> trailing 3
+    rows += [(1, t0 + timedelta(hours=i), 7, i) for i in range(4)]
+    # key 2: content changes on the final fetch -> trailing 0
+    rows += [(2, t0 + timedelta(hours=i), 1 if i < 2 else 2, 10 + i)
+             for i in range(3)]
+    # key 3: single fetch
+    rows += [(3, t0, 5, 20)]
+    # key 4: 25 unchanged fetches -> shift clamps at 20, interval at max
+    rows += [(4, t0 + timedelta(hours=i), 9, 30 + i) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "url_hash long, fetch_ts timestamp, content_hash long,"
+        " event_id long"
+    )
+    out = {r["url_hash"]: r for r in recrawl_schedule(
+        df, id_col="event_id").collect()}
+    assert out[1]["trailing_unchanged"] == 3
+    assert out[1]["interval_s"] == 3600 * 8
+    assert out[1]["n_changes"] == 1
+    assert out[2]["trailing_unchanged"] == 0
+    assert out[2]["interval_s"] == 3600
+    assert out[2]["n_changes"] == 2
+    assert out[3]["trailing_unchanged"] == 0
+    assert out[3]["interval_s"] == 3600
+    assert out[4]["trailing_unchanged"] == 24
+    assert out[4]["interval_s"] == 2_592_000  # clamped at max
+    assert (out[1]["next_fetch_ts"] - out[1]["last_fetch_ts"]
+            ).total_seconds() == 3600 * 8

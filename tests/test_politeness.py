@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from xrpl_rich_list_py_crawler_spark.operators.politeness import (
     apply_robots,
     assign_politeness,
+    parse_robots_txt,
 )
 
 
@@ -437,3 +438,56 @@ def test_budget_from_delay_slots(spark):
     slow = [r for r in assigned.collect()
             if r["host"] == "slow" and r["host_slot"] == 2]
     assert slow[0]["fetch_delay_s"] == 7.0
+
+
+def test_robots_wildcard_precedence_google_examples(spark):
+    """REP longest-match precedence on the Google REP doc's own example
+    matrix: longest rule wins, Allow wins length ties, trailing $
+    anchors, * spans path segments, no-rules = allowed."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        robots_wildcard_allowed,
+    )
+
+    rows = [
+        ("/page", ["/p"], ["/"], True),
+        ("/folder/page", ["/folder"], ["/folder"], True),
+        ("/page.htm", ["/page"], ["/*.htm"], False),
+        ("/", ["/$"], ["/"], True),
+        ("/other", ["/$"], ["/"], False),
+        ("/page.php5", ["/page"], ["/*.ph"], True),
+        ("/any", None, None, True),
+        ("/private/x", [], ["/private"], False),
+        ("/docs/file.pdf", [], ["/*.pdf$"], False),
+        ("/docs/file.pdfx", [], ["/*.pdf$"], True),
+        ("/a.b+c", [], ["/a.b+c"], False),   # metachars match literally
+        ("/aXbbc", [], ["/a.b+c"], True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "path string, al array<string>, dis array<string>, exp boolean",
+    )
+    out = df.select(
+        "path",
+        "exp",
+        robots_wildcard_allowed(
+            F.col("path"), F.col("al"), F.col("dis")
+        ).alias("got"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["exp"], r["path"]
+
+
+def test_parse_robots_collect_allow(spark):
+    """collect_allow=True adds line-anchored Allow extraction ('Disallow'
+    can never false-match); default output schema is unchanged."""
+    body = (
+        "User-agent: *\nDisallow: /a\nAllow: /a/open\n"
+        "Crawl-delay: 2\n"
+    )
+    raw = spark.createDataFrame(
+        [("h.com", body)], "host string, robots_txt string"
+    )
+    dim = parse_robots_txt(raw, collect_allow=True).collect()[0]
+    assert dim["disallow_prefixes"] == ["/a"]
+    assert dim["allow_prefixes"] == ["/a/open"]
+    assert "allow_prefixes" not in parse_robots_txt(raw).columns

@@ -14,6 +14,7 @@ from .frontier import (  # noqa: F401
     filter_traps,
     global_rank,
     priority_order,
+    recrawl_schedule,
     salted_repartition,
     trap_features,
 )

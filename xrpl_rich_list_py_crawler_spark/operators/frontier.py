@@ -164,3 +164,77 @@ def filter_traps(df: DataFrame, url_col: str = "url", **kw) -> DataFrame:
     """Frontier-ingest gate: drop trap URLs, keep the input schema."""
     flagged = trap_features(df, url_col=url_col, **kw)
     return flagged.filter(~F.col("is_trap")).select(*df.columns)
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    key_col: str = "url_hash",
+    ts_col: str = "fetch_ts",
+    content_col: str = "content_hash",
+    id_col: str | None = None,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 2_592_000,
+) -> DataFrame:
+    """Adaptive revisit scheduling for an INCREMENTAL crawl — the
+    freshness policy (Cho & Garcia-Molina-style exponential backoff) the
+    reference sidesteps by re-crawling its whole closed universe every
+    run (validator.py re-validates all rows each cycle). At web scale a
+    crawler must instead decide WHEN each known URL is worth re-fetching.
+
+    Per key, over its fetch history (timestamp + content fingerprint):
+
+    * ``changed_i``        — fingerprint differs from the previous fetch
+                             (the first fetch counts as changed)
+    * ``trailing_unchanged`` — fetches since the last observed change
+    * ``interval_s``       — ``min(max_interval_s, min_interval_s <<
+                             min(trailing, 20))``: each consecutive
+                             unchanged observation doubles the revisit
+                             interval, any change resets it to the
+                             floor; integer-exact in both engines (bit
+                             shift, no float pow)
+    * ``next_fetch_ts``    — last fetch + interval
+
+    100 TB shape: one shuffle keyed by ``key_col``; the lag/row_number
+    windows and the final aggregate are all partitioned by the same key
+    (never a global window), so the whole operator is a single
+    hash-partitioned pass over the fetch ledger. Output: one row per
+    key — (key, last_fetch_ts, n_fetches, n_changes,
+    trailing_unchanged, interval_s, next_fetch_ts).
+    """
+    order = [ts_col] + ([id_col] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    prev = F.lag(F.col(content_col)).over(w)
+    flagged = history.select(key_col, *order, content_col).withColumn(
+        "_changed", prev.isNull() | (F.col(content_col) != prev)
+    ).withColumn("_rn", F.row_number().over(w))
+    agg = flagged.groupBy(key_col).agg(
+        F.max(ts_col).alias("last_fetch_ts"),
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col("_changed").cast("int")).alias("n_changes"),
+        F.max(F.when(F.col("_changed"), F.col("_rn"))).alias("_lcrn"),
+    )
+    staged = agg.withColumn(
+        "trailing_unchanged",
+        (F.col("n_fetches") - F.col("_lcrn")).cast("int"),
+    ).withColumn(
+        "interval_s",
+        F.least(
+            F.lit(int(max_interval_s)).cast("bigint"),
+            F.lit(int(min_interval_s)).cast("bigint")
+            * F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " least(trailing_unchanged, 20))"
+            ),
+        ),
+    )
+    return staged.select(
+        key_col,
+        "last_fetch_ts",
+        "n_fetches",
+        "n_changes",
+        "trailing_unchanged",
+        "interval_s",
+        F.timestamp_add(
+            "SECOND", F.col("interval_s"), F.col("last_fetch_ts")
+        ).alias("next_fetch_ts"),
+    )

@@ -33,6 +33,9 @@ def priority_cols(df: DataFrame) -> list:
 ROBOTS_UA_SPLIT = r"(?i)user-agent:"
 ROBOTS_STAR_LINE = r"^[ \t]*\*[ \t]*(\r\n|\n|$)"
 ROBOTS_DISALLOW = r"(?i)disallow:[ \t]*([^ \t\r\n]+)"
+#: line-anchored so it cannot match inside "Disallow:" (no lookbehind —
+#: must stay RE2-portable for the SQL twin)
+ROBOTS_ALLOW = r"(?im)^[ \t]*allow:[ \t]*([^ \t\r\n]+)"
 ROBOTS_DELAY = r"(?i)crawl-delay:[ \t]*([0-9]+(\.[0-9]+)?)"
 
 
@@ -43,6 +46,7 @@ def parse_robots_txt(
     default_delay_s: float = 1.0,
     default_budget: int = 16,
     round_budget_s: float = 16.0,
+    collect_allow: bool = False,
 ) -> DataFrame:
     """Parse raw per-host robots.txt bodies into the politeness dimension
     :func:`apply_robots` consumes (north_rule: "robots.txt allow/deny
@@ -73,6 +77,12 @@ def parse_robots_txt(
     (``validator.py:123,181``), so a host demanding a 7 s delay gets 2
     slots of a 16 s round, not the same 16 a 1 s host gets. Hosts that
     supplied NO delay keep the flat ``default_budget``.
+
+    ``collect_allow=True`` (late r05) additionally emits
+    ``allow_prefixes`` — the ``Allow:`` lines of the same section
+    (line-anchored extraction, so "Disallow:" can never false-match) —
+    for REP wildcard/longest-match gating via
+    :func:`robots_wildcard_allowed`.
     """
     # F.get, not element_at: under Spark 4's default ANSI mode
     # element_at raises INVALID_ARRAY_INDEX on the empty (no-star) array;
@@ -85,6 +95,16 @@ def parse_robots_txt(
         0,
     )
     dis = F.regexp_extract_all(sec, F.lit(ROBOTS_DISALLOW), 1)
+    allow_cols = (
+        [
+            F.coalesce(
+                F.regexp_extract_all(sec, F.lit(ROBOTS_ALLOW), 1),
+                F.array().cast("array<string>"),
+            ).alias("allow_prefixes")
+        ]
+        if collect_allow
+        else []
+    )
     delay_raw = F.regexp_extract(sec, ROBOTS_DELAY, 1)
     delay_supplied = delay_raw.isNotNull() & (delay_raw != "")
     delay = F.when(delay_supplied, delay_raw.cast("double")).otherwise(
@@ -96,12 +116,50 @@ def parse_robots_txt(
         F.coalesce(dis, F.array().cast("array<string>")).alias(
             "disallow_prefixes"
         ),
+        *allow_cols,
         delay.alias("crawl_delay_s"),
         F.when(delay_supplied, _budget_from_delay(delay, round_budget_s, default_budget))
         .otherwise(F.lit(default_budget))
         .cast("int")
         .alias("max_fetches_per_round"),
     )
+
+
+def robots_rule_regex(pat):
+    """REP path pattern → anchored regex (late r05): every regex
+    metachar escaped literally, ``*`` → ``.*``, a TRAILING ``$`` →
+    end-of-path anchor (mid-pattern ``$`` stays literal, per the REP
+    draft). One transformation, valid in both Java regex (Spark
+    codegen) and RE2 (the DuckDB oracle twin builds the identical
+    string). Closes the r04 'wildcards treated literally' documented
+    simplification — as an opt-in; the literal-prefix fast path stays
+    the crawl default."""
+    esc = F.regexp_replace(pat, r"([\\.\+\?\(\)\[\]\{\}\|\^\$])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), F.regexp_replace(star, r"\\\$$", r"\$"))
+
+
+def robots_wildcard_allowed(path, allow_pats, dis_pats):
+    """REP precedence (google REP draft §2.4.2): the most specific —
+    LONGEST-pattern — matching rule wins; ``Allow`` wins length ties;
+    no matching rule at all = allowed. Null/empty rule arrays behave as
+    'no rules'.
+
+    Cost model: rules-per-host lists are tiny (p50 well under 32 rules
+    in public crawls) and ride a broadcast dim, so the per-URL work is
+    |rules| short regex matches — linear, shuffle-free, and only on the
+    opt-in fidelity path."""
+
+    def best(pats):
+        scored = F.transform(
+            pats,
+            lambda p: F.when(
+                F.regexp_like(path, robots_rule_regex(p)), F.length(p)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.coalesce(F.array_max(scored), F.lit(-1))
+
+    return best(allow_pats) >= best(dis_pats)
 
 
 def _budget_from_delay(delay, round_budget_s: float, default_budget: int):
