@@ -1481,6 +1481,91 @@ def _q_recrawl_schedule(spark, sf):
     )
 
 
+def _q_c4_line_clean(spark, sf):
+    """C4-style page cleaning (late r05, operators/curation.py:c4_clean —
+    Raffel et al. 2020 §2.2): line rules (terminal punctuation incl. the
+    closing curly quote, ≥3 words on the portable whitespace class, no
+    'javascript') and page rules (≥5 sentence terminators in the cleaned
+    text; raw text free of 'lorem ipsum' and '{'). Fixture: each
+    document's text gets two appended lines by doc_id arithmetic so every
+    rule branch fires across the fleet — a 2-word line, a javascript
+    line, an unterminated line, a curly-quote ending, a '{' page-kill, a
+    'Lorem Ipsum' page-kill — synthesized identically in both engines
+    (FIXTURES.md contract)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import c4_clean
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    extra1 = (
+        F.when(did % 4 == 0, F.lit("Tiny line."))
+        .when(did % 4 == 1, F.lit("Enable javascript to continue please."))
+        .when(did % 4 == 2, F.lit("no punctuation ending line"))
+        .otherwise(F.lit("A quoted closing line”"))
+    )
+    extra2 = (
+        F.when(did % 5 == 0, F.lit("if (x) { return; }"))
+        .when(did % 5 == 1, F.lit("Lorem Ipsum filler text here."))
+        .otherwise(F.lit("This closing sentence is long enough."))
+    )
+    synth = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), extra1, extra2).alias("text"),
+    )
+    return c4_clean(synth)
+
+
+def _q_warc_roundtrip(spark, sf):
+    """WARC source+sink round trip (late r05, sources/warc.py): documents
+    become HTTP response records (status/mime/date by doc_id arithmetic,
+    payload = utf-8 text), folded into 8 WARC files by to_warc_files
+    (warcinfo head record + a paired request record per response that the
+    reader must skip), then parsed back by parse_warc_df — the Common
+    Crawl ingestion shape, file-per-task, no shuffle on the parse side.
+    The oracle reconstructs every output field directly from documents,
+    so the ISO 28500 framing (header order, Content-Length octet
+    arithmetic, CRLF separators, embedded HTTP message) must round-trip
+    byte-exactly for the hash to match — including multi-byte utf-8
+    payloads."""
+    from xrpl_rich_list_py_crawler_spark.sources.warc import (
+        parse_warc_df, to_warc_files,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 64)
+    did = F.col("doc_id")
+    responses = d.select(
+        F.concat(F.lit("w"), (did % 8).cast("string"), F.lit(".warc"))
+        .alias("warc_file"),
+        F.concat(
+            F.lit("https://w"), did.cast("string"), F.lit(".example.org/p")
+        ).alias("url"),
+        F.concat(
+            F.lit("2024-01-0"), (did % 9 + 1).cast("string"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+        F.when(did % 3 == 0, F.lit(200))
+        .when(did % 3 == 1, F.lit(301))
+        .otherwise(F.lit(404))
+        .alias("http_status"),
+        F.when(did % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("text/plain"))
+        .alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    files = to_warc_files(responses, emit_requests=True)
+    parsed = parse_warc_df(
+        files, file_col="warc_file", content_col="content"
+    )
+    return parsed.select(
+        "warc_file",
+        "url",
+        "warc_date",
+        "http_status",
+        "mime",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
 def _q_mixture_sample(spark, sf):
     """Static training-mixture sampling (late r05, operators/curation.py:
     mixture_sample): target token proportions over four listed sources
@@ -1842,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "recrawl_schedule": _q_recrawl_schedule,
         "robots_wildcard_gate": _q_robots_wildcard_gate,
+        "c4_line_clean": _q_c4_line_clean,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -2952,6 +3039,77 @@ def oracle_sql() -> dict[str, str]:
             CAST(len(dis) AS INT) AS n_disallow,
             {_rep_best_sql('al')} >= {_rep_best_sql('dis')} AS allowed
         FROM pathed
+    """
+    # C4 cleaning: the SQL twin rebuilds the same appended-line fixture
+    # and applies the identical rule set (portable whitespace class via
+    # e-string; curly-quote terminal class; raw-text page kills)
+    out["c4_line_clean"] = r"""
+        WITH synth AS (
+            SELECT doc_id,
+                text || chr(10) ||
+                CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'Tiny line.'
+                    WHEN 1 THEN 'Enable javascript to continue please.'
+                    WHEN 2 THEN 'no punctuation ending line'
+                    ELSE 'A quoted closing line”' END
+                || chr(10) ||
+                CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN 'if (x) { return; }'
+                    WHEN 1 THEN 'Lorem Ipsum filler text here.'
+                    ELSE 'This closing sentence is long enough.' END
+                AS text
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text,
+                string_split(text, chr(10)) AS ls,
+                list_filter(string_split(text, chr(10)), l ->
+                    regexp_matches(trim(l), '[.!?"”]$')
+                    AND len(list_filter(
+                        regexp_split_to_array(trim(l), e'[ \t\f\x0b]+'),
+                        w -> w != '')) >= 3
+                    AND NOT contains(lower(trim(l)), 'javascript')
+                ) AS kl
+            FROM synth
+        ),
+        cleaned AS (
+            -- duckdb's array_to_string([]) is NULL where spark's
+            -- array_join([]) is '' — coalesce to the spark semantics
+            SELECT doc_id, text, ls, kl,
+                COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
+            FROM kept
+        )
+        SELECT doc_id,
+            CAST(len(ls) AS INT) AS n_lines,
+            CAST(len(kl) AS INT) AS n_lines_kept,
+            CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT)
+                AS n_sentences,
+            clean_text,
+            (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')) AS keep
+        FROM cleaned
+    """
+    # WARC round trip: the oracle reconstructs the parsed output straight
+    # from documents — the Spark side only matches if build_warc's ISO
+    # 28500 framing and parse_warc_df's Content-Length walk are both
+    # exact (octet arithmetic over multi-byte utf-8 payloads included)
+    out["warc_roundtrip"] = r"""
+        SELECT
+            'w' || CAST(CAST(doc_id % 8 AS INT) AS VARCHAR) || '.warc'
+                AS warc_file,
+            'https://w' || CAST(doc_id AS VARCHAR) || '.example.org/p'
+                AS url,
+            '2024-01-0' || CAST(CAST(doc_id % 9 + 1 AS INT) AS VARCHAR)
+                || 'T00:00:00Z' AS warc_date,
+            CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS INT)
+                AS http_status,
+            CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                 ELSE 'text/plain' END AS mime,
+            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+            text
+        FROM documents WHERE doc_id < 64
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

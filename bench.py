@@ -371,6 +371,8 @@ HEADLINE = [
     "semdedup",
     "url_traps",
     "mixture_sample",
+    # C4 page cleaning: pure-codegen scan over the full documents table
+    "c4_line_clean",
 ]
 
 

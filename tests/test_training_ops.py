@@ -1356,3 +1356,59 @@ def test_mixture_sample_rates_and_binding_domain(spark):
         df.repartition(7), {"a": 0.5, "b": 0.25}
     ).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (curation.c4_clean, late r05)
+# ---------------------------------------------------------------------------
+
+def test_c4_clean_line_and_page_rules(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import c4_clean
+
+    good = "This sentence is perfectly fine. " * 6
+    rows = [
+        # every line rule branch, one per line
+        (0, "Kept line with words.\nNo terminal punct\nOk two.\n"
+            "Please enable javascript now.\nShort one.\n"
+            "A curly quote ending”\n"
+            "One. Two. Three. Four. Five sentences total here."),
+        (1, good + "\n{ code block }"),          # raw '{' kills the page
+        (2, good + "\nsome Lorem Ipsum filler"),  # raw phrase kills page
+        (3, "Too. Few."),                         # < 5 sentences
+        (4, ""),                                  # empty page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df).collect()}
+
+    r0 = got[0]
+    kept_lines = r0.clean_text.split("\n")
+    assert "Kept line with words." in kept_lines
+    assert "A curly quote ending”" in kept_lines
+    assert "No terminal punct" not in kept_lines       # punct rule
+    assert "Ok two." not in kept_lines                 # < 3 words
+    assert "Short one." not in kept_lines              # < 3 words
+    assert all("javascript" not in line for line in kept_lines)
+    assert r0.n_lines == 7 and r0.n_lines_kept == 3
+    assert r0.keep                                      # 7 sentences kept
+
+    assert not got[1].keep and got[1].n_sentences >= 5  # '{' page kill
+    assert not got[2].keep                              # lorem ipsum kill
+    assert not got[3].keep                              # < 5 sentences
+    assert not got[4].keep and got[4].clean_text == ""
+
+
+def test_c4_clean_is_pure_codegen(spark):
+    """Zero shuffles, zero Python: the whole operator must stay inside
+    whole-stage codegen (scan → project)."""
+    import contextlib
+    import io
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import c4_clean
+
+    df = spark.createDataFrame([(0, "x.")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        c4_clean(df).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

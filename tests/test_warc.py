@@ -1,0 +1,120 @@
+"""WARC source/sink: ISO 28500 framing, gzip members, Spark dataflow."""
+
+import gzip
+import os
+
+from xrpl_rich_list_py_crawler_spark.sources.warc import (
+    build_warc,
+    iter_warc_records,
+    parse_warc_df,
+    read_warc,
+    to_warc_files,
+)
+
+RECS = [
+    {"url": "https://a.com/1", "date": "2024-01-01T00:00:00Z",
+     "status": 200, "mime": "text/html",
+     "payload": "hello\r\nwörld ünïcode".encode(), "request": True},
+    {"url": "https://a.com/2", "date": "2024-01-01T00:00:01Z",
+     "status": 404, "mime": "text/plain", "payload": b""},
+    {"url": "https://b.com/3", "date": "2024-01-02T00:00:00Z",
+     "status": 301, "mime": "application/json",
+     "payload": b'{"k": "v\r\n\r\nstill payload"}'},
+]
+
+
+def test_roundtrip_plain():
+    buf = build_warc(RECS, warcinfo="software: test")
+    out = list(iter_warc_records(buf, "f"))
+    # warcinfo + 1 request + 3 responses
+    assert [r["warc_type"] for r in out] == [
+        "warcinfo", "request", "response", "response", "response"]
+    resp = [r for r in out if r["warc_type"] == "response"]
+    for want, got in zip(RECS, resp):
+        assert got["url"] == want["url"]
+        assert got["http_status"] == want["status"]
+        assert got["mime"] == want["mime"]
+        assert got["payload"] == want["payload"]
+        assert got["warc_date"] == want["date"]
+
+
+def test_roundtrip_gzip_members():
+    """Concatenated per-record gzip members (the Common Crawl layout)."""
+    buf = build_warc(RECS)
+    # split at arbitrary boundaries — members need not align to records
+    gz = b"".join(
+        gzip.compress(buf[i:i + 97]) for i in range(0, len(buf), 97)
+    )
+    assert [r["url"] for r in iter_warc_records(gz)] == [
+        r["url"] for r in iter_warc_records(buf)]
+
+
+def test_truncated_tail_yields_prefix():
+    buf = build_warc(RECS)
+    out = list(iter_warc_records(buf[:-10]))
+    full = list(iter_warc_records(buf))
+    assert len(out) == len(full) - 1
+    assert [r["url"] for r in out] == [r["url"] for r in full[:-1]]
+
+
+def test_payload_with_embedded_separators():
+    """A payload containing CRLFCRLF must not break framing (the walk is
+    Content-Length-driven, never delimiter-driven)."""
+    tricky = b"WARC/1.0\r\n\r\nHTTP/1.1 200 OK\r\n\r\nfake"
+    buf = build_warc([{**RECS[1], "payload": tricky}])
+    (rec,) = iter_warc_records(buf)
+    assert rec["payload"] == tricky
+
+
+def test_read_warc_files(spark, tmp_path):
+    d = str(tmp_path / "warcs")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(build_warc(RECS[:2], warcinfo="x: 1"))
+    with open(os.path.join(d, "b.warc.gz"), "wb") as f:
+        f.write(gzip.compress(build_warc(RECS[2:])))
+    got = read_warc(spark, d).orderBy("url").collect()
+    assert [r.url for r in got] == [
+        "https://a.com/1", "https://a.com/2", "https://b.com/3"]
+    assert [r.http_status for r in got] == [200, 404, 301]
+    assert bytes(got[0].payload).decode() == "hello\r\nwörld ünïcode"
+    non_resp = read_warc(spark, d, response_only=False)
+    assert non_resp.count() == 5
+
+
+def test_to_warc_files_roundtrip_df(spark):
+    rows = [
+        ("w0.warc", r["url"], r["date"], r["status"], r["mime"],
+         r["payload"])
+        for r in RECS
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_file string, url string, warc_date string, "
+        "http_status int, mime string, payload binary",
+    )
+    files = to_warc_files(df, emit_requests=True)
+    back = parse_warc_df(
+        files, file_col="warc_file", content_col="content"
+    ).orderBy("url")
+    got = back.collect()
+    assert [r.url for r in got] == sorted(r["url"] for r in RECS)
+    assert all(r.warc_type == "response" for r in got)
+    by_url = {r["url"]: r for r in RECS}
+    for r in got:
+        assert bytes(r.payload) == by_url[r.url]["payload"]
+
+
+def test_parse_plan_has_no_exchange(spark, tmp_path):
+    """Source parse is scan → mapInPandas: file-per-task, no shuffle."""
+    import contextlib
+    import io
+
+    d = str(tmp_path / "w2")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(build_warc(RECS))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_warc(spark, d).explain(mode="formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -583,3 +583,63 @@ def mixture_sample(
         u.alias("u"),
         (u < rate).alias("sampled"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2) — the canonical
+    public recipe every webtext pipeline (C4, RefinedWeb, FineWeb)
+    starts from. Line rules: keep only lines that end in a terminal
+    punctuation mark (``. ! ? "`` or a closing curly quote), carry at
+    least ``min_words_per_line`` words, and do not mention
+    ``javascript``. Page rules: drop pages whose CLEANED text has fewer
+    than ``min_sentences`` sentence terminators, and pages whose RAW
+    text contains ``lorem ipsum`` or ``{`` (the C4 code-page
+    heuristic — the paper applies these to the page, pre-cleaning). The
+    blocklist-word rule from the paper is the engine's separate
+    :func:`blocklist_filter`; 3-sentence-span dedup is
+    :func:`substring_dedup`.
+
+    Everything is per-row whole-stage codegen (split → higher-order
+    filter → array_join): zero shuffles, zero Python, scan-speed at any
+    corpus size. Word counts split on the portable whitespace class
+    (the BPE_UNIT engine-margin lesson: Java ``\\s`` includes U+000B,
+    RE2 does not). Output: ``id_col``, ``n_lines``, ``n_lines_kept``,
+    ``n_sentences``, ``clean_text``, ``keep``.
+    """
+    t = F.col(text_col)
+
+    def _line_ok(line):
+        trimmed = F.trim(line)
+        words = F.size(
+            F.filter(
+                F.split(trimmed, "[ \t\f\x0b]+"), lambda w: w != ""
+            )
+        )
+        return (
+            trimmed.rlike('[.!?"”]$')
+            & (words >= int(min_words_per_line))
+            & ~F.lower(trimmed).contains("javascript")
+        )
+
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        clean.alias("clean_text"),
+        (
+            (n_sent >= int(min_sentences))
+            & ~F.lower(t).contains("lorem ipsum")
+            & ~t.contains("{")
+        ).alias("keep"),
+    )

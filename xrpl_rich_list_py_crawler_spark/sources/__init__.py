@@ -13,3 +13,10 @@ from .http_fetch import (  # noqa: F401
     http_fetch,
     urllib_transport,
 )
+from .warc import (  # noqa: F401
+    build_warc,
+    iter_warc_records,
+    parse_warc_df,
+    read_warc,
+    to_warc_files,
+)
