@@ -59,6 +59,10 @@ def main() -> None:
                          "param-exploded/calendar paths) at link "
                          "discovery, before they enter the frontier — "
                          "recommended for open-web crawls")
+    ap.add_argument("--wildcard-robots", action="store_true",
+                    help="full Google-REP robots matching (*/$ patterns, "
+                         "Allow rules, longest-match precedence) instead "
+                         "of the literal-prefix fast path")
     ap.add_argument("--compact-seen-every", type=int, metavar="K", default=8,
                     help="compact the append-only seen ledger every K "
                          "rounds (default 8; 0 disables). The ledger is "
@@ -124,7 +128,8 @@ def main() -> None:
 
     cat = SnapshotCatalog(args.catalog)
     run = CrawlRun(spark, cat, pages, robots, transport=transport,
-                   trap_gate=args.trap_gate)
+                   trap_gate=args.trap_gate,
+                   wildcard_robots=args.wildcard_robots)
     last = run.run(args.rounds, seeds,
                    compact_seen_every=args.compact_seen_every or None)
 

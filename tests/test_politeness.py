@@ -491,3 +491,113 @@ def test_parse_robots_collect_allow(spark):
     assert dim["disallow_prefixes"] == ["/a"]
     assert dim["allow_prefixes"] == ["/a/open"]
     assert "allow_prefixes" not in parse_robots_txt(raw).columns
+
+
+def test_apply_robots_wildcard_matches_fast_path_on_literal_rules(spark):
+    """For metachar-free rule sets the wildcard path must produce the
+    SAME verdicts as the literal-prefix fast path (regex-escaped prefix
+    match ≡ startswith)."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        apply_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", ["/private", "/tmp/"], 1.0, 16),
+            ("b.com", [], 2.0, 8),
+        ],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay_s double, max_fetches_per_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/private/x"),
+            ("a.com", "https://a.com/privateer"),   # startswith semantics
+            ("a.com", "https://a.com/ok"),
+            ("a.com", "https://a.com"),             # empty path -> "/"
+            ("b.com", "https://b.com/anything"),
+            ("c.com", "https://c.com/no-dim-host"),
+        ],
+        "host string, url string",
+    )
+
+    def verdicts(**kw):
+        return {
+            r.url: r.robots_denied
+            for r in apply_robots(cands, robots, **kw).collect()
+        }
+
+    fast = verdicts()
+    assert fast["https://a.com/private/x"] is True
+    assert fast["https://a.com/privateer"] is True
+    assert fast["https://a.com/ok"] is False
+    assert fast["https://c.com/no-dim-host"] is False
+    assert verdicts(wildcard=True) == fast
+    assert verdicts(wildcard=True, active_only=True) == fast
+
+
+def test_apply_robots_wildcard_precedence(spark):
+    """Wildcard mode applies full REP precedence: */$ patterns match,
+    longest rule wins, Allow overrides equal-or-shorter Disallow."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        apply_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", ["/p*/x$", "/a"], ["/a/open*"], 1.0, 16)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_s double, "
+        "max_fetches_per_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/pAA/q/x"),    # matches /p*/x$ -> deny
+            ("a.com", "https://a.com/pAA/q/xy"),   # $ anchor -> allow
+            ("a.com", "https://a.com/a/closed"),   # /a -> deny
+            ("a.com", "https://a.com/a/open/1"),   # longer Allow wins
+        ],
+        "host string, url string",
+    )
+    wc = {
+        r.url: r.robots_denied
+        for r in apply_robots(cands, robots, wildcard=True).collect()
+    }
+    assert wc["https://a.com/pAA/q/x"] is True
+    assert wc["https://a.com/pAA/q/xy"] is False
+    assert wc["https://a.com/a/closed"] is True
+    assert wc["https://a.com/a/open/1"] is False
+    # fast path treats the same patterns as literals: nothing starts
+    # with the literal "/p*/x$", so only the "/a" rules fire
+    fast = {
+        r.url: r.robots_denied
+        for r in apply_robots(cands, robots.drop("allow_prefixes")).collect()
+    }
+    assert fast["https://a.com/pAA/q/x"] is False
+
+
+def test_crawl_run_wildcard_robots_identical_on_literal_fixture(
+    spark, tmp_path
+):
+    """CrawlRun(wildcard_robots=True) reproduces the default crawl
+    byte-for-byte on the fixture universe (its robots rules are all
+    literal prefixes) — the fidelity path is a drop-in."""
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import CrawlRun
+    from xrpl_rich_list_py_crawler_spark.sources import (
+        SnapshotCatalog, ensure_crawl_fixtures,
+    )
+
+    d = ensure_crawl_fixtures("sf0.001")
+    pages, robots, seeds = (
+        spark.read.parquet(f"{d}/{t}.parquet")
+        for t in ("pages", "robots", "seeds")
+    )
+
+    def crawl(wc):
+        cat = SnapshotCatalog(str(tmp_path / f"wc_{wc}"))
+        CrawlRun(spark, cat, pages, robots, wildcard_robots=wc).run(2, seeds)
+        res = cat.read_appended(spark, "results")
+        return sorted(
+            (r["round"], r["rank"], r["url"]) for r in res.collect()
+        )
+
+    assert crawl(False) == crawl(True)

@@ -198,7 +198,10 @@ def derive_budget_from_delay(
 
 
 def apply_robots(
-    candidates: DataFrame, robots: DataFrame, active_only: bool = False
+    candidates: DataFrame,
+    robots: DataFrame,
+    active_only: bool = False,
+    wildcard: bool = False,
 ) -> DataFrame:
     """Annotate candidates with ``robots_denied`` + politeness params.
 
@@ -212,19 +215,46 @@ def apply_robots(
     round's active hosts first (bounded by per-round host fan-out, far
     smaller), then broadcasts that slice. Semantics are identical (the
     left join only ever matches active hosts anyway); a test pins it.
+
+    ``wildcard`` (late r05): full Google-REP precedence instead of the
+    literal-prefix fast path — ``*``/``$`` patterns via
+    :func:`robots_rule_regex`, longest-match-wins with ``Allow`` rules
+    (:func:`robots_wildcard_allowed`; the dim's ``allow_prefixes`` from
+    ``parse_robots_txt(collect_allow=True)``, coalesced to empty when the
+    dim predates that option). For metachar-free rule sets the verdicts
+    are identical to the fast path (a test pins it) — the cost is
+    |rules| regex matches per URL instead of |rules| startswiths, still
+    per-row codegen on a broadcast dim.
     """
     path = F.regexp_replace(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
     path = F.when(path == "", "/").otherwise(path)
-    denied = F.exists(
-        F.col("disallow_prefixes"),
-        lambda p: F.col("_path").startswith(p),
-    )
-    dim = robots.select(
+    dim_cols = [
         "host", "disallow_prefixes", "crawl_delay_s", "max_fetches_per_round"
-    )
+    ]
+    dim = robots
+    if wildcard:
+        if "allow_prefixes" not in dim.columns:
+            dim = dim.withColumn(
+                "allow_prefixes", F.array().cast("array<string>")
+            )
+        dim_cols.append("allow_prefixes")
+    dim = dim.select(*dim_cols)
     if active_only:
         dim = dim.join(
             candidates.select("host").distinct(), "host", "left_semi"
+        )
+    if wildcard:
+        denied = ~robots_wildcard_allowed(
+            F.col("_path"),
+            F.coalesce(
+                F.col("allow_prefixes"), F.array().cast("array<string>")
+            ),
+            F.col("disallow_prefixes"),
+        )
+    else:
+        denied = F.exists(
+            F.col("disallow_prefixes"),
+            lambda p: F.col("_path").startswith(p),
         )
     return (
         candidates.withColumn("_path", path)
@@ -244,7 +274,9 @@ def apply_robots(
                 F.coalesce(denied, F.lit(False))
             ),
         )
-        .drop("_path", "disallow_prefixes")
+        .drop("_path", "disallow_prefixes", *(
+            ["allow_prefixes"] if wildcard else []
+        ))
     )
 
 

@@ -139,6 +139,7 @@ class CrawlRun:
         robots_active_only: bool | None = None,
         transport=None,
         trap_gate: bool = False,
+        wildcard_robots: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -156,6 +157,12 @@ class CrawlRun:
         # goldens pin the ungated order; an open-web deployment turns it
         # on (zero-shuffle codegen gate, SURVEY.md §2.9).
         self.trap_gate = trap_gate
+        # opt-in full-REP robots matching (operators/politeness.py:
+        # robots_wildcard_allowed): */$ patterns + Allow rules with
+        # longest-match precedence. Default off — the literal-prefix fast
+        # path is verdict-identical on metachar-free rule sets (the
+        # fixture universe) and cheaper per URL.
+        self.wildcard_robots = wildcard_robots
         # decide the robots-join strategy ONCE per run (the dim is fixed).
         # Bounded probe, not count(): the decision only needs "more rows
         # than the ceiling?", and limit(ceiling+1).count() early-exits as
@@ -239,7 +246,11 @@ class CrawlRun:
         # ``gated`` feeds denied/selected/deferred/results/metrics — persist
         # once so the four table writes don't re-run the anti-join + window.
         gated = assign_politeness_gated(
-            apply_robots(unseen, self.robots, active_only=self.robots_active_only)
+            apply_robots(
+                unseen, self.robots,
+                active_only=self.robots_active_only,
+                wildcard=self.wildcard_robots,
+            )
         ).persist()
         denied = gated.filter(F.col("robots_denied"))
         selected = gated.filter(~F.col("robots_denied") & F.col("selected"))
