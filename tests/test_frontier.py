@@ -218,3 +218,61 @@ def test_recrawl_schedule_backoff_and_reset(spark):
     assert out[4]["interval_s"] == 2_592_000  # clamped at max
     assert (out[1]["next_fetch_ts"] - out[1]["last_fetch_ts"]
             ).total_seconds() == 3600 * 8
+
+
+def test_revisit_seeds_bridge(spark, tmp_path):
+    """Two-cycle revisit ledger: unchanged urls back off (not due at
+    +90 min), changed urls reset to the floor (due); the due frame is
+    seeds-shaped and bootstraps a fresh crawl end-to-end."""
+    from datetime import datetime, timedelta
+
+    from xrpl_rich_list_py_crawler_spark.plans.rounds import (
+        CrawlRun, revisit_seeds,
+    )
+    from xrpl_rich_list_py_crawler_spark.sources import (
+        SnapshotCatalog, ensure_crawl_fixtures,
+    )
+
+    d = ensure_crawl_fixtures("sf0.001")
+    pages, robots, seeds = (
+        spark.read.parquet(f"{d}/{t}.parquet")
+        for t in ("pages", "robots", "seeds")
+    )
+    cat = SnapshotCatalog(str(tmp_path / "cycle1"))
+    CrawlRun(spark, cat, pages, robots).run(2, seeds)
+    res = cat.read_appended(spark, "results")
+
+    # cycle 2 ledger: every url re-fetched 2h later; urls with rank <= 3
+    # changed content, the rest unchanged
+    from pyspark.sql import functions as F
+    cyc2 = res.withColumn(
+        "discovery_ts",
+        F.col("discovery_ts") + F.expr("INTERVAL 2 HOURS"),
+    ).withColumn(
+        "text",
+        F.when(F.col("rank") <= 3, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).withColumn("round", F.col("round") + F.lit(100))
+    history = res.unionByName(cyc2)
+
+    last_ts = cyc2.agg(F.max("discovery_ts")).collect()[0][0]
+    now = last_ts + timedelta(minutes=90)
+    due = revisit_seeds(history, now)
+    assert due.columns == ["url", "depth", "host_rank", "discovery_ts"]
+    due_urls = {r.url for r in due.collect()}
+    changed = {
+        r.url for r in res.filter("rank <= 3 and fetch_ok").collect()
+    }
+    unchanged_ok = {
+        r.url for r in res.filter("rank > 3 and fetch_ok").collect()
+    }
+    # changed -> floor interval (1h) -> due at +90min;
+    # unchanged -> doubled (2h) -> not due
+    assert changed <= due_urls
+    assert not (unchanged_ok & due_urls)
+
+    # the due frame bootstraps a fresh cycle as ordinary seeds
+    cat3 = SnapshotCatalog(str(tmp_path / "cycle3"))
+    last = CrawlRun(spark, cat3, pages, robots).run(1, due)
+    assert last == 1
+    assert cat3.read_appended(spark, "results").count() > 0

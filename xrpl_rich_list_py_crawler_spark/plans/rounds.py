@@ -482,3 +482,63 @@ class CrawlRun:
             if compact_seen_every and r % compact_seen_every == 0:
                 self.catalog.compact_rounds(self.spark, "seen", up_to_round=r)
         return last
+
+
+def revisit_seeds(
+    history: DataFrame,
+    now,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 2_592_000,
+) -> DataFrame:
+    """Incremental-crawl bridge (late r05): fold a fetch ledger through
+    :func:`..operators.frontier.recrawl_schedule` and return the DUE urls
+    as a seeds-shaped frame — ``bootstrap()`` it on a fresh catalog and
+    the next revisit cycle runs as an ordinary crawl.
+
+    ``history`` is one or more cycles' ``results`` tables unioned
+    (``catalog.read_appended(spark, "results")`` per cycle): per url the
+    successful fetches become (ts, content-fingerprint) observations,
+    the Cho/Garcia-Molina backoff sets each url's next-fetch time, and
+    urls due at the injected ``now`` (F12 — never wall clock) come back
+    with the metadata of their LATEST fetch (depth, host_rank). The
+    reference never needs this because it re-crawls its whole closed
+    universe every cycle (``validator.py`` re-validates every row); an
+    open-web corpus cannot — freshness budget goes where content
+    actually changes.
+
+    Scale shape: both the schedule and the latest-row window shuffle on
+    the SAME key (url), so the whole helper is one repartition of the
+    ledger plus a key-local join — no global windows, no driver state.
+    """
+    from ..operators.asof import latest_per_key
+    from ..operators.frontier import recrawl_schedule
+
+    ok = history.filter(F.col("fetch_ok"))
+    hist = ok.select(
+        "url",
+        F.col("discovery_ts").alias("fetch_ts"),
+        F.xxhash64("text").alias("content_hash"),
+        F.col("round").alias("rid"),
+    )
+    sched = recrawl_schedule(
+        hist,
+        key_col="url",
+        ts_col="fetch_ts",
+        content_col="content_hash",
+        id_col="rid",
+        min_interval_s=min_interval_s,
+        max_interval_s=max_interval_s,
+    )
+    now_ts = F.lit(now).cast("timestamp")
+    due = sched.filter(F.col("next_fetch_ts") <= now_ts).select("url")
+    latest = latest_per_key(
+        ok.select("url", "depth", "host_rank", "discovery_ts"),
+        ["url"],
+        "discovery_ts",
+    )
+    return due.join(latest, "url").select(
+        "url",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("host_rank").cast("double").alias("host_rank"),
+        now_ts.alias("discovery_ts"),
+    )
