@@ -1566,6 +1566,47 @@ def _q_warc_roundtrip(spark, sf):
     )
 
 
+def _q_cdx_roundtrip(spark, sf):
+    """CDXJ index round trip (late r05, sources/cdx.py): documents become
+    capture rows (mixed-case urls so the SURT transform has work to do;
+    status/mime/offset/filename by doc_id arithmetic, digest = md5(text),
+    length = utf-8 octet length), serialized to CDXJ lines by
+    to_cdx_lines (fixed-order JSON, 14-digit ts) and parsed back by
+    parse_cdx_lines — both directions pure JVM codegen. The oracle
+    reconstructs every field INCLUDING the SURT key (host comma-reversal
+    done by hand in SQL), so the transform, the JSON framing, and the
+    timestamp format must all round-trip exactly."""
+    from xrpl_rich_list_py_crawler_spark.sources.cdx import (
+        parse_cdx_lines, to_cdx_lines,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    caps = d.select(
+        F.concat(
+            F.lit("https://Sub"), did.cast("string"),
+            F.lit(".Example.org/P/"), did.cast("string"),
+            F.lit("?q="), (did % 7).cast("string"),
+        ).alias("url"),
+        F.timestamp_add(
+            "SECOND", did.cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        ).alias("capture_ts"),
+        F.when(did % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("application/pdf")).alias("mime"),
+        F.when(did % 3 == 0, F.lit(200))
+        .when(did % 3 == 1, F.lit(301))
+        .otherwise(F.lit(404)).alias("http_status"),
+        F.md5(F.col("text")).alias("digest"),
+        F.octet_length(F.col("text")).cast("bigint").alias("length"),
+        (did * 1000).cast("bigint").alias("offset"),
+        F.concat(
+            F.lit("w"), (did % 8).cast("string"), F.lit(".warc.gz")
+        ).alias("warc_filename"),
+    )
+    return parse_cdx_lines(to_cdx_lines(caps))
+
+
 def _q_mixture_sample(spark, sf):
     """Static training-mixture sampling (late r05, operators/curation.py:
     mixture_sample): target token proportions over four listed sources
@@ -1929,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard_gate": _q_robots_wildcard_gate,
         "c4_line_clean": _q_c4_line_clean,
         "warc_roundtrip": _q_warc_roundtrip,
+        "cdx_roundtrip": _q_cdx_roundtrip,
     }
 
 
@@ -3110,6 +3152,31 @@ def oracle_sql() -> dict[str, str]:
             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
             text
         FROM documents WHERE doc_id < 64
+    """
+    # CDXJ round trip: the oracle rebuilds every field including the
+    # SURT key by hand (lowercase + comma-reversed host), so surt_col,
+    # the JSON framing, and the 14-digit ts format must all be exact
+    out["cdx_roundtrip"] = r"""
+        SELECT
+            'org,example,sub' || CAST(doc_id AS VARCHAR) || ')/p/'
+                || CAST(doc_id AS VARCHAR) || '?q='
+                || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) AS surt,
+            TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+                AS capture_ts,
+            'https://Sub' || CAST(doc_id AS VARCHAR) || '.Example.org/P/'
+                || CAST(doc_id AS VARCHAR) || '?q='
+                || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) AS url,
+            CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                 ELSE 'application/pdf' END AS mime,
+            CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS INT)
+                AS http_status,
+            md5(text) AS digest,
+            CAST(octet_length(encode(text)) AS BIGINT) AS length,
+            CAST(doc_id * 1000 AS BIGINT) AS "offset",
+            'w' || CAST(CAST(doc_id % 8 AS INT) AS VARCHAR) || '.warc.gz'
+                AS warc_filename
+        FROM documents WHERE doc_id < 200
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

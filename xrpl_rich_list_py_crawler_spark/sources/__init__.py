@@ -20,3 +20,9 @@ from .warc import (  # noqa: F401
     read_warc,
     to_warc_files,
 )
+from .cdx import (  # noqa: F401
+    parse_cdx_lines,
+    read_cdx,
+    surt_col,
+    to_cdx_lines,
+)
