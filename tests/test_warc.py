@@ -118,3 +118,33 @@ def test_parse_plan_has_no_exchange(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         read_warc(spark, d).explain(mode="formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_warc_ingest_stream_exactly_once(spark, tmp_path):
+    """availableNow micro-batches parse each landed WARC file exactly
+    once: a second trigger with the same checkpoint emits only the newly
+    landed file's records."""
+    from xrpl_rich_list_py_crawler_spark.streaming.jobs import (
+        warc_ingest_stream,
+    )
+
+    wdir = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "a.warc"), "wb") as f:
+        f.write(build_warc(RECS[:2], warcinfo="x: 1"))
+
+    q = warc_ingest_stream(spark, wdir, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert {r.url for r in first.collect()} == {
+        "https://a.com/1", "https://a.com/2"}
+
+    with open(os.path.join(wdir, "b.warc.gz"), "wb") as f:
+        f.write(gzip.compress(build_warc(RECS[2:])))
+    q2 = warc_ingest_stream(spark, wdir, out, ckpt)
+    q2.awaitTermination(120)
+    allrecs = spark.read.parquet(out).collect()
+    assert len(allrecs) == 3                       # no re-emission of a.warc
+    assert {r.url for r in allrecs} == {r["url"] for r in RECS}

@@ -311,3 +311,49 @@ def corpus_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Continuous WARC ingestion (late r05): new ``.warc``/``.warc.gz``
+    files landing in ``warc_dir`` are parsed incrementally into response
+    records — the streaming front door for a live crawler's output or a
+    Common Crawl sync, feeding the same downstream operators as the
+    batch :func:`..sources.warc.read_warc`.
+
+    Exactly-once per FILE: the file-source ledger + checkpoint guarantee
+    each WARC file is parsed in exactly one micro-batch (a restart never
+    re-emits records — test-pinned), and the parse itself is the same
+    stateless mapInPandas as batch, so no streaming state exists at all:
+    state cost is zero regardless of corpus size, and per-trigger work is
+    bounded by ``max_files_per_trigger`` × file size. Records append as
+    parquet; payloads stay opaque binary (multimodal-column contract).
+    """
+    from ..sources.warc import parse_warc_df
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema, spelled out because
+        # streaming sources cannot infer one
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+    )
+    recs = parse_warc_df(stream, file_col="path", content_col="content")
+    return (
+        recs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
