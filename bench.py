@@ -320,6 +320,68 @@ def bench_canon_dedup(spark, sf_dir: str, n: int = 24_000_000) -> dict:
     }
 
 
+def bench_warc(spark, sf_dir: str, files: int = 64) -> dict:
+    """WARC ingestion kernel (late r05): parse throughput of the Common
+    Crawl front door (sources/warc.py). Prep (untimed): fold the sf
+    documents table into ``files`` real .warc files on local disk — one
+    response + one request record per doc plus a warcinfo head per file,
+    so the parser does the full skip/extract work. Timed: ``read_warc``
+    end to end (binaryFile scan → mapInPandas Content-Length walk) +
+    a count/size aggregate. File-per-task parallelism, exactly the
+    production shape."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.sources.warc import (
+        read_warc, to_warc_files,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+    responses = docs.select(
+        F.concat(
+            F.lit("w"), (did % files).cast("string"), F.lit(".warc")
+        ).alias("warc_file"),
+        F.concat(
+            F.lit("https://d"), did.cast("string"), F.lit(".example.org/p")
+        ).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_warc_")
+    try:
+        total_bytes = 0
+        for row in to_warc_files(responses, emit_requests=True).collect():
+            blob = bytes(row.content)
+            total_bytes += len(blob)
+            with open(os.path.join(tmp, row.warc_file), "wb") as f:
+                f.write(blob)
+        t0 = _t.time()
+        agg = (
+            read_warc(spark, tmp)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("payload")).alias("pb"),
+            )
+            .collect()[0]
+        )
+        wall = _t.time() - t0
+        return {
+            "sec": wall,
+            "records": int(agg.n),
+            "warc_bytes": total_bytes,
+            "records_per_sec": agg.n / wall if wall else 0.0,
+            "mb_per_sec": total_bytes / 1e6 / wall if wall else 0.0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 HEADLINE = [
     "a2_lineitem_agg",
     "j4_region_rollup",
@@ -428,6 +490,11 @@ def main() -> None:
     times["fetch_dedup_kernel"] = round(dedup["sec"], 3)
     times["canon_dedup_kernel"] = round(canon["sec"], 3)
 
+    # WARC ingestion kernel (late r05): 3 trials, median, same protocol
+    warc_trials = [bench_warc(spark, SF_DIR) for _ in range(3)]
+    warc = sorted(warc_trials, key=lambda t: t["sec"])[1]
+    times["warc_parse_kernel"] = round(warc["sec"], 3)
+
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
@@ -453,6 +520,9 @@ def main() -> None:
         "parse_trials_sec": [round(t["sec"], 3) for t in parse_trials],
         "dedup_trials_sec": [round(t["sec"], 3) for t in dedup_trials],
         "canon_dedup_trials_sec": [round(t["sec"], 3) for t in canon_trials],
+        "warc_mb_per_sec": round(warc["mb_per_sec"], 1),
+        "warc_records_per_sec": round(warc["records_per_sec"], 1),
+        "warc_trials_sec": [round(t["sec"], 3) for t in warc_trials],
     }
     spark.stop()
     print(json.dumps(out))
