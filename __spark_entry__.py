@@ -1566,6 +1566,42 @@ def _q_warc_roundtrip(spark, sf):
     )
 
 
+def _q_anchor_texts(spark, sf):
+    """Anchor-text extraction (late r05, functions/udfs.py:
+    extract_anchors_col): per doc a 3-anchor HTML page is synthesized —
+    an absolute link with an id-bearing anchor, a relative link, and an
+    anchor whose body is only spaces (trims to '') — extracted JVM-side
+    and exploded to (doc_id, link_no, url, anchor). The oracle
+    reconstructs the rows directly from the synthesis arithmetic, so the
+    two-pass regex extraction (whole match → per-group re-extract) must
+    be exact."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://t'), did.cast("string"),
+        F.lit('.org/a">Anchor '), did.cast("string"),
+        F.lit('</a> filler <a href="/rel/'), (did % 5).cast("string"),
+        F.lit('">rel text '), (did % 5).cast("string"),
+        F.lit('</a><a href="spacer">   </a></body></html>'),
+    )
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        extract_anchors_col,
+    )
+
+    pairs = d.select(
+        "doc_id",
+        F.posexplode(extract_anchors_col(html.cast("binary"))).alias(
+            "link_no", "a"
+        ),
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("link_no").cast("int").alias("link_no"),
+        F.col("a.url").alias("url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+
+
 def _q_cdx_roundtrip(spark, sf):
     """CDXJ index round trip (late r05, sources/cdx.py): documents become
     capture rows (mixed-case urls so the SURT transform has work to do;
@@ -1971,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": _q_c4_line_clean,
         "warc_roundtrip": _q_warc_roundtrip,
         "cdx_roundtrip": _q_cdx_roundtrip,
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -3177,6 +3214,22 @@ def oracle_sql() -> dict[str, str]:
             'w' || CAST(CAST(doc_id % 8 AS INT) AS VARCHAR) || '.warc.gz'
                 AS warc_filename
         FROM documents WHERE doc_id < 200
+    """
+    # anchor extraction: direct reconstruction from the synthesis
+    # arithmetic (3 anchors per doc; the space-only anchor trims to '')
+    out["anchor_texts"] = r"""
+        SELECT doc_id, CAST(0 AS INT) AS link_no,
+            'https://t' || CAST(doc_id AS VARCHAR) || '.org/a' AS url,
+            'Anchor ' || CAST(doc_id AS VARCHAR) AS anchor
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT),
+            '/rel/' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR),
+            'rel text ' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR)
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INT), 'spacer', ''
+        FROM documents WHERE doc_id < 300
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

@@ -311,3 +311,40 @@ def test_wav_parser_matches_stdlib_wave():
             assert meta["sample_rate"] == w.getframerate()
             assert w.getsampwidth() == 2
             assert meta["duration_s"] == w.getnframes() / w.getframerate()
+
+
+def test_extract_anchors_col_edges(spark):
+    """Anchor pairs: multiline whitespace after <a, attribute noise
+    before >, plain-text-only bodies (nested markup -> no match), trim,
+    and invalid-UTF-8 byte tolerance."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        extract_anchors_col,
+    )
+
+    html = (
+        '<a\n\thref="https://x.org/1" class="z">One link</a>'
+        '<a href="/2">  padded  </a>'
+        '<a href="/3"><b>nested</b></a>'       # nested markup: skipped
+        '<ahref="/4">no space</a>'             # malformed: skipped
+    ).encode() + b'<a href="/\xff5">bad byte</a>'
+    df = spark.createDataFrame([(bytearray(html),)], "html binary")
+    (row,) = df.select(
+        extract_anchors_col(F.col("html")).alias("a")
+    ).collect()
+    got = [(a["url"], a["anchor"]) for a in row.a]
+    assert got[0] == ("https://x.org/1", "One link")
+    assert got[1] == ("/2", "padded")
+    assert len(got) == 3                       # nested + malformed skipped
+    assert got[2] == ("/�5", "bad byte")  # U+FFFD repair
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(extract_anchors_col(F.col("html"))).explain(
+            mode="formatted"
+        )
+    assert "EvalPython" not in buf.getvalue()

@@ -601,3 +601,32 @@ def test_crawl_run_wildcard_robots_identical_on_literal_fixture(
         )
 
     assert crawl(False) == crawl(True)
+
+
+def test_parse_robots_collect_sitemaps_is_global(spark):
+    """Sitemap: directives are global (REP draft) — collected from the
+    WHOLE body even when they sit inside another agent's section; absent
+    directive -> empty array; default call emits no column."""
+    from xrpl_rich_list_py_crawler_spark.operators.politeness import (
+        parse_robots_txt,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("a.com",
+             "Sitemap: https://a.com/sm.xml\nUser-agent: *\n"
+             "Disallow: /x\n"),
+            ("b.com",
+             "User-agent: googlebot\nDisallow: /g\n"
+             "sitemap: https://b.com/s1.xml\n"
+             "User-agent: *\nSitemap: https://b.com/s2.xml\n"),
+            ("c.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    dim = parse_robots_txt(raw, collect_sitemaps=True)
+    got = {r.host: r.sitemap_urls for r in dim.collect()}
+    assert got["a.com"] == ["https://a.com/sm.xml"]
+    assert got["b.com"] == ["https://b.com/s1.xml", "https://b.com/s2.xml"]
+    assert got["c.com"] == []
+    assert "sitemap_urls" not in parse_robots_txt(raw).columns

@@ -303,3 +303,35 @@ def safe_ratio_col(cur: Column, prev: Column) -> Column:
     """Div-by-zero-guarded percent change — function.sql:127-129 (F8):
     CASE WHEN prev = 0 THEN 0 ELSE (cur - prev) / prev * 100 END."""
     return F.when(prev == 0, F.lit(0.0)).otherwise((cur - prev) / prev * 100)
+
+
+#: anchor pairs: href + PLAIN-TEXT anchor body ([^<]* — nested markup
+#: yields no match, mirroring LINK_HREF_PATTERN's pragmatism). The
+#: whitespace after `<a` is the explicit portable class (\x0b spelled as
+#: a hex escape valid in BOTH Java regex and RE2 — the BPE_UNIT
+#: engine-margin lesson), so the SQL twin matches byte-for-byte.
+ANCHOR_PATTERN = r'<a[ \t\n\r\f\x0b]+href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors_col(html: Column) -> Column:
+    """JVM-side (url, anchor-text) pair extraction — the classic
+    pretraining/link-graph signal (anchor corpora; edge labels for
+    host_pagerank) the href-only :func:`extract_links_col` drops.
+
+    Same byte-safety contract as extract_links_col: binary→string cast +
+    ``make_valid_utf8`` repair, ASCII delimiters, self-synchronizing
+    UTF-8. Two-pass trick because ``regexp_extract_all`` returns one
+    group: collect whole matches, then re-extract both groups per
+    element inside ``transform`` — still pure whole-stage codegen.
+    Returns ``array<struct<url:string, anchor:string>>`` (anchor
+    trimmed).
+    """
+    s = F.make_valid_utf8(html.cast("string"))
+    matches = F.regexp_extract_all(s, F.lit(ANCHOR_PATTERN), 0)
+    return F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, ANCHOR_PATTERN, 1).alias("url"),
+            F.trim(F.regexp_extract(m, ANCHOR_PATTERN, 2)).alias("anchor"),
+        ),
+    )

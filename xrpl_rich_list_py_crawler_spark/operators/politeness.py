@@ -37,6 +37,9 @@ ROBOTS_DISALLOW = r"(?i)disallow:[ \t]*([^ \t\r\n]+)"
 #: must stay RE2-portable for the SQL twin)
 ROBOTS_ALLOW = r"(?im)^[ \t]*allow:[ \t]*([^ \t\r\n]+)"
 ROBOTS_DELAY = r"(?i)crawl-delay:[ \t]*([0-9]+(\.[0-9]+)?)"
+#: Sitemap: directives are GLOBAL per the REP draft (not scoped to a
+#: user-agent section) — extracted from the whole body, line-anchored
+ROBOTS_SITEMAP = r"(?im)^[ \t]*sitemap:[ \t]*([^ \t\r\n]+)"
 
 
 def parse_robots_txt(
@@ -47,6 +50,7 @@ def parse_robots_txt(
     default_budget: int = 16,
     round_budget_s: float = 16.0,
     collect_allow: bool = False,
+    collect_sitemaps: bool = False,
 ) -> DataFrame:
     """Parse raw per-host robots.txt bodies into the politeness dimension
     :func:`apply_robots` consumes (north_rule: "robots.txt allow/deny
@@ -105,6 +109,21 @@ def parse_robots_txt(
         if collect_allow
         else []
     )
+    sitemap_cols = (
+        [
+            # whole body, NOT the star section: Sitemap: is global (REP
+            # draft §2.3) — the natural bootstrap feed for
+            # sitemap.sitemap_seeds
+            F.coalesce(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(ROBOTS_SITEMAP), 1
+                ),
+                F.array().cast("array<string>"),
+            ).alias("sitemap_urls")
+        ]
+        if collect_sitemaps
+        else []
+    )
     delay_raw = F.regexp_extract(sec, ROBOTS_DELAY, 1)
     delay_supplied = delay_raw.isNotNull() & (delay_raw != "")
     delay = F.when(delay_supplied, delay_raw.cast("double")).otherwise(
@@ -117,6 +136,7 @@ def parse_robots_txt(
             "disallow_prefixes"
         ),
         *allow_cols,
+        *sitemap_cols,
         delay.alias("crawl_delay_s"),
         F.when(delay_supplied, _budget_from_delay(delay, round_budget_s, default_budget))
         .otherwise(F.lit(default_budget))
