@@ -148,3 +148,51 @@ def test_warc_ingest_stream_exactly_once(spark, tmp_path):
     allrecs = spark.read.parquet(out).collect()
     assert len(allrecs) == 3                       # no re-emission of a.warc
     assert {r.url for r in allrecs} == {r["url"] for r in RECS}
+
+
+def test_warc_to_wet_pipeline(spark):
+    """The CC WARC→WET product: response HTML → JVM text extraction →
+    conversion-record WET files; text-less captures dropped; the WET
+    buffer re-parses and its payloads equal the direct extraction."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        extract_text_col,
+    )
+    from xrpl_rich_list_py_crawler_spark.sources.warc import warc_to_wet
+
+    html = (
+        "<html><head><title>T</title></head>"
+        "<body><p>one para</p><p>two ünïcode</p></body></html>"
+    ).encode()
+    recs = [
+        {"url": "https://a.com/h", "date": "2024-01-01T00:00:00Z",
+         "status": 200, "mime": "text/html", "payload": html},
+        {"url": "https://a.com/empty", "date": "2024-01-01T00:00:01Z",
+         "status": 200, "mime": "text/html", "payload": b"<html></html>"},
+    ]
+    rows = [
+        ("f.warc.gz", r["url"], r["date"], r["status"], r["mime"],
+         r["payload"])
+        for r in recs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_file string, url string, warc_date string, "
+        "http_status int, mime string, payload binary",
+    )
+    files = to_warc_files(df)
+    wet = warc_to_wet(
+        parse_warc_df(files, file_col="warc_file", content_col="content")
+    ).collect()
+    assert [r.warc_file for r in wet] == ["f.wet"]
+    parsed = list(iter_warc_records(bytes(wet[0].content), "f.wet"))
+    conv = [r for r in parsed if r["warc_type"] == "conversion"]
+    assert [r["url"] for r in conv] == ["https://a.com/h"]  # empty dropped
+    assert conv[0]["mime"] == "text/plain"
+    expected = (
+        df.filter("url = 'https://a.com/h'")
+        .select(extract_text_col(F.col("payload")).alias("t"))
+        .collect()[0].t
+    )
+    assert conv[0]["payload"].decode() == expected

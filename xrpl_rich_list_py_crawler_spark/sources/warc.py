@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: parsed-record schema (one row per WARC record)
 WARC_SCHEMA = (
@@ -259,3 +260,65 @@ def to_warc_files(
     return df.groupBy(group_col).applyInPandas(
         _fold, schema="warc_file string, content binary"
     )
+
+
+def to_wet_files(
+    df: DataFrame,
+    group_col: str = "warc_file",
+    warcinfo: str | None = "format: WET",
+) -> DataFrame:
+    """WET sink: fold (url, warc_date, payload=extracted-text) rows into
+    ``conversion``-record WARC buffers — the WARC→WET product Common
+    Crawl publishes next to every crawl. Same shuffle shape as
+    :func:`to_warc_files` (one key-partitioned fold), plain-payload
+    framing (``Content-Type: text/plain``, no embedded HTTP message)."""
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url"])
+        out = bytearray()
+        if warcinfo is not None:
+            out.extend(build_warc([], warcinfo=warcinfo))
+        for r in pdf.itertuples():
+            block = bytes(r.payload)
+            head = (
+                b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                b"WARC-Target-URI: " + str(r.url).encode() + _CRLF
+                + b"WARC-Date: " + str(r.warc_date).encode() + _CRLF
+                + b"Content-Type: text/plain\r\n"
+                + b"Content-Length: " + str(len(block)).encode() + _CRLF
+            )
+            out.extend(head + _CRLF + block + _SEP)
+        name = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {"warc_file": [name], "content": [bytes(out)]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        _fold, schema="warc_file string, content binary"
+    )
+
+
+def warc_to_wet(records: DataFrame) -> DataFrame:
+    """The Common Crawl WARC→WET pipeline as one engine pass: response
+    records (from :func:`parse_warc_df`/:func:`read_warc`) → JVM text
+    extraction (``extract_text_col`` — zero Python on the hot path) →
+    ``conversion``-record WET files named after their source WARC
+    (``.warc``→``.wet``). Rows with empty extracted text are dropped,
+    matching the published WET behavior of skipping text-less captures.
+    """
+    from ..functions.udfs import extract_text_col
+
+    wet_rows = (
+        records.filter(F.col("warc_type") == "response")
+        .withColumn("_text", extract_text_col(F.col("payload")))
+        .filter(F.col("_text") != "")
+        .select(
+            F.regexp_replace(
+                F.col("warc_file"), r"\.warc(\.gz)?$", ".wet"
+            ).alias("warc_file"),
+            "url",
+            "warc_date",
+            F.col("_text").cast("binary").alias("payload"),
+        )
+    )
+    return to_wet_files(wet_rows)
