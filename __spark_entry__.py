@@ -1602,6 +1602,27 @@ def _q_anchor_texts(spark, sf):
     )
 
 
+def _q_hll_host_distinct(spark, sf):
+    """Deterministic HyperLogLog (late r05, operators/sketches.py):
+    distinct event_ids per synthetic host (user_id % 20) sketched at
+    p=12 from engine-portable primitives — md5-hex 60-bit hash, base-2
+    digit-count rho (no float log), exact-integer harmonic sum — so the
+    DuckDB twin reproduces registers, state, AND estimate. int_sum is
+    the exact sketch state (the hard oracle surface); est_distinct
+    exercises the alpha formula and, for keys the fixture leaves sparse,
+    the linear-counting branch."""
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    e = _t(spark, sf, "events").select(
+        (F.col("user_id") % 20).alias("host"), "event_id"
+    )
+    return hll_distinct(e, "host", "event_id", p=12).withColumnRenamed(
+        "key", "host"
+    )
+
+
 def _q_cdx_roundtrip(spark, sf):
     """CDXJ index round trip (late r05, sources/cdx.py): documents become
     capture rows (mixed-case urls so the SURT transform has work to do;
@@ -2008,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "cdx_roundtrip": _q_cdx_roundtrip,
         "anchor_texts": _q_anchor_texts,
+        "hll_host_distinct": _q_hll_host_distinct,
     }
 
 
@@ -3230,6 +3252,49 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, CAST(2 AS INT), 'spacer', ''
         FROM documents WHERE doc_id < 300
+    """
+    # deterministic HLL: the twin rebuilds the registers (60-bit md5-hex
+    # hash, base-2 digit-count rho), the exact-integer harmonic sum, and
+    # the alpha/linear-counting estimate — m=4096, width=48, alpha as
+    # the same literal-arithmetic double
+    out["hll_host_distinct"] = r"""
+        WITH hashed AS (
+            SELECT CAST(user_id % 20 AS BIGINT) AS host,
+                CAST(CAST('0x' || substr(
+                    md5(CAST(event_id AS VARCHAR)), 1, 15
+                ) AS UBIGINT) AS BIGINT) AS h
+            FROM events
+        ),
+        regs AS (
+            SELECT host, h % 4096 AS bucket,
+                MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                    ELSE 48 - length(to_base(h >> 12, 2)) + 1 END) AS rho
+            FROM hashed GROUP BY host, h % 4096
+        ),
+        agg AS (
+            SELECT host,
+                CAST(COUNT(*) AS INT) AS used_buckets,
+                SUM(CAST(1 AS BIGINT) << (49 - rho)) AS nz_sum
+            FROM regs GROUP BY host
+        ),
+        staged AS (
+            SELECT host, used_buckets,
+                nz_sum + (4096 - used_buckets)
+                    * (CAST(1 AS BIGINT) << 49) AS int_sum
+            FROM agg
+        )
+        SELECT host, used_buckets, int_sum,
+            ROUND(CASE
+                WHEN (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                     * 562949953421312.0 / CAST(int_sum AS DOUBLE)
+                     <= 2.5 * 4096
+                 AND used_buckets < 4096
+                THEN 4096.0 * ln(4096.0
+                    / CAST(4096 - used_buckets AS DOUBLE))
+                ELSE (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                     * 562949953421312.0 / CAST(int_sum AS DOUBLE)
+            END, 4) AS est_distinct
+        FROM staged
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

@@ -1,0 +1,139 @@
+"""Cardinality sketches: deterministic HyperLogLog (Flajolet et al. 2007).
+
+``approx_count_distinct`` exists, but its HLL++ registers are engine-
+private: no oracle can check them and no other system can merge them.
+This module builds the sketch from ENGINE-PORTABLE primitives — the
+md5-hex uniform hash every sampling operator here already uses, register
+math in exact integers — so (a) the DuckDB twin reproduces the estimate
+bit-for-bit, (b) register tables can be persisted/merged across runs and
+engines (the union of two sketches is a groupBy-max — see
+:func:`hll_merge`), and (c) the only float ops are a literal-constant
+formula and one ``ln``, both IEEE-deterministic.
+
+Why a sketch at all: "distinct URLs per host" over a 10^10-row fetch
+ledger as an exact ``countDistinct`` is a full shuffle of every distinct
+(host, url) pair; the sketch shuffles at most ``m`` = 2^p register rows
+per host (map-side combined), a constant, whatever the corpus size.
+
+Exactness note: the 2^-rho harmonic sum is computed as
+``sum(2^(S-rho))`` in BIGINT with ``S = 61 - p`` — every term is an
+exact power of two and integer addition is order-free, so the estimate
+does not depend on partitioning or reduction order (float summation
+would). ``S`` is the unique exact choice: it must be ≥ max rho
+(``61-p``, so 2^(S-rho) stays integral) while ``2^p · 2^S < 2^63``
+(so a sketch of all-empty registers cannot overflow the signed sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: md5-hex prefix bits used as the uniform hash (15 hex chars = 60 bits
+#: keeps the value positive in a signed BIGINT in both engines)
+HASH_BITS = 60
+
+
+def _hash60(value):
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-key HLL register table: (key, bucket, rho) with
+    ``rho = max`` over the key's values landing in that bucket.
+
+    bucket = low ``p`` hash bits; rho = 1 + leading-zero count of the
+    remaining ``60-p`` bits (bit_length via base-2 digit count — no
+    float log, so register values are exact in both engines). One
+    map-side-combined shuffle keyed by (key, bucket): ≤ 2^p rows per key
+    survive regardless of input size.
+    """
+    m = 1 << p
+    width = HASH_BITS - p
+    h = _hash60(F.col(value_col))
+    # integer shift, NOT h/m: a double division would round 60-bit
+    # hashes (> 2^53) before the cast
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.conv(w, 10, 2)) + F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            (h % m).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Sketch union: registers from different runs/partitions/engines
+    merge by per-(key, bucket) max — the HLL property that makes the
+    sketch distributable and incrementally maintainable."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Registers → per-key cardinality estimate.
+
+    Standard HLL with the linear-counting small-range correction:
+    ``raw = alpha_m * m^2 / sum_j 2^-rho_j`` (empty buckets contribute
+    2^0), switched to ``m * ln(m/V)`` when ``raw <= 2.5m`` and V (empty
+    buckets) > 0. The harmonic sum is exact-integer (module note);
+    ``ln`` is the single transcendental. Output: key, used_buckets,
+    int_sum (the exact state, the real oracle surface), est_distinct
+    (rounded to 4 decimals).
+    """
+    m = 1 << p
+    s = HASH_BITS + 1 - p  # see module docstring: exact AND overflow-safe
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy("key").agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - rho)")
+        ).alias("_nz_sum"),
+    )
+    int_sum = (
+        F.col("_nz_sum")
+        + (F.lit(m) - F.col("used_buckets"))
+        * F.lit(1 << s).cast("bigint")
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << s))
+        / int_sum.cast("double")
+    )
+    v = (F.lit(m) - F.col("used_buckets")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "key",
+        F.col("used_buckets").cast("int").alias("used_buckets"),
+        int_sum.alias("int_sum"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, value_col: str, p: int = 12
+) -> DataFrame:
+    """Distinct ``value_col`` per ``key_col``, sketched: registers →
+    estimate. Two same-key shuffles, both map-side combined; ≤ 2^p rows
+    per key ever cross the wire."""
+    return hll_estimate(hll_registers(df, key_col, value_col, p), p)
