@@ -1623,6 +1623,63 @@ def _q_hll_host_distinct(spark, sf):
     )
 
 
+#: count-min probe tokens: six present in the fixture vocabulary plus one
+#: guaranteed-absent (exercises the implicit-zero coalesce; est may still
+#: be >0 by collision — the sketch only promises an upper bound)
+_CM_PROBES = ["join", "hash", "scan", "query", "window", "spark", "zz-absent"]
+
+
+def _q_cm_token_counts(spark, sf):
+    """Count-min frequency sketch (late r05, operators/sketches.py):
+    counters (depth=4, width=2048) built over the full document token
+    stream, probed for 7 fixed tokens. Engine-portable like the HLL —
+    md5-hex 60-bit row hashes seeded by depth ('j:' prefix), exact
+    BIGINT counter sums (order-free), ≤ depth×width rows survive the
+    build shuffle at any corpus size. The oracle rebuilds counters AND
+    probe lookups; est_count is min-over-depth, the CM upper bound."""
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        cm_counters, cm_estimate,
+    )
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import WS
+
+    d = _t(spark, sf, "documents")
+    # raw token stream with multiplicity (the sketch counts occurrences,
+    # not distinct tokens), same WS tokenization as the postings builder
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS)).alias("token")
+    ).filter(F.col("token") != "")
+    counters = cm_counters(toks, "token", depth=4, width=2048)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CM_PROBES], "token string"
+    )
+    est = cm_estimate(counters, probes, "token", depth=4, width=2048)
+    return est.select(
+        F.col("value").alias("token"), F.col("est_count").cast("bigint")
+        .alias("est_count")
+    )
+
+
+def _q_bm25_topk(spark, sf):
+    """Inverted index + BM25 ranked retrieval (late r05,
+    operators/retrieval.py): posting ROWS (token, doc_id, tf) — never
+    per-token arrays — scored with the Lucene BM25 formulation for a
+    fixed 4-token query, top-15. Per-term doubles are bit-identical
+    across engines (exact-integer inputs, one ln); the per-doc sum is
+    fixed-pointed to micro-unit BIGINTs first so it is order-free (the
+    house double-sum rule). score_micro is the hard oracle surface."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        bm25_topk, build_postings, doc_lengths,
+    )
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(
+        build_postings(d),
+        doc_lengths(d),
+        ["spark", "window", "merge", "vector"],
+        k=15,
+    )
+
+
 def _q_cdx_roundtrip(spark, sf):
     """CDXJ index round trip (late r05, sources/cdx.py): documents become
     capture rows (mixed-case urls so the SURT transform has work to do;
@@ -2030,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": _q_cdx_roundtrip,
         "anchor_texts": _q_anchor_texts,
         "hll_host_distinct": _q_hll_host_distinct,
+        "cm_token_counts": _q_cm_token_counts,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -3295,6 +3354,87 @@ def oracle_sql() -> dict[str, str]:
                      * 562949953421312.0 / CAST(int_sum AS DOUBLE)
             END, 4) AS est_distinct
         FROM staged
+    """
+    # count-min: the twin rebuilds the depth-seeded 60-bit hashes
+    # ('j:' || token), the (depth, bucket) counter sums, and the
+    # min-over-depth probe lookups (absent buckets coalesce to 0)
+    out["cm_token_counts"] = r"""
+        WITH toks AS (
+            SELECT t AS token FROM (
+                SELECT unnest(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        depths AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        counters AS (
+            SELECT depth,
+                CAST(CAST('0x' || substr(md5(
+                    CAST(depth AS VARCHAR) || ':' || token
+                ), 1, 15) AS UBIGINT) AS BIGINT) % 2048 AS bucket,
+                COUNT(*) AS cnt
+            FROM toks CROSS JOIN depths GROUP BY 1, 2
+        ),
+        probes AS (SELECT unnest(['join', 'hash', 'scan', 'query',
+                                  'window', 'spark', 'zz-absent']) AS token),
+        pcells AS (
+            SELECT token, depth,
+                CAST(CAST('0x' || substr(md5(
+                    CAST(depth AS VARCHAR) || ':' || token
+                ), 1, 15) AS UBIGINT) AS BIGINT) % 2048 AS bucket
+            FROM probes CROSS JOIN depths
+        )
+        SELECT token, MIN(COALESCE(cnt, 0)) AS est_count
+        FROM pcells LEFT JOIN counters USING (depth, bucket)
+        GROUP BY token
+    """
+    # BM25: per-term doubles recomputed from the same exact integers
+    # (tf, dft, N, dl); the float literal 2.2 is spelled (1.2 + 1.0) so
+    # both engines evaluate the identical IEEE sum Spark's F.lit(k1+1.0)
+    # bakes in; the per-doc sum happens in micro-unit BIGINTs
+    out["bm25_topk"] = r"""
+        WITH exploded AS (
+            SELECT doc_id, unnest(regexp_split_to_array(
+                lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS token
+            FROM documents
+        ),
+        postings AS (
+            SELECT token, doc_id, COUNT(*) AS tf FROM exploded
+            WHERE token <> '' GROUP BY token, doc_id
+        ),
+        lens AS (
+            SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(
+                lower(trim(text)), '[ \t\n\r\f\x0b]+'), t -> t <> ''))
+                AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens
+        ),
+        matched AS (
+            SELECT * FROM postings
+            WHERE token IN ('merge', 'spark', 'vector', 'window')
+        ),
+        dfreq AS (
+            SELECT token, COUNT(*) AS dft FROM matched GROUP BY token
+        ),
+        scored AS (
+            SELECT m.doc_id,
+                CAST(ROUND(
+                    ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                    * m.tf * (1.2 + 1.0)
+                    / (m.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                    * 1000000.0) AS BIGINT) AS s_micro
+            FROM matched m
+            JOIN dfreq d USING (token)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, SUM(s_micro) AS score_micro,
+            SUM(s_micro) / 1000000.0 AS score,
+            COUNT(*) AS n_matched
+        FROM scored GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT 15
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

@@ -1,0 +1,109 @@
+"""Inverted index + BM25: semantics against a hand-computed oracle,
+determinism under repartitioning, and the plan-shape contracts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    doc_lengths,
+)
+
+DOCS = [
+    (0, "spark shuffles rows fast"),
+    (1, "spark spark spark everywhere"),
+    (2, "rows and columns and rows"),
+    (3, "a window over ordered rows"),
+    (4, "nothing relevant here"),
+    (5, "   "),  # whitespace-only: dl must be 0, no postings
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    """Independent row-at-a-time reimplementation."""
+    toks = {d: [t for t in txt.lower().strip().split() if t] for d, txt in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dft = {
+        q: sum(1 for v in toks.values() if q in v) for q in set(query)
+    }
+    scores = {}
+    for d, v in toks.items():
+        micro = 0
+        matched = 0
+        for q in sorted(set(query)):
+            tf = v.count(q)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - dft[q] + 0.5) / (dft[q] + 0.5))
+            s = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1 - b + b * len(v) / avgdl)
+            )
+            micro += round(s * 1_000_000.0)
+        if matched:
+            scores[d] = (micro, matched)
+    return scores
+
+
+def test_postings_and_lengths(spark, corpus):
+    post = {
+        (r.token, r.doc_id): r.tf for r in build_postings(corpus).collect()
+    }
+    assert post[("spark", 1)] == 3
+    assert post[("rows", 2)] == 2
+    assert ("", 5) not in post and not any(d == 5 for _, d in post)
+    dl = {r.doc_id: r.dl for r in doc_lengths(corpus).collect()}
+    assert dl == {0: 4, 1: 4, 2: 5, 3: 5, 4: 3, 5: 0}
+
+
+def test_bm25_matches_independent_python(spark, corpus):
+    query = ["spark", "rows"]
+    got = bm25_topk(
+        build_postings(corpus), doc_lengths(corpus), query, k=10
+    ).collect()
+    want = _py_bm25(query)
+    assert {r.doc_id: (r.score_micro, r.n_matched) for r in got} == want
+    # ranking: micro desc, doc_id asc
+    order = [r.doc_id for r in got]
+    assert order == sorted(
+        want, key=lambda d: (-want[d][0], d)
+    )
+    # derived double column is exactly micro / 1e6
+    for r in got:
+        assert r.score == r.score_micro / 1_000_000.0
+
+
+def test_bm25_deterministic_under_partitioning(spark, corpus):
+    """Fixed-point integer sums make the scores partition-order-free."""
+    a = bm25_topk(
+        build_postings(corpus), doc_lengths(corpus), ["spark", "rows"], k=10
+    ).collect()
+    shuffled = corpus.repartition(7)
+    b = bm25_topk(
+        build_postings(shuffled), doc_lengths(shuffled), ["rows", "spark"],
+        k=10,
+    ).collect()
+    assert a == b
+
+
+def test_bm25_topk_plan_is_parallel(spark, corpus):
+    """The final cut must compile to TakeOrderedAndProject (partial
+    per-partition top-k — no global single-partition sort) and the
+    ≤|query|-row dfreq side must broadcast."""
+    plan = (
+        bm25_topk(build_postings(corpus), doc_lengths(corpus), ["spark"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

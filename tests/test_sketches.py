@@ -1,9 +1,13 @@
-"""Deterministic HLL: accuracy, merge law, exact-integer state."""
+"""Deterministic sketches: HLL accuracy/merge law/exact-integer state,
+count-min upper-bound guarantee/linearity/bounded size."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+    cm_counters,
+    cm_estimate,
+    cm_merge,
     hll_distinct,
     hll_estimate,
     hll_merge,
@@ -59,3 +63,53 @@ def test_hll_insensitive_to_duplication_and_partitioning(spark, ledger):
     doubled = ledger.unionByName(ledger).repartition(13)
     assert sorted(hll_distinct(doubled, "key", "value").collect()) == \
         sorted(hll_distinct(ledger, "key", "value").collect())
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # zipf-ish: item i appears (200 - i) times for i in 0..199
+    rows = [(f"item{i}",) for i in range(200) for _ in range(200 - i)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_cm_never_undercounts_and_is_tight_for_heavy_items(spark, stream):
+    """The count-min guarantee: est >= true for EVERY item; with
+    depth=4 × width=2048 and ~20k increments the collision mass is
+    small, so heavy items are near-exact."""
+    counters = cm_counters(stream, "v", depth=4, width=2048)
+    probes = stream.select("v").distinct()
+    est = {
+        r.value: r.est_count
+        for r in cm_estimate(counters, probes, "v", depth=4, width=2048)
+        .collect()
+    }
+    for i in range(200):
+        true = 200 - i
+        assert est[f"item{i}"] >= true, (i, true, est[f"item{i}"])
+    # heaviest item: overcount bounded by e*N/width expectation; assert
+    # a generous 2x margin over the deterministic fixture
+    assert est["item0"] <= 200 + 2 * (20100 // 2048 + 1)
+
+
+def test_cm_absent_item_bounded_by_collision_mass(spark, stream):
+    counters = cm_counters(stream, "v", depth=4, width=2048)
+    probes = spark.createDataFrame([("never-seen",)], "v string")
+    (row,) = cm_estimate(counters, probes, "v", depth=4, width=2048).collect()
+    # min over 4 independent rows of expected load ~10: tiny, never huge
+    assert 0 <= row.est_count < 100
+
+
+def test_cm_merge_equals_whole(spark, stream):
+    """Count-min linearity: counters built on disjoint halves and merged
+    by (depth, bucket) sum equal counters built on the whole stream."""
+    a = stream.filter(F.crc32(F.col("v")) % 2 == 0)
+    b = stream.filter(F.crc32(F.col("v")) % 2 == 1)
+    merged = cm_merge(cm_counters(a, "v"), cm_counters(b, "v"))
+    whole = cm_counters(stream, "v")
+    assert sorted(merged.collect()) == sorted(whole.collect())
+
+
+def test_cm_counter_table_is_bounded(spark, stream):
+    """The scale contract: the counter table never exceeds depth×width
+    rows no matter the stream size."""
+    assert cm_counters(stream, "v", depth=4, width=64).count() <= 4 * 64

@@ -1,0 +1,131 @@
+"""Inverted index + BM25 ranked retrieval over the crawled corpus.
+
+The reference crawls pages and serves ranked lists (scraper.py builds
+the rich list; validator.py re-ranks it per round); a web-scale corpus
+engine additionally needs the classic search-side pair: build a postings
+table from the fetched text, score queries against it. Both stay fully
+JVM-side.
+
+Scale shape (the part that must survive 100 TB):
+
+* The postings table is posting ROWS ``(token, doc_id, tf)``, never
+  per-token arrays — stopword postings lists are billions of entries on
+  a web corpus and an ``collect_list`` per token would OOM a single
+  task. Rows bucket/partition cleanly by token.
+* Index build is ONE explode + map-side-combined groupBy keyed by
+  (token, doc_id) — linear in corpus token count, no skew beyond the
+  token distribution itself (and a hot token's postings spread over
+  partitions because doc_id is in the grouping key).
+* Query-time: the ``isin(query_tokens)`` filter prunes the scan (a
+  handful of tokens against a token-bucketed/sorted table is a
+  partition-pruned read); the per-term document frequencies are ≤
+  |query| rows → broadcast; corpus constants (N, avgdl) are a 1-row
+  aggregate → broadcast crossJoin (the engine's A1 pattern, never an
+  empty-frame window). The only wide exchange is the final per-doc
+  score sum keyed by doc_id, followed by ``orderBy().limit(k)`` →
+  TakeOrderedAndProject (parallel partial top-k).
+
+BM25 uses the Lucene/Robertson formulation::
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+All inputs to the formula are exact integers (tf, df, N, dl) or exact
+integer ratios, so each PER-TERM double is bit-identical across engines
+(one ``ln`` — same stance as the HLL estimate in sketches.py). The
+per-document SUM of term scores is where engines would diverge (double
+summation is order-dependent — the house rule, plans/jobs.py:34), so
+term scores are fixed-pointed to integer micro-units first and summed
+as BIGINT: integer addition is order-free, making the ranking exactly
+reproducible under any partitioning and in the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import WS
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting rows (token, doc_id, tf) — lower-cased, split on the
+    portable whitespace class (the cross-engine ``\\s`` margin lesson,
+    textstats.WS)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS)).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl): per-document token count, same tokenization as
+    :func:`build_postings` (per-row array ops, no shuffle)."""
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != ""
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.size(arr).cast("long").alias("dl")
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    lengths: DataFrame,
+    query_tokens: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query: (doc_id, score,
+    n_matched). Deterministic: ties break by doc_id ascending."""
+    toks = sorted(set(query_tokens))
+    matched = postings.filter(F.col("token").isin(toks))
+    # per-term document frequency: (token, doc_id) is unique in the
+    # postings table, so df is a plain count — ≤ |query| result rows
+    dfreq = matched.groupBy("token").agg(F.count(F.lit(1)).alias("dft"))
+    # corpus constants: one 1-row aggregate, broadcast to every score row
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "token")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    # fixed-point BEFORE the sum: micro-unit BIGINTs add order-free
+    term_micro = F.round(term_score * F.lit(1_000_000.0)).cast("bigint")
+    per_doc = (
+        scored.select("doc_id", term_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    out = per_doc.select(
+        "doc_id",
+        "score_micro",
+        (F.col("score_micro") / F.lit(1_000_000.0)).alias("score"),
+        "n_matched",
+    )
+    return out.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(k)

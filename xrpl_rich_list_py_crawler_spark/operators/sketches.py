@@ -1,4 +1,6 @@
-"""Cardinality sketches: deterministic HyperLogLog (Flajolet et al. 2007).
+"""Deterministic, engine-portable sketches: HyperLogLog cardinality
+(Flajolet et al. 2007) and count-min frequency (Cormode & Muthukrishnan
+2005).
 
 ``approx_count_distinct`` exists, but its HLL++ registers are engine-
 private: no oracle can check them and no other system can merge them.
@@ -137,3 +139,92 @@ def hll_distinct(
     estimate. Two same-key shuffles, both map-side combined; ≤ 2^p rows
     per key ever cross the wire."""
     return hll_estimate(hll_registers(df, key_col, value_col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# over an unbounded stream in depth × width integer counters
+# ---------------------------------------------------------------------------
+#
+# Same portability stance as the HLL above: the d row hashes are
+# md5-hex of ``'<j>:' || value`` (j = 0..depth-1 stands in for the d
+# independent hash functions), counters are exact BIGINT sums, so the
+# counter table is reproducible in DuckDB, order-free, and mergeable
+# across runs/engines by (depth, bucket) sum. The sketch never exceeds
+# ``depth × width`` rows no matter how many items stream through —
+# frequency tracking over a 10^12-token corpus shuffles a constant.
+
+
+def _cm_bucket(value, j: int, width: int):
+    return (_hash60(F.concat(F.lit(f"{j}:"), value.cast("string"))) % width).cast(
+        "int"
+    )
+
+
+def cm_counters(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Count-min counter table (depth, bucket, cnt) over ``value_col``.
+
+    Each input row increments one bucket per depth row; the explode is
+    ``depth`` structs per row (a constant), then ONE map-side-combined
+    groupBy — at most ``depth × width`` rows survive the shuffle
+    regardless of input size. Missing (never-hit) buckets are implicit
+    zeros; :func:`cm_estimate` coalesces them."""
+    v = F.col(value_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"), _cm_bucket(v, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Sketch union: counter tables from different runs/partitions/
+    engines merge by per-(depth, bucket) SUM (count-min linearity)."""
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch: estimated count per ``items`` row
+    (min over the item's ``depth`` counters — the count-min upper-bound
+    estimator; never under-counts, over-counts by collision mass).
+
+    ``depth`` and ``width`` MUST match the :func:`cm_counters` call.
+    The probe explodes ``depth`` rows per item and joins the counter
+    table on (depth, bucket); the counter side is ≤ depth × width rows
+    → broadcast, so the lookup is shuffle-free on the probe side."""
+    v = F.col(value_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"), _cm_bucket(v, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    probes = items.select(
+        v.alias("value"), F.explode(cells).alias("c")
+    ).select("value", "c.depth", "c.bucket")
+    joined = probes.join(
+        F.broadcast(counters), ["depth", "bucket"], "left"
+    ).select("value", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    return joined.groupBy("value").agg(F.min("cnt").alias("est_count"))
