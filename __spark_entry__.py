@@ -1659,6 +1659,24 @@ def _q_cm_token_counts(spark, sf):
     )
 
 
+def _q_hdr_value_quantiles(spark, sf):
+    """HDR-histogram quantile sketch (late r05, operators/sketches.py):
+    per-event_type p50/p95/p99 of `value` without sorting observations.
+    Pure integer binning — fixed-point micro-units, msb via base-2
+    digit count (the HLL rho trick, no float log), bucket lower bound
+    as m - m % 2^shift — so bins, cumulative ranks, and quantiles are
+    bit-identical across engines and partitionings; the per-key cumsum
+    window runs over the bounded bin table, never the raw ledger."""
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        hdr_bins, hdr_quantiles,
+    )
+
+    e = _t(spark, sf, "events").select("event_type", "value")
+    return hdr_quantiles(
+        hdr_bins(e, "event_type", "value")
+    ).withColumnRenamed("key", "event_type")
+
+
 def _q_bm25_topk(spark, sf):
     """Inverted index + BM25 ranked retrieval (late r05,
     operators/retrieval.py): posting ROWS (token, doc_id, tf) — never
@@ -2089,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_distinct": _q_hll_host_distinct,
         "cm_token_counts": _q_cm_token_counts,
         "bm25_topk": _q_bm25_topk,
+        "hdr_value_quantiles": _q_hdr_value_quantiles,
     }
 
 
@@ -3435,6 +3454,41 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS n_matched
         FROM scored GROUP BY doc_id
         ORDER BY score_micro DESC, doc_id LIMIT 15
+    """
+    # HDR histogram: the twin rebuilds the integer binning (fixed-point,
+    # base-2 digit-count msb, m - m % 2^shift lower bound), the per-key
+    # cumulative ranks, and the ceil(q*total) quantile cuts
+    out["hdr_value_quantiles"] = r"""
+        WITH fp AS (
+            SELECT event_type AS key,
+                GREATEST(CAST(ROUND(value * 1048576.0) AS BIGINT),
+                         CAST(0 AS BIGINT)) AS m
+            FROM events
+        ),
+        binned AS (
+            SELECT key,
+                m - m % CAST(power(2.0, GREATEST(
+                    length(to_base(m, 2)) - 7, 0)) AS BIGINT) AS bin
+            FROM fp
+        ),
+        bins AS (
+            SELECT key, bin, COUNT(*) AS cnt FROM binned GROUP BY key, bin
+        ),
+        cum AS (
+            SELECT key, bin,
+                SUM(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum,
+                SUM(cnt) OVER (PARTITION BY key) AS total
+            FROM bins
+        )
+        SELECT key AS event_type,
+            COUNT(*) AS n_bins,
+            MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END)
+                / 1048576.0 AS q50,
+            MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END)
+                / 1048576.0 AS q95,
+            MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END)
+                / 1048576.0 AS q99
+        FROM cum GROUP BY key
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

@@ -1,5 +1,6 @@
 """Deterministic sketches: HLL accuracy/merge law/exact-integer state,
-count-min upper-bound guarantee/linearity/bounded size."""
+count-min upper-bound guarantee/linearity/bounded size, HDR-histogram
+quantile accuracy/merge law/bounded bins."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -8,6 +9,9 @@ from xrpl_rich_list_py_crawler_spark.operators.sketches import (
     cm_counters,
     cm_estimate,
     cm_merge,
+    hdr_bins,
+    hdr_merge,
+    hdr_quantiles,
     hll_distinct,
     hll_estimate,
     hll_merge,
@@ -113,3 +117,52 @@ def test_cm_counter_table_is_bounded(spark, stream):
     """The scale contract: the counter table never exceeds depth×width
     rows no matter the stream size."""
     assert cm_counters(stream, "v", depth=4, width=64).count() <= 4 * 64
+
+
+@pytest.fixture(scope="module")
+def latencies(spark):
+    # two keys with very different shapes: uniform 1..1000 ms and a
+    # heavy-tailed (quadratic) spread over the same range
+    rows = [("uni", 0.001 * i) for i in range(1, 1001)]
+    rows += [("tail", 0.001 * (i * i // 1000 + 1)) for i in range(1, 1001)]
+    return spark.createDataFrame(rows, "key string, v double")
+
+
+def test_hdr_quantiles_within_relative_bin_width(spark, latencies):
+    """Each reported quantile must sit within one bin (relative
+    2^-sub_bits, plus the fixed-point epsilon) BELOW the exact
+    per-key sorted quantile — the HDR under-estimate contract."""
+    import math
+
+    got = {r.key: r for r in hdr_quantiles(
+        hdr_bins(latencies, "key", "v")).collect()}
+    data = {
+        k: sorted(
+            r.v for r in latencies.filter(F.col("key") == k).collect()
+        )
+        for k in ("uni", "tail")
+    }
+    for k, arr in data.items():
+        for q in (50, 95, 99):
+            exact = arr[math.ceil(q / 100 * len(arr)) - 1]
+            est = getattr(got[k], f"q{q}")
+            assert est <= exact + 1e-9, (k, q, est, exact)
+            assert est >= exact * (1 - 2 ** -7) - 2e-6, (k, q, est, exact)
+
+
+def test_hdr_merge_equals_whole(spark, latencies):
+    a = latencies.filter(F.crc32(F.col("v").cast("string")) % 2 == 0)
+    b = latencies.filter(F.crc32(F.col("v").cast("string")) % 2 == 1)
+    merged = hdr_merge(hdr_bins(a, "key", "v"), hdr_bins(b, "key", "v"))
+    assert sorted(merged.collect()) == \
+        sorted(hdr_bins(latencies, "key", "v").collect())
+
+
+def test_hdr_bins_bounded_and_partition_invariant(spark, latencies):
+    bins = hdr_bins(latencies, "key", "v")
+    # log-scaled: 1000 distinct values in 1..1000 compress to a bounded
+    # bin table (64 msb positions x 2^7 sub-buckets is the hard ceiling;
+    # this fixture lands far below it)
+    assert bins.count() < 800
+    redistributed = hdr_bins(latencies.repartition(17), "key", "v")
+    assert sorted(bins.collect()) == sorted(redistributed.collect())

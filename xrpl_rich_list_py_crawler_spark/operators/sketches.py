@@ -28,7 +28,9 @@ would). ``S`` is the unique exact choice: it must be ≥ max rho
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: md5-hex prefix bits used as the uniform hash (15 hex chars = 60 bits
@@ -228,3 +230,110 @@ def cm_estimate(
         F.broadcast(counters), ["depth", "bucket"], "left"
     ).select("value", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     return joined.groupBy("value").agg(F.min("cnt").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram (HdrHistogram-style log-scaled integer binning):
+# per-key latency/size percentiles without sorting the data
+# ---------------------------------------------------------------------------
+#
+# An exact per-key quantile is a per-key SORT of every observation — a
+# 10^10-row fetch-latency ledger cannot afford it, and Spark's own
+# percentile_approx (like approx_count_distinct) keeps its state
+# engine-private. This sketch is pure integer math end to end:
+#
+#   1. fixed-point the value to micro-units  m = round(v * 2^20)
+#   2. keep the top SUB_BITS significant bits: with msb = bit_length(m),
+#      shift = max(0, msb - SUB_BITS), the bin is (m >> shift) << shift
+#      — the LOWER BOUND of a log-scaled bucket whose relative width is
+#      2^-SUB_BITS (~0.8% at the default 7 bits)
+#
+# bit_length comes from the base-2 digit count (the HLL rho trick), so
+# there is NO float log anywhere — bins are bit-identical across
+# engines, partitionings, and merge orders. Bins per key are bounded by
+# SUB_BITS-ish buckets × 64 possible msb positions (a few thousand),
+# whatever the observation count, so the per-key cumulative-sum window
+# in :func:`hdr_quantiles` runs on a tiny key-partitioned frame — never
+# a global window. Merge across runs/shards/engines = (key, bin) SUM.
+
+#: fixed-point scale: 2^20 micro-ish units — exact to ~1e-6 of the raw
+#: value, and round() is half-up for positives in both engines
+HDR_SCALE = 1 << 20
+
+#: significant bits kept per bucket: relative bin width 2^-7 ≈ 0.8%
+HDR_SUB_BITS = 7
+
+
+def _hdr_bin(value, sub_bits: int):
+    m = F.greatest(
+        F.round(value.cast("double") * F.lit(float(HDR_SCALE))).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    msb = F.length(F.conv(m, 10, 2))  # bit_length; '0' has length 1
+    shift = F.greatest(msb - F.lit(sub_bits), F.lit(0))
+    # (m >> shift) << shift, spelled m - m % 2^shift: Spark's shiftleft/
+    # shiftright builtins take a PYTHON-int bit count, not a Column.
+    # pow(2, shift) is a power of two ≤ 2^57 — exact as a double, exact
+    # through the bigint cast
+    twopow = F.pow(F.lit(2.0), shift.cast("double")).cast("bigint")
+    return m - m % twopow
+
+
+def hdr_bins(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-key histogram table (key, bin, cnt); ``bin`` is the bucket's
+    inclusive lower bound in fixed-point units. One map-side-combined
+    groupBy; a few thousand rows per key survive at any input size."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            _hdr_bin(F.col(value_col), sub_bits).alias("bin"),
+        )
+        .groupBy("key", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*bin_tables: DataFrame) -> DataFrame:
+    """Histogram union: per-(key, bin) SUM (linear, order-free)."""
+    out = bin_tables[0]
+    for t in bin_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("key", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    bins: DataFrame, quantiles: Sequence[float] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Histogram → per-key quantile estimates: one output column per
+    requested quantile (``q50``, ``q95``, … — the ``int(q*100)`` name),
+    each the lower bound (in raw value units) of the first bin whose
+    cumulative count reaches ``ceil(q * n)``. Underestimates by at most
+    one bin width (relative 2^-sub_bits).
+
+    The cumulative sum runs per key over the bounded bin table —
+    key-partitioned window, never global."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(
+        "key",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("key")).alias("total"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_bins")]
+    for q in quantiles:
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("bin")
+        )
+        aggs.append(
+            (F.min(hit) / F.lit(float(HDR_SCALE))).alias(f"q{int(q * 100)}")
+        )
+    return cum.groupBy("key").agg(*aggs)
