@@ -1659,6 +1659,79 @@ def _q_cm_token_counts(spark, sf):
     )
 
 
+def _q_profile_events(spark, sf):
+    """Whole-table profiler (late r05, operators/profile.py): per-column
+    row/null counts, deterministic-HLL distinct estimates, HDR
+    p50/p95/p99 for numerics — composed ENTIRELY from the engine's own
+    portable sketches, so the oracle reproduces the full profile:
+    counts, every register, every bin, every estimate. Constant shuffle
+    count regardless of rows/columns; no driver-side per-column loop
+    over data."""
+    from xrpl_rich_list_py_crawler_spark.operators.profile import (
+        profile_table,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return profile_table(e)
+
+
+def _q_boilerplate_clean(spark, sf):
+    """Link-density boilerplate removal (late r05,
+    curation.boilerplate_clean — jusText/boilerpipe family): HTML
+    synthesized per document with a link-dense nav div (dropped: 3
+    anchors dominate), a prose paragraph from the document text (kept),
+    a too-short div (dropped), and a link-only footer (dropped). Zero
+    shuffle — per-row codegen split/transform/filter/array_join; the
+    oracle rebuilds blocks, tag-stripping, anchor-length deltas, and
+    the exact-integer density test."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        boilerplate_clean,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit(
+            '<div>nav: <a href="/a">Home</a> <a href="/b">About</a>'
+            ' <a href="/c">Contact</a></div>'
+        ),
+        F.lit("<p>"),
+        F.substring(F.col("text"), 1, 200),
+        F.lit(".</p><div>short</div><div><a href=\"/x\">Terms of"
+              " service</a> | <a href=\"/y\">Privacy policy</a></div>"),
+    )
+    return boilerplate_clean(d.select("doc_id", html.alias("html")))
+
+
+def _q_snapshot_diff(spark, sf):
+    """Incremental-crawl snapshot delta (late r05, frontier.snapshot_diff):
+    two crawl cycles synthesized from documents — prev covers doc_id <
+    450, cur covers doc_id >= 50 with every 7th page's content digest
+    bumped ('v2' suffix) — so all four verdicts (added / removed /
+    changed / unchanged) appear. One co-partitioned full-outer join +
+    codegen CASE; the oracle reconstructs both sides and the verdict."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://example.com/p/"), F.col("doc_id"))
+    prev = d.filter(F.col("doc_id") < 450).select(
+        url.alias("url"), F.md5("text").alias("content_hash")
+    )
+    cur = d.filter(F.col("doc_id") >= 50).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("content_hash"),
+    )
+    return snapshot_diff(prev, cur)
+
+
 def _q_hdr_value_quantiles(spark, sf):
     """HDR-histogram quantile sketch (late r05, operators/sketches.py):
     per-event_type p50/p95/p99 of `value` without sorting observations.
@@ -2108,6 +2181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_token_counts": _q_cm_token_counts,
         "bm25_topk": _q_bm25_topk,
         "hdr_value_quantiles": _q_hdr_value_quantiles,
+        "snapshot_diff": _q_snapshot_diff,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "profile_events": _q_profile_events,
     }
 
 
@@ -3489,6 +3565,196 @@ def oracle_sql() -> dict[str, str]:
             MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END)
                 / 1048576.0 AS q99
         FROM cum GROUP BY key
+    """
+    # table profiler: the twin rebuilds the one-pass counts, the melted
+    # per-column HLL (registers → exact-integer state → estimate), and
+    # the melted numeric HDR histogram (bins → cum ranks → quantiles)
+    out["profile_events"] = r"""
+        WITH counts AS (
+            SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+                SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                    AS n_null FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*),
+                SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*),
+                SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*),
+                SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                FROM events
+        ),
+        melted AS (
+            SELECT 'event_id' AS key, CAST(event_id AS VARCHAR) AS v
+            FROM events WHERE event_id IS NOT NULL
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS VARCHAR)
+            FROM events WHERE user_id IS NOT NULL
+            UNION ALL
+            SELECT 'event_type', event_type
+            FROM events WHERE event_type IS NOT NULL
+            UNION ALL
+            SELECT 'value', CAST(value AS VARCHAR)
+            FROM events WHERE value IS NOT NULL
+        ),
+        hashed AS (
+            SELECT key, CAST(CAST('0x' || substr(md5(v), 1, 15)
+                AS UBIGINT) AS BIGINT) AS h
+            FROM melted
+        ),
+        regs AS (
+            SELECT key, h % 4096 AS bucket,
+                MAX(CASE WHEN (h >> 12) = 0 THEN 49
+                    ELSE 48 - length(to_base(h >> 12, 2)) + 1 END) AS rho
+            FROM hashed GROUP BY key, h % 4096
+        ),
+        hagg AS (
+            SELECT key, COUNT(*) AS used_buckets,
+                SUM(CAST(1 AS BIGINT) << (49 - rho)) AS nz_sum
+            FROM regs GROUP BY key
+        ),
+        staged AS (
+            SELECT key, used_buckets,
+                nz_sum + (4096 - used_buckets)
+                    * (CAST(1 AS BIGINT) << 49) AS int_sum
+            FROM hagg
+        ),
+        est AS (
+            SELECT key,
+                ROUND(CASE
+                    WHEN (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0
+                         * 4096.0 * 562949953421312.0
+                         / CAST(int_sum AS DOUBLE) <= 2.5 * 4096
+                     AND used_buckets < 4096
+                    THEN 4096.0 * ln(4096.0
+                        / CAST(4096 - used_buckets AS DOUBLE))
+                    ELSE (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0
+                         * 4096.0 * 562949953421312.0
+                         / CAST(int_sum AS DOUBLE)
+                END, 4) AS est_distinct
+            FROM staged
+        ),
+        nmelt AS (
+            SELECT 'event_id' AS key, CAST(event_id AS DOUBLE) AS v
+            FROM events WHERE event_id IS NOT NULL
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS DOUBLE)
+            FROM events WHERE user_id IS NOT NULL
+            UNION ALL
+            SELECT 'value', value FROM events WHERE value IS NOT NULL
+        ),
+        fp AS (
+            SELECT key, GREATEST(CAST(ROUND(v * 1048576.0) AS BIGINT),
+                CAST(0 AS BIGINT)) AS m
+            FROM nmelt
+        ),
+        binned AS (
+            SELECT key,
+                m - m % CAST(power(2.0, GREATEST(
+                    length(to_base(m, 2)) - 7, 0)) AS BIGINT) AS bin
+            FROM fp
+        ),
+        bins AS (
+            SELECT key, bin, COUNT(*) AS cnt FROM binned GROUP BY key, bin
+        ),
+        cum AS (
+            SELECT key, bin,
+                SUM(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum,
+                SUM(cnt) OVER (PARTITION BY key) AS total
+            FROM bins
+        ),
+        quant AS (
+            SELECT key,
+                MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END)
+                    / 1048576.0 AS q50,
+                MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END)
+                    / 1048576.0 AS q95,
+                MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END)
+                    / 1048576.0 AS q99
+            FROM cum GROUP BY key
+        )
+        SELECT c.col AS "column", c.n_rows, c.n_null, e.est_distinct,
+            c.col IN ('event_id', 'user_id', 'value') AS is_numeric,
+            q.q50, q.q95, q.q99
+        FROM counts c
+        LEFT JOIN est e ON e.key = c.col
+        LEFT JOIN quant q ON q.key = c.col
+    """
+    # boilerplate removal: the twin rebuilds the synthesized page, the
+    # block split, the per-block tag-strip / anchor-length delta, and
+    # the exact-integer link-density test
+    out["boilerplate_clean"] = r"""
+        WITH pages AS (
+            SELECT doc_id,
+                '<div>nav: <a href="/a">Home</a> <a href="/b">About</a>'
+                || ' <a href="/c">Contact</a></div>'
+                || '<p>' || substr(text, 1, 200)
+                || '.</p><div>short</div><div><a href="/x">Terms of'
+                || ' service</a> | <a href="/y">Privacy policy</a></div>'
+                    AS html
+            FROM documents WHERE doc_id < 300
+        ),
+        blk AS (
+            SELECT doc_id, regexp_split_to_array(html,
+                '(?i)</(?:p|div|li|td|h[1-6])>|<br[ /]*>') AS blocks
+            FROM pages
+        ),
+        calc AS (
+            SELECT doc_id,
+                len(blocks) AS n_blocks,
+                list_filter(blocks, b ->
+                    length(trim(regexp_replace(b, '<[^>]*>', '', 'g')))
+                        >= 20
+                    AND (length(regexp_replace(b, '<[^>]*>', '', 'g'))
+                         - length(regexp_replace(regexp_replace(b,
+                               '(?i)<a[^>]*>[^<]*</a>', '', 'g'),
+                               '<[^>]*>', '', 'g'))) * 100
+                        <= 33 * length(regexp_replace(b, '<[^>]*>', '',
+                                                      'g'))
+                ) AS kept,
+                COALESCE(list_sum(list_transform(blocks, b ->
+                    length(regexp_replace(b, '<[^>]*>', '', 'g'))
+                    - length(regexp_replace(regexp_replace(b,
+                          '(?i)<a[^>]*>[^<]*</a>', '', 'g'),
+                          '<[^>]*>', '', 'g')))), 0) AS anchor_chars
+            FROM blk
+        )
+        SELECT doc_id, n_blocks,
+            len(kept) AS n_blocks_kept,
+            anchor_chars,
+            array_to_string(list_transform(kept, b ->
+                trim(regexp_replace(b, '<[^>]*>', '', 'g'))), chr(10))
+                AS clean_text,
+            length(array_to_string(list_transform(kept, b ->
+                trim(regexp_replace(b, '<[^>]*>', '', 'g'))), chr(10)))
+                > 0 AS keep
+        FROM calc
+    """
+    # snapshot diff: the twin rebuilds both synthetic cycles and the
+    # full-outer verdict CASE
+    out["snapshot_diff"] = r"""
+        WITH prev AS (
+            SELECT 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   md5(text) AS prev_digest
+            FROM documents WHERE doc_id < 450
+        ),
+        cur AS (
+            SELECT 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+                        ELSE md5(text) END AS cur_digest
+            FROM documents WHERE doc_id >= 50
+        )
+        SELECT COALESCE(p.url, c.url) AS url, prev_digest, cur_digest,
+            CASE WHEN prev_digest IS NULL THEN 'added'
+                 WHEN cur_digest IS NULL THEN 'removed'
+                 WHEN prev_digest <> cur_digest THEN 'changed'
+                 ELSE 'unchanged' END AS change
+        FROM prev p FULL OUTER JOIN cur c ON p.url = c.url
     """
     out["robots_txt_parse"] = r"""
         WITH raw AS (

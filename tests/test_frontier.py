@@ -276,3 +276,42 @@ def test_revisit_seeds_bridge(spark, tmp_path):
     last = CrawlRun(spark, cat3, pages, robots).run(1, due)
     assert last == 1
     assert cat3.read_appended(spark, "results").count() > 0
+
+
+def test_snapshot_diff_all_four_verdicts(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, d string"
+    )
+    cur = spark.createDataFrame(
+        [("b", "h2"), ("c", "CHANGED"), ("e", "h5")], "url string, d string"
+    )
+    got = {
+        r.url: (r.change, r.prev_digest, r.cur_digest)
+        for r in snapshot_diff(prev, cur, "url", "d").collect()
+    }
+    assert got == {
+        "a": ("removed", "h1", None),
+        "b": ("unchanged", "h2", "h2"),
+        "c": ("changed", "h3", "CHANGED"),
+        "e": ("added", None, "h5"),
+    }
+
+
+def test_snapshot_diff_is_single_join_no_window(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame([("a", "h1")], "url string, d string")
+    plan = (
+        snapshot_diff(prev, prev, "url", "d")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Join") <= 2  # one join node (+ AQE echo at most)

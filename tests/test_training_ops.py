@@ -1412,3 +1412,66 @@ def test_c4_clean_is_pure_codegen(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_clean (link-density block filtering, late r05)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_clean_rules(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        boilerplate_clean,
+    )
+
+    prose = "This is a long enough paragraph of real prose content."
+    html = (
+        '<div><a href="/a">Home</a> <a href="/b">About</a></div>'  # nav
+        f"<p>{prose}</p>"                                # kept
+        "<div>tiny</div>"                                # too short
+        f'<li>{prose} See <a href="/more">more details here</a></li>'
+        # ^ long prose with ONE anchor: density below threshold -> kept
+        '<h2><a href="/x">Terms</a> | <a href="/y">Privacy</a></h2>'
+    )
+    rows = boilerplate_clean(
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+    ).collect()
+    (r,) = rows
+    assert r.n_blocks == 6  # 5 blocks + trailing empty
+    assert r.n_blocks_kept == 2
+    assert r.clean_text == f"{prose}\n{prose} See more details here"
+    assert r.keep is True
+    # anchor bodies: Home+About + "more details here" + Terms+Privacy
+    assert r.anchor_chars == len("HomeAbout") + len("more details here") \
+        + len("TermsPrivacy")
+
+
+def test_boilerplate_clean_all_boilerplate_page(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        boilerplate_clean,
+    )
+
+    html = '<div><a href="/a">Only navigation links here at all</a></div>'
+    (r,) = boilerplate_clean(
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+    ).collect()
+    assert r.n_blocks_kept == 0 and r.clean_text == "" and r.keep is False
+
+
+def test_boilerplate_clean_is_pure_codegen(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        boilerplate_clean,
+    )
+
+    df = boilerplate_clean(
+        spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

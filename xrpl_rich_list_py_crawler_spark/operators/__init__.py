@@ -2,6 +2,7 @@
 
 from .asof import asof_lookup, banded_asof_lookup, latest_per_key  # noqa: F401
 from .curation import (  # noqa: F401
+    boilerplate_clean,
     cap_per_key,
     curate_corpus,
     hash_sample,
@@ -16,6 +17,7 @@ from .frontier import (  # noqa: F401
     priority_order,
     recrawl_schedule,
     salted_repartition,
+    snapshot_diff,
     trap_features,
 )
 from .graph import edges_from_pages, host_pagerank  # noqa: F401

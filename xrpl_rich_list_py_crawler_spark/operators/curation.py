@@ -643,3 +643,80 @@ def c4_clean(
             & ~t.contains("{")
         ).alias("keep"),
     )
+
+
+#: block boundaries for :func:`boilerplate_clean` — closing block-level
+#: tags plus <br>; literal alternation with an inline (?i), identical in
+#: Java regex and RE2
+_BLOCK_SPLIT = r"(?i)</(?:p|div|li|td|h[1-6])>|<br[ /]*>"
+
+#: anchor element with a tag-free body (nested markup inside <a> is a
+#: documented non-match — identical in both engines)
+_ANCHOR_ELEM = r"(?i)<a[^>]*>[^<]*</a>"
+
+_TAG = r"<[^>]*>"
+
+
+def boilerplate_clean(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_block_chars: int = 20,
+    max_link_density_pct: int = 33,
+) -> DataFrame:
+    """Link-density boilerplate removal (the jusText / boilerpipe family
+    heuristic, Kohlschütter et al. 2010): navigation, footers, and
+    sidebars are link-dominated; article prose is not. Complements
+    :func:`c4_clean`, which rules on PLAIN-TEXT lines — this pass rules
+    on HTML blocks BEFORE tag stripping, using the markup itself as the
+    signal.
+
+    Per block (split on closing block-level tags / ``<br>``):
+
+    * ``text``          — the block with all tags stripped
+    * ``anchor_chars``  — characters of tag-free ``<a>…</a>`` bodies
+                          (length delta after deleting anchor elements)
+    * keep iff ``len(trim(text)) >= min_block_chars`` AND
+      ``anchor_chars * 100 <= max_link_density_pct * len(text)``
+      (exact integer comparison — no float ratio, engine-portable)
+
+    Everything is per-row whole-stage codegen (split → transform →
+    filter → array_join): zero shuffles, zero Python — scan-speed over
+    a 100 TB WARC extraction. Output: ``id_col``, ``n_blocks``,
+    ``n_blocks_kept``, ``anchor_chars``, ``clean_text``, ``keep``
+    (any prose survived).
+    """
+    h = F.col(html_col)
+    blocks = F.split(h, _BLOCK_SPLIT)
+
+    def _text(b):
+        return F.regexp_replace(b, _TAG, "")
+
+    def _anchor_chars(b):
+        return F.length(_text(b)) - F.length(
+            _text(F.regexp_replace(b, _ANCHOR_ELEM, ""))
+        )
+
+    def _keep(b):
+        return (
+            F.length(F.trim(_text(b))) >= int(min_block_chars)
+        ) & (
+            _anchor_chars(b) * 100
+            <= int(max_link_density_pct) * F.length(_text(b))
+        )
+
+    kept = F.filter(blocks, _keep)
+    clean = F.array_join(F.transform(kept, lambda b: F.trim(_text(b))), "\n")
+    total_anchor = F.aggregate(
+        F.transform(blocks, _anchor_chars),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        id_col,
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("n_blocks_kept"),
+        total_anchor.alias("anchor_chars"),
+        clean.alias("clean_text"),
+        (F.length(clean) > 0).alias("keep"),
+    )

@@ -238,3 +238,48 @@ def recrawl_schedule(
             "SECOND", F.col("interval_s"), F.col("last_fetch_ts")
         ).alias("next_fetch_ts"),
     )
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    cur: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL delta between two crawl snapshots: ``added`` (in cur
+    only), ``removed`` (in prev only), ``changed`` (both, digests
+    differ), ``unchanged``.
+
+    The set-level complement of :func:`recrawl_schedule`: that operator
+    decides when to re-fetch a KNOWN url from its own history; this one
+    reports what an actual re-crawl found — the delta feed an
+    incremental index/downstream pipeline consumes instead of the full
+    snapshot (the reference re-publishes its whole table every cycle,
+    updater.py; a 100 TB corpus republishes only the diff).
+
+    Each side must carry one row per key (crawl results do — rank is
+    unique per round; pre-aggregate with latest_per_key otherwise).
+    Shape: one full-outer sort-merge/hash join co-partitioned on the
+    key — both sides shuffle ONCE on the join key and the verdict is a
+    per-row codegen CASE; no windows, no skew beyond the key itself.
+
+    Output: (key_col, prev_digest, cur_digest, change).
+    """
+    p = prev.select(
+        F.col(key_col).alias("_k"), F.col(digest_col).alias("prev_digest")
+    )
+    c = cur.select(
+        F.col(key_col).alias("_k"), F.col(digest_col).alias("cur_digest")
+    )
+    change = (
+        F.when(F.col("prev_digest").isNull(), F.lit("added"))
+        .when(F.col("cur_digest").isNull(), F.lit("removed"))
+        .when(F.col("prev_digest") != F.col("cur_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return p.join(c, "_k", "full_outer").select(
+        F.col("_k").alias(key_col),
+        "prev_digest",
+        "cur_digest",
+        change.alias("change"),
+    )
