@@ -1659,6 +1659,31 @@ def _q_cm_token_counts(spark, sf):
     )
 
 
+def _q_postings_delta(spark, sf):
+    """Incremental inverted-index maintenance (late r05,
+    retrieval.postings_delta): two corpus snapshots from documents —
+    prev = doc_id < 400, cur = doc_id >= 30 with every 9th text amended
+    (' extraupdate') — emit only the del/add posting rows that take
+    index(prev) to index(cur). Unchanged docs emit nothing; the oracle
+    rebuilds both digests, the delta-id sets, and the sliced postings."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        postings_delta,
+    )
+
+    d = _t(spark, sf, "documents")
+    prev = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    cur = d.filter(F.col("doc_id") >= 30).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" extraupdate")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return postings_delta(prev, cur)
+
+
 def _q_profile_events(spark, sf):
     """Whole-table profiler (late r05, operators/profile.py): per-column
     row/null counts, deterministic-HLL distinct estimates, HDR
@@ -2184,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "boilerplate_clean": _q_boilerplate_clean,
         "profile_events": _q_profile_events,
+        "postings_delta": _q_postings_delta,
     }
 
 
@@ -3565,6 +3591,44 @@ def oracle_sql() -> dict[str, str]:
             MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END)
                 / 1048576.0 AS q99
         FROM cum GROUP BY key
+    """
+    # incremental postings: the twin rebuilds both snapshots' digests,
+    # the delta-id sets, and the postings over just the delta slices
+    out["postings_delta"] = r"""
+        WITH prev AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 400
+        ),
+        cur AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 9 = 0 THEN text || ' extraupdate'
+                     ELSE text END AS text
+            FROM documents WHERE doc_id >= 30
+        ),
+        del_ids AS (
+            SELECT p.doc_id FROM prev p LEFT JOIN cur c USING (doc_id)
+            WHERE c.doc_id IS NULL OR md5(p.text) <> md5(c.text)
+        ),
+        add_ids AS (
+            SELECT c.doc_id FROM cur c LEFT JOIN prev p USING (doc_id)
+            WHERE p.doc_id IS NULL OR md5(p.text) <> md5(c.text)
+        ),
+        dels AS (
+            SELECT 'del' AS op, token, doc_id, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS token
+                FROM prev
+                WHERE doc_id IN (SELECT doc_id FROM del_ids)
+            ) WHERE token <> '' GROUP BY token, doc_id
+        ),
+        adds AS (
+            SELECT 'add' AS op, token, doc_id, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS token
+                FROM cur
+                WHERE doc_id IN (SELECT doc_id FROM add_ids)
+            ) WHERE token <> '' GROUP BY token, doc_id
+        )
+        SELECT * FROM dels UNION ALL SELECT * FROM adds
     """
     # table profiler: the twin rebuilds the one-pass counts, the melted
     # per-column HLL (registers → exact-integer state → estimate), and

@@ -95,6 +95,43 @@ def test_bm25_deterministic_under_partitioning(spark, corpus):
     assert a == b
 
 
+def test_postings_delta_touches_only_changed_docs(spark, corpus):
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        apply_postings_delta, postings_delta,
+    )
+
+    cur_rows = [
+        (0, "spark shuffles rows fast"),        # unchanged
+        (1, "totally rewritten content now"),   # changed
+        # doc 2 removed
+        (3, "a window over ordered rows"),      # unchanged
+        (4, "nothing relevant here"),           # unchanged
+        (5, "   "),                             # unchanged (empty)
+        (6, "brand new page"),                  # added
+    ]
+    cur = spark.createDataFrame(cur_rows, "doc_id long, text string")
+    delta = postings_delta(corpus, cur).collect()
+    touched = {r.doc_id for r in delta}
+    assert touched == {1, 2, 6}
+    assert {(r.op, r.doc_id) for r in delta} == {
+        ("del", 1), ("del", 2), ("add", 1), ("add", 6)
+    }
+    # the law: apply(build(prev), delta) == build(cur)
+    applied = apply_postings_delta(
+        build_postings(corpus), postings_delta(corpus, cur)
+    )
+    assert sorted(map(tuple, applied.collect())) == \
+        sorted(map(tuple, build_postings(cur).collect()))
+
+
+def test_postings_delta_empty_when_nothing_changed(spark, corpus):
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        postings_delta,
+    )
+
+    assert postings_delta(corpus, corpus).count() == 0
+
+
 def test_bm25_topk_plan_is_parallel(spark, corpus):
     """The final cut must compile to TakeOrderedAndProject (partial
     per-partition top-k — no global single-partition sort) and the
