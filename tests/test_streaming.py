@@ -256,3 +256,71 @@ def test_corpus_dedup_stream_matches_batch_dedup(spark, tmp_path):
     assert sorted(spark.read.parquet(out).columns) == [
         "doc_id", "ingest_ts", "text", "url"
     ]
+
+
+def test_hll_register_stream_equals_batch_sketch(spark, tmp_path):
+    """Streaming register maintenance == batch hll_registers over
+    everything delivered so far (the HLL merge law, end to end), with
+    exactly-once-per-file across a checkpointed restart."""
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        hll_distinct, hll_registers,
+    )
+    from xrpl_rich_list_py_crawler_spark.streaming import (
+        hll_register_stream,
+    )
+
+    src = str(tmp_path / "ledger")
+    os.makedirs(src)
+
+    def deliver(name, pairs):
+        pd.DataFrame(
+            {"host": [h for h, _ in pairs], "url": [u for _, u in pairs]}
+        ).to_parquet(os.path.join(src, f"{name}.parquet"))
+
+    out = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    deliver("b0", [("a", f"u{i}") for i in range(500)])
+    deliver("b1", [("a", f"u{i}") for i in range(250, 750)]
+            + [("b", "only")])
+    q = hll_register_stream(
+        spark, src, out, ckpt, "host string, url string", "host", "url"
+    )
+    q.awaitTermination(300)
+
+    def batch_regs(n_files):
+        import pyarrow.parquet as pq  # noqa: F401
+        whole = spark.createDataFrame(
+            pd.concat([
+                pd.read_parquet(os.path.join(src, f))
+                for f in sorted(os.listdir(src))[:n_files]
+            ])
+        )
+        return hll_registers(whole, "host", "url")
+
+    got = spark.read.parquet(out)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, batch_regs(2).collect()))
+
+    # restart with one more delivery: prior files are NOT re-sketched
+    # (exactly-once ledger), and the merged table still equals batch
+    deliver("b2", [("b", f"v{i}") for i in range(100)])
+    q = hll_register_stream(
+        spark, src, out, ckpt, "host string, url string", "host", "url"
+    )
+    q.awaitTermination(300)
+    got2 = spark.read.parquet(out)
+    assert sorted(map(tuple, got2.collect())) == \
+        sorted(map(tuple, batch_regs(3).collect()))
+    # and the estimate built FROM the streamed registers matches the
+    # batch estimate exactly (bit-for-bit exact-integer state)
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        hll_estimate,
+    )
+    stream_est = sorted(map(tuple, hll_estimate(got2).collect()))
+    whole = spark.createDataFrame(pd.concat([
+        pd.read_parquet(os.path.join(src, f))
+        for f in sorted(os.listdir(src))
+    ]))
+    assert stream_est == sorted(
+        map(tuple, hll_distinct(whole, "host", "url").collect())
+    )

@@ -3,6 +3,8 @@
 from .jobs import (  # noqa: F401
     corpus_dedup_stream,
     frontier_dedup_stream,
+    hll_register_stream,
     hourly_summary_stream,
     politeness_stream,
+    warc_ingest_stream,
 )

@@ -357,3 +357,64 @@ def warc_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental cardinality maintenance (late r05): keep the per-key
+    deterministic-HLL register table (operators/sketches.py) up to date
+    as ledger files arrive — "distinct URLs per host, so far" over an
+    unbounded fetch stream, without ever re-scanning history.
+
+    Why this shape: Spark's own streaming ``approx_count_distinct``
+    state is engine-private and unreadable; these registers are an
+    ordinary parquet table any engine can read, merge, or estimate
+    from. Each micro-batch sketches ONLY its own rows (bounded: ≤ 2^p
+    register rows per key touched) and folds them into the persisted
+    table by the HLL merge law (per-(key,bucket) MAX) — so after any
+    prefix of batches the table is EXACTLY what a batch build over all
+    rows seen so far would produce (test-pinned), and restarts are
+    exactly-once per file via the source ledger + checkpoint.
+
+    State cost: zero in the streaming engine (stateless transform +
+    foreachBatch merge); the merge rewrite is O(register-table size) —
+    the sketch, never the ledger. Returns the StreamingQuery.
+    """
+    import shutil
+
+    from ..operators.sketches import hll_merge, hll_registers
+
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = stream.parquet(in_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        regs = hll_registers(batch, key_col, value_col, p)
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            regs = hll_merge(sp.read.parquet(out_dir), regs)
+        # stage-then-replace: the merged frame lazily READS out_dir, so
+        # writing straight back would be a self-read-overwrite (same
+        # hazard as hourly_summary_stream's upsert)
+        staging = f"{out_dir}.stage-{batch_id}"
+        regs.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(out_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
