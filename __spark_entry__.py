@@ -1659,6 +1659,31 @@ def _q_cm_token_counts(spark, sf):
     )
 
 
+def _q_resolve_redirects(spark, sf):
+    """Redirect-chain resolution (late r05, graph.resolve_redirects):
+    pointer doubling — 3 self-join rounds chase the 2^3-hop cap, never a
+    hop-at-a-time loop. Ledger synthesized from documents: 3-edge chains
+    u{4k}→u{4k+1}→u{4k+2}→u{4k+3} (terminal) for doc_id < 400, plus a
+    10-node cycle on u400..u409 (longer than the cap → unresolved, the
+    loop-guard path). Oracle = hop-at-a-time recursive CTE with the same
+    cap — doubling must agree with single-stepping exactly."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import (
+        resolve_redirects,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = d.filter((did < 400) & (did % 4 != 3)).select(
+        u(did).alias("url"), u(did + 1).alias("redirect_to")
+    )
+    cyc = d.filter((did >= 400) & (did < 410)).select(
+        u(did).alias("url"),
+        u(F.lit(400) + (did - 399) % 10).alias("redirect_to"),
+    )
+    return resolve_redirects(chain.unionByName(cyc))
+
+
 def _q_postings_delta(spark, sf):
     """Incremental inverted-index maintenance (late r05,
     retrieval.postings_delta): two corpus snapshots from documents —
@@ -2210,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_clean": _q_boilerplate_clean,
         "profile_events": _q_profile_events,
         "postings_delta": _q_postings_delta,
+        "resolve_redirects": _q_resolve_redirects,
     }
 
 
@@ -3591,6 +3617,35 @@ def oracle_sql() -> dict[str, str]:
             MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END)
                 / 1048576.0 AS q99
         FROM cum GROUP BY key
+    """
+    # redirect resolution: the twin single-steps a recursive CTE to the
+    # same 8-hop cap — pointer doubling must agree with it exactly
+    out["resolve_redirects"] = r"""
+        WITH RECURSIVE edges AS (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   'u' || CAST(doc_id + 1 AS VARCHAR) AS redirect_to
+            FROM documents WHERE doc_id < 400 AND doc_id % 4 <> 3
+            UNION ALL
+            SELECT 'u' || CAST(doc_id AS VARCHAR),
+                   'u' || CAST(400 + (doc_id - 399) % 10 AS VARCHAR)
+            FROM documents WHERE doc_id >= 400 AND doc_id < 410
+        ),
+        walk AS (
+            SELECT url AS src, redirect_to AS cur, 1 AS hops FROM edges
+            UNION ALL
+            SELECT w.src, e.redirect_to, w.hops + 1
+            FROM walk w JOIN edges e ON w.cur = e.url
+            WHERE w.hops < 8
+        ),
+        resolved AS (
+            SELECT w.src, w.cur, w.hops FROM walk w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM edges e WHERE e.url = w.cur)
+        )
+        SELECT e.url, r.cur AS final_url,
+            CAST(r.hops AS BIGINT) AS n_hops,
+            r.src IS NOT NULL AS terminal
+        FROM edges e LEFT JOIN resolved r ON r.src = e.url
     """
     # incremental postings: the twin rebuilds both snapshots' digests,
     # the delta-id sets, and the postings over just the delta slices

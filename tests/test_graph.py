@@ -84,3 +84,48 @@ def test_plan_no_cartesian(spark):
     # the only nested-loop allowed is the broadcast 1-row dangling dim
     # (the engine's A1 grand-total discipline); never a CartesianProduct
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects (pointer doubling, late r05)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_redirects_chain_cycle_and_cap(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.graph import (
+        resolve_redirects,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]      # chain to terminal d
+    edges += [("x", "y"), ("y", "x")]                  # 2-cycle
+    edges += [(f"l{i}", f"l{i+1}") for i in range(12)]  # 12-hop chain
+    df = spark.createDataFrame(edges, "url string, redirect_to string")
+    got = {
+        r.url: (r.final_url, r.n_hops, r.terminal)
+        for r in resolve_redirects(df).collect()
+    }
+    assert len(got) == len(edges)
+    assert got["a"] == ("d", 3, True)
+    assert got["b"] == ("d", 2, True)
+    assert got["c"] == ("d", 1, True)
+    # cycle: unresolved within the 8-hop cap
+    assert got["x"] == (None, None, False)
+    assert got["y"] == (None, None, False)
+    # 12-edge chain l0->...->l12: heads needing >8 hops unresolved,
+    # the rest resolve (l4 sits EXACTLY at the 2^3 cap)
+    assert got["l0"] == (None, None, False)   # 12 hops: over cap
+    assert got["l3"] == (None, None, False)   # 9 hops: over cap
+    assert got["l4"] == ("l12", 8, True)      # exactly at the cap
+    assert got["l11"] == ("l12", 1, True)
+
+
+def test_resolve_redirects_partition_invariant(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.graph import (
+        resolve_redirects,
+    )
+
+    edges = [(f"u{i}", f"u{i+1}") for i in range(40) if i % 5 != 4]
+    df = spark.createDataFrame(edges, "url string, redirect_to string")
+    a = sorted(map(tuple, resolve_redirects(df).collect()))
+    b = sorted(map(tuple, resolve_redirects(df.repartition(11)).collect()))
+    assert a == b

@@ -20,7 +20,11 @@ from .frontier import (  # noqa: F401
     snapshot_diff,
     trap_features,
 )
-from .graph import edges_from_pages, host_pagerank  # noqa: F401
+from .graph import (  # noqa: F401
+    edges_from_pages,
+    host_pagerank,
+    resolve_redirects,
+)
 from .packing import global_cumsum, pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .politeness import apply_robots, assign_politeness, parse_robots_txt  # noqa: F401

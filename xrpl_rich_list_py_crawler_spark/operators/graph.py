@@ -149,3 +149,73 @@ def host_pagerank(
     edges_deg.unpersist()
     dangling_hosts.unpersist()
     return ranks
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    url_col: str = "url",
+    target_col: str = "redirect_to",
+    max_hops_log2: int = 3,
+) -> DataFrame:
+    """Resolve 3xx redirect chains to their final destination by POINTER
+    DOUBLING: ``k`` self-join rounds chase ``2^k`` hops, so an 8-hop cap
+    costs 3 joins, a 1024-hop cap 10 — never a hop-at-a-time loop over a
+    10^9-edge redirect ledger (a crawler must resolve chains before
+    dedup/canonicalization or every hop inflates the frontier).
+
+    Input: one row per redirecting url (``url_col`` → ``target_col``;
+    at most one outgoing target per url — crawl ledgers satisfy this by
+    latest-per-key). Output, one row per redirecting url:
+
+    * ``final_url`` / ``n_hops`` / ``terminal=true`` — the chain reaches
+      a non-redirecting url within ``2^max_hops_log2`` hops (``n_hops``
+      = exact edges traversed);
+    * ``final_url = NULL`` / ``n_hops = NULL`` / ``terminal=false`` —
+      unresolved within the cap (longer chain, or a redirect CYCLE —
+      cycles can never terminate, so the cap is also the loop guard).
+
+    Invariant each round: a ``done`` row's (cur, hops) is final; a live
+    row's hops == 2^round exactly. Lineage is localCheckpoint-bounded
+    per round (the connected_components/pagerank loop discipline).
+    """
+    state = redirects.select(
+        F.col(url_col).alias("src"),
+        F.col(target_col).alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    # done = cur does not redirect further (terminal destination)
+    targets = redirects.select(F.col(url_col).alias("cur"))
+    state = state.join(targets, "cur", "left_anti").withColumn(
+        "done", F.lit(True)
+    ).unionByName(
+        state.join(targets, "cur", "left_semi").withColumn(
+            "done", F.lit(False)
+        )
+    )
+    for _ in range(int(max_hops_log2)):
+        # s_{k+1}(u) = s_k(s_k(u)): live rows follow their cur's state;
+        # the probe side is renamed (never a raw self-join — attribute
+        # ambiguity)
+        b = state.select(
+            F.col("src").alias("bsrc"),
+            F.col("cur").alias("bcur"),
+            F.col("hops").alias("bhops"),
+            F.col("done").alias("bdone"),
+        )
+        step = state.join(b, state["cur"] == b["bsrc"], "left")
+        keep = F.col("done") | F.col("bsrc").isNull()
+        state = step.select(
+            "src",
+            F.when(keep, F.col("cur")).otherwise(F.col("bcur"))
+            .alias("cur"),
+            F.when(keep, F.col("hops"))
+            .otherwise(F.col("hops") + F.col("bhops")).alias("hops"),
+            (keep | F.col("bdone")).alias("done"),
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select(
+        F.col("src").alias(url_col),
+        F.when(F.col("done"), F.col("cur")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).alias("n_hops"),
+        F.col("done").alias("terminal"),
+    )
