@@ -2110,6 +2110,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-certified in-window by robots_txt_parse), and sitemap_parse
     (parse_sitemap unchanged — the r05 sitemap diff is entirely inside
     sitemap_seeds).
+
+    Queries REGISTERED AFTER the r05 window froze (semdedup, url_traps,
+    mixture_sample, recrawl_schedule, robots_wildcard_gate,
+    c4_line_clean, warc_roundtrip, cdx_roundtrip, anchor_texts,
+    hll_host_distinct, cm_token_counts, bm25_topk, hdr_value_quantiles,
+    snapshot_diff, boilerplate_clean, profile_events, postings_delta,
+    resolve_redirects) are tail-registered: each is LOCAL-green via
+    scripts/check_correctness.py this round and is a head-slot
+    candidate for the r06 rotation.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
