@@ -2059,6 +2059,71 @@ def _q_media_decode(spark, sf):
     return mm.decode_media(mm.synth_media_fixture(d, mod=6))
 
 
+
+def _q_gopher_quality(spark, sf):
+    """Gopher-rules document filter (late r05, textstats.gopher_quality —
+    Rae et al. 2021 appendix A): the 7-rule pre-training text gate (word
+    count, mean word length, symbol/bullet/ellipsis ratios, alpha-word
+    fraction, stopword presence) as one shuffle-free codegen projection.
+    Line anchors are spelled (\\A|\\n)/(\\n|\\z) — NOT (?m)^/$ — because
+    Java MULTILINE anchors also fire at \\r/U+2028 while RE2's fire only
+    at \\n; every ratio is one exact-integer count divided once. The
+    word-salad fixture has almost no English stopwords (rule 7 would
+    reject ~every doc), so half the corpus gets a deterministic
+    stopword-bearing sentence appended — both keep branches are live."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    text2 = F.when(
+        did % 2 == 0,
+        F.concat(F.col("text"), F.lit(" the results have to be part of that run")),
+    ).otherwise(F.col("text"))
+    return ts.gopher_quality(d.select("doc_id", text2.alias("text")), min_words=20)
+
+
+def _q_soft_dedup(spark, sf):
+    """SoftDeDup reweighting (late r05, curation.soft_dedup): keep each
+    exact duplicate with probability 1/group-size via the integer-exact
+    md5 uniform (k·n < 2^32 in bigint — no float anywhere), so every
+    distinct text contributes ~1 expected copy. Duplicate groups are
+    injected deterministically (doc_id % 3 == 0 docs collapse onto 10
+    shared texts; the rest stay unique n=1/keep=true)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import soft_dedup
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    dup_text = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("dup-"), (did % 10).cast("string")),
+    ).otherwise(F.col("text"))
+    return soft_dedup(d.select("doc_id", dup_text.alias("text")))
+
+
+def _q_leakage_safe_split(spark, sf):
+    """Leakage-safe train/val/test split (late r05,
+    curation.leakage_safe_split): near-dup connected components (the
+    neardup_components truth chain) -> per-COMPONENT md5 split with
+    integer thresholds, so a whole duplicate class always lands in one
+    split — the eval-contamination guard. The oracle recomputes the
+    components with a recursive CTE and the same md5 threshold math."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = (
+        dd.chargram_jaccard_pairs(
+            d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
+            n=9, stride=3,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comps = dd.connected_components(d.select("doc_id"), pairs).select(
+        "doc_id", F.col("comp").alias("component")
+    )
+    return leakage_safe_split(comps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2245,6 +2310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "postings_delta": _q_postings_delta,
         "resolve_redirects": _q_resolve_redirects,
+        "gopher_quality": _q_gopher_quality,
+        "soft_dedup": _q_soft_dedup,
+        "leakage_safe_split": _q_leakage_safe_split,
     }
 
 
@@ -4776,5 +4844,126 @@ def oracle_sql() -> dict[str, str]:
                             1, 19) AS TIMESTAMP) AS lastmod_ts,
             n_children
         FROM fields WHERE url <> ''
+    """
+    # Gopher rules: every count is the exact-integer twin of the Spark
+    # expression; anchors are the portable (\A|\n)/(\n|\z) spellings
+    out["gopher_quality"] = r"""
+        WITH docs2 AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN text || ' the results have to be part of that run'
+                     ELSE text END AS text
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                              '[ \t\n\r\f\x0b]+')) END AS n_words,
+                length(regexp_replace(trim(text), '[ \t\n\r\f\x0b]+',
+                                      '', 'g')) AS word_chars,
+                len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.'))
+                  + len(regexp_extract_all(text, '…')) AS n_symbols,
+                len(regexp_split_to_array(text, '\n')) AS n_lines,
+                len(regexp_extract_all(text,
+                    '(\A|\n)[ \t]*[-*•]')) AS n_bullet,
+                len(regexp_extract_all(text,
+                    '(\.\.\.|…)[ \t]*(\n|\z)')) AS n_ell,
+                len(list_filter(regexp_split_to_array(trim(text),
+                    '[ \t\n\r\f\x0b]+'),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stopword_hits
+            FROM docs2
+        ), r AS (
+            SELECT doc_id, n_words,
+                CASE WHEN n_words = 0 THEN 0.0 ELSE
+                    ROUND(CAST(word_chars AS DOUBLE) / n_words, 6)
+                END AS avg_word_len,
+                CASE WHEN n_words = 0 THEN 0.0 ELSE
+                    ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6)
+                END AS symbol_ratio,
+                ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_ratio,
+                ROUND(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_ratio,
+                CASE WHEN n_words = 0 THEN 0.0 ELSE
+                    ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6)
+                END AS alpha_word_ratio,
+                stopword_hits
+            FROM m
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words, avg_word_len,
+            symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+            CAST(stopword_hits AS INT) AS stopword_hits,
+            (n_words >= 20 AND n_words <= 100000
+             AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+             AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+             AND stopword_hits >= 2) AS keep
+        FROM r
+    """
+    # SoftDeDup: the keep compare is exact bigint (k * n < 2^32)
+    out["soft_dedup"] = r"""
+        WITH d2 AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'dup-' || CAST(doc_id % 10 AS VARCHAR)
+                     ELSE text END AS text
+            FROM documents
+        ),
+        keyed AS (SELECT doc_id, md5(text) AS dup_key FROM d2),
+        sizes AS (SELECT dup_key, COUNT(*) AS n_dups FROM keyed GROUP BY 1)
+        SELECT k.doc_id, CAST(s.n_dups AS BIGINT) AS n_dups,
+            ROUND(CAST(1 AS DOUBLE) / s.n_dups, 9) AS weight,
+            (CAST(CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)
+                || ':42'), 1, 8) AS UBIGINT) AS BIGINT)
+             * CAST(s.n_dups AS BIGINT)) < 4294967296 AS keep
+        FROM keyed k JOIN sizes s USING (dup_key)
+    """
+    # leakage-safe split: recursive-CTE components (the
+    # neardup_components oracle) + the same integer md5 thresholds
+    out["leakage_safe_split"] = r"""
+        WITH RECURSIVE grams AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(text) - 8, 1) + 1, 3),
+                i -> substr(text, CAST(i AS INT), 9))) AS g
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (
+            SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        ),
+        kk AS (
+            SELECT doc_id, component,
+                CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)
+                    || ':42'), 1, 8) AS UBIGINT) AS BIGINT) AS k
+            FROM comp
+        )
+        SELECT doc_id, component,
+            CASE WHEN k < 3865470566 THEN 'train'
+                 WHEN k < 4080218931 THEN 'val'
+                 ELSE 'test' END AS split
+        FROM kk
     """
     return out

@@ -1475,3 +1475,121 @@ def test_boilerplate_clean_is_pure_codegen(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built document; a healthy
+    paragraph passes all seven."""
+    good = (
+        "The quick brown fox jumps over the lazy dog and that is fine "
+        "to be sure of it all with some more plain words here today "
+        "because we have what the test needs and then some extra words "
+        "that keep the word count well above the minimum bar now"
+    )
+    docs = [
+        (0, good),                                   # keep
+        (1, "too short to pass"),                    # rule 1 (min words)
+        (2, " ".join(["supercalifragilistic"] * 60)),  # rule 2 (avg len) + 7
+        (3, good + " " + "# " * 40),                 # rule 3 (symbols)
+        (4, "\n".join(["- " + w for w in good.split()])),  # rule 4 bullets
+        (5, "\n".join([w + "..." for w in good.split()])),  # rule 5 ellipsis
+        (6, good + " " + "1234 " * 80),              # rule 6 (alpha words)
+        (7, " ".join(["zebra lion puma tiger otter"] * 12)),  # rule 7 stops
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in ts.gopher_quality(df, min_words=20).collect()
+    }
+    assert out[0].keep
+    assert not out[1].keep and out[1].n_words < 20
+    assert not out[2].keep and out[2].avg_word_len > 10
+    assert not out[3].keep and out[3].symbol_ratio > 0.1
+    assert not out[4].keep and out[4].bullet_ratio > 0.9
+    assert not out[5].keep and out[5].ellipsis_ratio > 0.3
+    assert not out[6].keep and out[6].alpha_word_ratio < 0.8
+    assert not out[7].keep and out[7].stopword_hits < 2
+    # rule independence: the good doc's metrics sit inside every band
+    g = out[0]
+    assert 3 <= g.avg_word_len <= 10 and g.stopword_hits >= 2
+    assert g.bullet_ratio == 0.0 and g.ellipsis_ratio == 0.0
+
+
+def test_gopher_anchor_portability(spark):
+    """Bullet/ellipsis counting uses (\\A|\\n)/(\\n|\\z) — a bullet on the
+    FIRST line and an ellipsis on the LAST (unterminated) line both
+    count; \\r-terminated lines do NOT fire the Java-only MULTILINE
+    margin because the pattern never uses (?m)."""
+    df = spark.createDataFrame(
+        [
+            (0, "- first line bullet\nplain\n- third"),
+            (1, "plain\nends open..."),
+            (2, "carriage - not a bullet\rline"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in ts.gopher_quality(df, min_words=1).collect()}
+    assert round(rows[0].bullet_ratio * 3) == 2  # first + third of 3 lines
+    assert rows[1].ellipsis_ratio == 0.5         # last of 2 lines
+    assert rows[2].bullet_ratio == 0.0           # \r is not a line start
+
+
+def test_soft_dedup_integer_keep_rule(spark):
+    """keep iff md5-uniform k * group_size < 2^32, bit-for-bit; singleton
+    groups always keep; expected kept copies per group ~= 1."""
+    import hashlib
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import soft_dedup
+
+    rows = [(i, "shared-text") for i in range(200)] + [
+        (i, f"unique-{i}") for i in range(200, 260)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in soft_dedup(df, seed=42).collect()}
+    for i in range(200, 260):
+        assert out[i].keep and out[i].n_dups == 1 and out[i].weight == 1.0
+    kept = 0
+    for i in range(200):
+        k = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16)
+        expect = (k * 200) < 2**32
+        assert out[i].keep == expect, i
+        kept += out[i].keep
+    # binomial(200, 1/200): ~1 expected survivor, loose band
+    assert kept <= 6
+
+
+def test_leakage_safe_split_component_atomicity(spark):
+    """All members of a component share one split; weights hold over many
+    singleton components; split is a pure function of (component, seed)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    comps = [(i, i % 37) for i in range(1000)]
+    df = spark.createDataFrame(comps, ["doc_id", "component"])
+    out = leakage_safe_split(df, seed=7).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    # determinism across invocations
+    out2 = leakage_safe_split(df, seed=7).collect()
+    assert sorted((r.doc_id, r.split) for r in out) == sorted(
+        (r.doc_id, r.split) for r in out2
+    )
+    # a different seed reshuffles at least one component
+    out3 = leakage_safe_split(df, seed=8).collect()
+    assert sorted((r.doc_id, r.split) for r in out) != sorted(
+        (r.doc_id, r.split) for r in out3
+    )
+    # 9/0.5/0.5 bands over 5000 singleton components: loose sanity
+    singles = spark.createDataFrame(
+        [(i, i) for i in range(5000)], ["doc_id", "component"]
+    )
+    frac = (
+        leakage_safe_split(singles, seed=1)
+        .groupBy("split").count().collect()
+    )
+    counts = {r.split: r["count"] for r in frac}
+    assert 0.85 <= counts["train"] / 5000 <= 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0

@@ -720,3 +720,127 @@ def boilerplate_clean(
         clean.alias("clean_text"),
         (F.length(clean) > 0).alias("keep"),
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SoftDeDup: keep each exact duplicate with probability 1/n where n
+    is its duplicate-group size, so every distinct document contributes
+    ~1 expected copy to the training mix — the soft alternative to
+    keep-one exact dedup (down-weights boilerplate without erasing the
+    natural frequency signal entirely, cf. D4/SoftDeDup-style corpus
+    reweighting).
+
+    The keep decision is the :func:`hash_sample` trick made INTEGER-
+    exact: with k = int(md5(id || ':' || seed)[:8 hex], 16) a per-row
+    uniform over [0, 2^32), keep iff ``k * n < 2^32`` — equivalent to
+    u < 1/n but compared in exact bigint arithmetic (no float division
+    at all), so Spark and DuckDB agree bit-for-bit and the decision is
+    independent of partitioning, retries, and engine.
+
+    Output: ``id_col``, ``n_dups`` (group size), ``weight``
+    (round(1/n, 9) — the alternative consumers that importance-weight
+    instead of drop), ``keep``.
+
+    Scale shape: one md5-keyed groupBy for group sizes (map-side
+    partial counts) + one join back on the same key — two shuffles on
+    the same hash key, no window, no skew hazard beyond the duplicate
+    groups themselves (a pathological 10^8-copy group is one counter,
+    not one partition of rows, on the agg side; the join back fans out
+    but stays key-partitioned).
+    """
+    g = F.md5(F.col(text_col)).alias("dup_key")
+    keyed = df.select(F.col(id_col), g)
+    sizes = keyed.groupBy("dup_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups")
+    )
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )
+    return (
+        keyed.join(sizes, "dup_key")
+        .select(
+            id_col,
+            F.col("n_dups"),
+            F.round(F.lit(1.0) / F.col("n_dups").cast("double"), 9).alias(
+                "weight"
+            ),
+            ((k * F.col("n_dups")) < F.lit(2**32)).alias("keep"),
+        )
+    )
+
+
+def leakage_safe_split(
+    components: DataFrame,
+    weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split is a function of the doc's near-dup
+    COMPONENT id (from :func:`~..dedup.connected_components`), not the
+    doc id, so an entire duplicate class lands in one split — the guard
+    against the classic eval contamination where a paraphrase of a
+    test document sits in train.
+
+    ``weights`` is an ordered (name, weight) sequence; assignment uses
+    the :func:`hash_sample` md5 uniform over the component key with
+    INTEGER thresholds: k = int(md5(component || ':' || seed)[:8], 16),
+    split = first name whose cumulative weight w satisfies
+    ``k < round(w * 2^32)`` — exact bigint compares, engine-portable,
+    independent of partitioning. Weights must sum to ~1 (the final
+    band absorbs rounding).
+
+    Output: ``id_col``, ``comp_col``, ``split``.
+
+    Scale shape: a pure per-row projection over the components frame —
+    the expensive part (components) is upstream and shared with dedup;
+    the split itself adds no shuffle.
+    """
+    names = [n for n, _ in weights]
+    cums = []
+    acc = 0.0
+    for _, w in weights:
+        acc += float(w)
+        cums.append(int(round(acc * 2**32)))
+    cums[-1] = 2**32  # final band absorbs float rounding
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(comp_col).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )
+    split = None
+    for name, cum in zip(names, cums):
+        cond = k < F.lit(cum)
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    split = split.otherwise(F.lit(names[-1]))
+    return components.select(id_col, comp_col, split.alias("split"))

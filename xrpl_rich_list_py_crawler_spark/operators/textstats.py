@@ -537,3 +537,113 @@ def hashed_bow_score(
             6,
         ).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules document filter (Rae et al. 2021, appendix A heuristics)
+# ---------------------------------------------------------------------------
+
+#: the Gopher rule-7 stopword list: a doc must contain >= 2 of these.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, appendix A)
+    as one whole-stage-codegen pass — the standard pre-training text
+    gate MassiveWeb/Gopher-class pipelines apply before dedup:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_avg_word_len, max_avg_word_len]
+    3. symbol-to-word ratio ('#'/ellipsis) <= max_symbol_ratio
+    4. fraction of bullet-point lines <= max_bullet_ratio
+    5. fraction of lines ending in an ellipsis <= max_ellipsis_ratio
+    6. fraction of words containing a letter >= min_alpha_word_ratio
+    7. at least min_stopword_hits distinct Gopher stopwords present
+
+    Portability margins handled explicitly (the BPE_UNIT / WS lessons):
+    word splits use the literal :data:`WS` class, NOT ``\\s``; line
+    anchors are spelled ``(\\A|\\n)`` / ``(\\n|\\z)`` instead of
+    ``(?m)^`` / ``(?m)$`` because Java's MULTILINE anchors also match at
+    ``\\r`` / U+2028 while RE2's match only at ``\\n`` — the explicit
+    alternation is interpreted identically by both engines. Every ratio
+    is one exact-integer count divided once and rounded, so the DuckDB
+    twin is bit-identical.
+
+    Output: ``id_col``, the seven metric columns, the per-rule booleans
+    folded into a single ``keep``.
+
+    Scale shape: a pure per-row projection — no shuffle, no UDF, no
+    state; at 100 TB it fuses into the scan stage and is bounded by
+    parquet decode throughput.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WS))
+    )
+    # total word characters = chars left after deleting all whitespace
+    word_chars = F.length(F.regexp_replace(trimmed, WS, ""))
+    avg_wl = F.when(words == 0, F.lit(0.0)).otherwise(
+        F.round(word_chars.cast("double") / words, 6)
+    )
+    n_symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    )
+    symbol_ratio = F.when(words == 0, F.lit(0.0)).otherwise(
+        F.round(n_symbols.cast("double") / words, 6)
+    )
+    n_lines = F.size(F.split(t, "\n"))
+    n_bullet = F.regexp_count(t, F.lit(r"(\A|\n)[ \t]*[-*•]"))
+    n_ell_end = F.regexp_count(t, F.lit(r"(\.\.\.|…)[ \t]*(\n|\z)"))
+    bullet_ratio = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellipsis_ratio = F.round(n_ell_end.cast("double") / n_lines, 6)
+    n_alpha_words = F.size(
+        F.filter(
+            F.split(trimmed, WS), lambda w: w.rlike("[A-Za-z]")
+        )
+    )
+    alpha_ratio = F.when(words == 0, F.lit(0.0)).otherwise(
+        F.round(n_alpha_words.cast("double") / words, 6)
+    )
+    low = F.lower(t)
+    stop_hits = None
+    for sw in _GOPHER_STOPWORDS:
+        hit = F.when(low.rlike(rf"\b{sw}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (words >= int(min_words))
+        & (words <= int(max_words))
+        & (avg_wl >= float(min_avg_word_len))
+        & (avg_wl <= float(max_avg_word_len))
+        & (symbol_ratio <= float(max_symbol_ratio))
+        & (bullet_ratio <= float(max_bullet_ratio))
+        & (ellipsis_ratio <= float(max_ellipsis_ratio))
+        & (alpha_ratio >= float(min_alpha_word_ratio))
+        & (stop_hits >= int(min_stopword_hits))
+    )
+    return df.select(
+        id_col,
+        words.cast("int").alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        keep.alias("keep"),
+    )
