@@ -2124,6 +2124,18 @@ def _q_leakage_safe_split(spark, sf):
     return leakage_safe_split(comps)
 
 
+
+def _q_bpe_train(spark, sf):
+    """Iterative BPE tokenizer training (late r05, textstats.train_bpe):
+    6 full merge rounds over the corpus — pair-count groupBy, one-row
+    argmax collect, pure-JVM greedy fold per round. Each round's argmax
+    parametrizes the next round's fold, so there is NO DuckDB twin
+    (rows-only driver check); semantics are pinned by pytest against a
+    pure-Python reference (test_train_bpe_matches_python_reference)."""
+    d = _t(spark, sf, "documents")
+    return ts.train_bpe(d, n_merges=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2313,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "soft_dedup": _q_soft_dedup,
         "leakage_safe_split": _q_leakage_safe_split,
+        "bpe_train": _q_bpe_train,
     }
 
 

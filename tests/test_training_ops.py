@@ -1593,3 +1593,77 @@ def test_leakage_safe_split_component_atomicity(spark):
     counts = {r.split: r["count"] for r in frac}
     assert 0.85 <= counts["train"] / 5000 <= 0.95
     assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def _py_bpe(texts, n_merges):
+    """Pure-Python reference BPE trainer (unit-vocab weighted, greedy
+    left-to-right merge application, cnt-desc/left/right tie-break)."""
+    import collections
+    import re
+
+    unit_re = re.compile(ts.BPE_UNIT)
+    vocab = collections.Counter()
+    for t in texts:
+        for u in unit_re.findall(t):
+            vocab[u] += 1
+    seqs = {u: list(u) for u in vocab}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = collections.Counter()
+        for u, sym in seqs.items():
+            w = vocab[u]
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += w
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        for u, sym in seqs.items():
+            out, pend = [], ""
+            for sx in sym:
+                if pend == "":
+                    pend = sx
+                elif pend == a and sx == b:
+                    out.append(a + b)
+                    pend = ""
+                else:
+                    out.append(pend)
+                    pend = sx
+            if pend:
+                out.append(pend)
+            seqs[u] = out
+    return merges
+
+
+def test_train_bpe_matches_python_reference(spark):
+    texts = [
+        "the theme of the day is the weather theory",
+        "another anthem, anthers and anthills abound",
+        "aaa aaaa aa theory theory the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = [
+        (r.step, r.left, r.right, r.merged, r.cnt)
+        for r in ts.train_bpe(df, n_merges=10).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 10)
+    # the repeated-run determinism law
+    got2 = [
+        (r.step, r.left, r.right, r.merged, r.cnt)
+        for r in ts.train_bpe(df, n_merges=10).orderBy("step").collect()
+    ]
+    assert got == got2
+
+
+def test_train_bpe_greedy_run_semantics(spark):
+    """'aaaa' + merge (a,a) counts 3 overlapping pairs but merges to
+    [aa, aa]; the second merge must then be (aa, aa)."""
+    df = spark.createDataFrame([(0, "aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r.step, r.left, r.right, r.merged)
+        for r in ts.train_bpe(df, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", "aa"), (2, "aa", "aa", "aaaa")]

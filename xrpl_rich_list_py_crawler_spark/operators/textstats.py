@@ -647,3 +647,123 @@ def gopher_quality(
         stop_hits.cast("int").alias("stopword_hits"),
         keep.alias("keep"),
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Full iterative BPE tokenizer training (the loop
+    :func:`bpe_merge_pairs` is one step of): ``n_merges`` rounds of
+    count-adjacent-pairs → merge the argmax everywhere → recount.
+    Returns the learned merge table (step, left, right, merged, cnt) —
+    the artifact a tokenizer ships.
+
+    Spark-first shape: the corpus collapses ONCE to the distinct
+    pre-token vocabulary with corpus counts (the classic BPE-training
+    optimization — all further work is per distinct unit, weighted by
+    ``wcnt``). Each round is then: one pair-keyed groupBy over the
+    vocab (map-side partial sums), an ``orderBy().limit(1)`` argmax
+    (TakeOrderedAndProject + a ONE-row collect — the only driver
+    traffic, bounded by n_merges rows total), and a pure-JVM
+    ``F.aggregate`` left fold that applies the merge greedily
+    left-to-right inside every symbol sequence (pending-symbol
+    accumulator; 'aaa' + (a,a) → [aa, a], textbook semantics) — no
+    Python UDF anywhere. Lineage is cut with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds, the connected-components discipline
+    for driver-loop iteration.
+
+    NOT SQL-expressible: each round's argmax parametrizes the next
+    round's fold, so there is no DuckDB oracle twin — this operator is
+    pinned by pytest against a pure-Python reference implementation
+    (tests/test_training_ops.py) instead.
+
+    Pairs tie-break (cnt desc, left asc, right asc) so training is
+    fully deterministic on any cluster size.
+    """
+    spark = df.sparkSession
+    units = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_UNIT), F.lit(0))
+        ).alias("unit")
+    )
+    seqs = (
+        units.groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select(
+            "wcnt",
+            F.transform(
+                F.sequence(F.lit(1), F.length("unit")),
+                lambda i: F.col("unit").substr(i, F.lit(1)),
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        s = F.col("sym")
+        pairs = seqs.filter(F.size(s) >= 2).select(
+            "wcnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(s) - 2),
+                    lambda i: F.struct(
+                        F.element_at(s, i + 1).alias("left"),
+                        F.element_at(s, i + 2).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.left").alias("left"),
+                          F.col("p.right").alias("right"))
+            .agg(F.sum("wcnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].left, top[0].right, int(top[0].cnt)
+        merges.append((step, a, b, a + b, cnt))
+        A, B, AB = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def _fold(acc, sym):
+            out, pend = acc["out"], acc["pend"]
+            return (
+                F.when(pend == "", F.struct(out.alias("out"),
+                                            sym.alias("pend")))
+                .when(
+                    (pend == A) & (sym == B),
+                    F.struct(
+                        F.concat(out, F.array(AB)).alias("out"),
+                        F.lit("").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(out, F.array(pend)).alias("out"),
+                        sym.alias("pend"),
+                    )
+                )
+            )
+
+        folded = F.aggregate(
+            "sym",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit("").alias("pend"),
+            ),
+            _fold,
+            lambda acc: F.when(acc["pend"] == "", acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            ),
+        )
+        seqs = seqs.withColumn("sym", folded)
+        if step % int(checkpoint_every) == 0:
+            seqs = seqs.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, cnt bigint"
+    )
