@@ -2136,6 +2136,48 @@ def _q_bpe_train(spark, sf):
     return ts.train_bpe(d, n_merges=6)
 
 
+
+def _q_nofollow_links(spark, sf):
+    """REP link/page directives (late r05, udfs.extract_follow_links_col
+    + page_noindex_col): anchors with rel="nofollow" are dropped, a
+    meta-robots nofollow page contributes no links, noindex is surfaced
+    per page — all regexp/array codegen, no Python. HTML is synthesized
+    deterministically from doc_id: every page carries a plain anchor, a
+    nofollow anchor, and an href-last anchor; doc_id%5 picks the
+    meta-robots directive. explode_outer keeps link-less pages as one
+    null row (the oracle mirrors with a [NULL] substitution)."""
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        extract_follow_links_col, page_noindex_col,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    meta = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html>"), meta,
+        F.lit('<a href="/a'), did, F.lit('">x</a>'),
+        F.lit('<a rel="nofollow" href="/b'), did, F.lit('">y</a>'),
+        F.lit('<a class="z" href="/c'), did, F.lit('">z</a>'),
+        F.lit("</html>"),
+    ).cast("binary")
+    page = d.select(
+        "doc_id",
+        extract_follow_links_col(html).alias("links"),
+        page_noindex_col(html).alias("noindex"),
+    )
+    return page.select(
+        "doc_id",
+        F.explode_outer("links").alias("follow_url"),
+        "noindex",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2326,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": _q_soft_dedup,
         "leakage_safe_split": _q_leakage_safe_split,
         "bpe_train": _q_bpe_train,
+        "nofollow_links": _q_nofollow_links,
     }
 
 
@@ -4978,5 +5021,50 @@ def oracle_sql() -> dict[str, str]:
                  WHEN k < 4080218931 THEN 'val'
                  ELSE 'test' END AS split
         FROM kk
+    """
+    # REP directives: same explicit-whitespace tag grammar, list ops
+    out["nofollow_links"] = r"""
+        WITH h AS (
+            SELECT doc_id,
+                '<html>'
+                || CASE WHEN doc_id % 5 = 0
+                        THEN '<meta name="robots" content="noindex,nofollow">'
+                        WHEN doc_id % 5 = 1
+                        THEN '<meta name="robots" content="noindex">'
+                        ELSE '' END
+                || '<a href="/a' || CAST(doc_id AS VARCHAR) || '">x</a>'
+                || '<a rel="nofollow" href="/b' || CAST(doc_id AS VARCHAR)
+                || '">y</a>'
+                || '<a class="z" href="/c' || CAST(doc_id AS VARCHAR)
+                || '">z</a></html>' AS html
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, html,
+                lower(regexp_extract(html,
+                    '(?i)<meta[ \t\n\r\f\x0b][^>]*name="robots"[^>]*content="([^"]*)"',
+                    1)) AS meta
+            FROM h
+        ),
+        l AS (
+            SELECT doc_id,
+                meta LIKE '%noindex%' AS noindex,
+                CASE WHEN meta LIKE '%nofollow%' THEN []::VARCHAR[]
+                ELSE list_filter(list_transform(
+                    list_filter(
+                        regexp_extract_all(html,
+                            '(?i)<a[ \t\n\r\f\x0b][^>]*>', 0),
+                        t -> NOT regexp_matches(t,
+                            '(?i)rel="[^"]*nofollow')),
+                    t -> regexp_extract(t, '(?i)href="([^"]*)"', 1)),
+                    u -> u <> '') END AS links
+            FROM m
+        )
+        SELECT doc_id,
+            unnest(CASE WHEN len(links) = 0
+                        THEN [CAST(NULL AS VARCHAR)] ELSE links END)
+                AS follow_url,
+            noindex
+        FROM l
     """
     return out

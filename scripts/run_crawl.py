@@ -59,6 +59,11 @@ def main() -> None:
                          "param-exploded/calendar paths) at link "
                          "discovery, before they enter the frontier — "
                          "recommended for open-web crawls")
+    ap.add_argument("--respect-nofollow", action="store_true",
+                    help="honor rel=nofollow anchors and meta-robots "
+                         "nofollow pages at link discovery (REP link/"
+                         "page directives; default off — goldens pin "
+                         "the directive-blind reference grammar)")
     ap.add_argument("--wildcard-robots", action="store_true",
                     help="full Google-REP robots matching (*/$ patterns, "
                          "Allow rules, longest-match precedence) instead "
@@ -129,7 +134,8 @@ def main() -> None:
     cat = SnapshotCatalog(args.catalog)
     run = CrawlRun(spark, cat, pages, robots, transport=transport,
                    trap_gate=args.trap_gate,
-                   wildcard_robots=args.wildcard_robots)
+                   wildcard_robots=args.wildcard_robots,
+                   respect_nofollow=args.respect_nofollow)
     last = run.run(args.rounds, seeds,
                    compact_seen_every=args.compact_seen_every or None)
 

@@ -348,3 +348,36 @@ def test_extract_anchors_col_edges(spark):
             mode="formatted"
         )
     assert "EvalPython" not in buf.getvalue()
+
+
+def test_extract_follow_links_rep_directives(spark):
+    """rel=nofollow anchors drop regardless of attribute order; a
+    meta-robots nofollow page yields no links; href-last anchors parse;
+    noindex is independent of nofollow."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.functions.udfs import (
+        extract_follow_links_col,
+        page_noindex_col,
+    )
+
+    cases = [
+        (0, '<a href="/keep">k</a><a rel="nofollow" href="/drop">d</a>'),
+        (1, '<a href="/x" rel="nofollow">d</a><a class="c" href="/y">k</a>'),
+        (2, '<meta name="robots" content="nofollow"><a href="/gone">g</a>'),
+        (3, '<meta name="robots" content="noindex"><a href="/kept">k</a>'),
+        (4, '<A HREF="/upper">case-insensitive tag</A>'),
+        (5, "no anchors at all"),
+    ]
+    df = spark.createDataFrame(cases, ["i", "html"]).select(
+        "i",
+        extract_follow_links_col(F.col("html").cast("binary")).alias("links"),
+        page_noindex_col(F.col("html").cast("binary")).alias("noindex"),
+    )
+    rows = {r.i: r for r in df.collect()}
+    assert rows[0].links == ["/keep"]
+    assert rows[1].links == ["/y"]
+    assert rows[2].links == [] and not rows[2].noindex
+    assert rows[3].links == ["/kept"] and rows[3].noindex
+    assert rows[4].links == ["/upper"]
+    assert rows[5].links == [] and not rows[5].noindex

@@ -335,3 +335,63 @@ def extract_anchors_col(html: Column) -> Column:
             F.trim(F.regexp_extract(m, ANCHOR_PATTERN, 2)).alias("anchor"),
         ),
     )
+
+
+#: REP link/page-level directives (nofollow/noindex). Whitespace inside
+#: the tag patterns is the EXPLICIT portable class — Java's \s includes
+#: U+000B, RE2's does not (the WS/BPE_UNIT oracle-margin lesson).
+_TAG_WS = r"[ \t\n\r\f\x0b]"
+ANCHOR_TAG_PATTERN = rf"(?i)<a{_TAG_WS}[^>]*>"
+META_ROBOTS_PATTERN = (
+    rf'(?i)<meta{_TAG_WS}[^>]*name="robots"[^>]*content="([^"]*)"'
+)
+REL_NOFOLLOW_PATTERN = r'(?i)rel="[^"]*nofollow'
+
+
+def meta_robots_col(html: Column) -> Column:
+    """The page's ``<meta name="robots">`` content directive, lowercased
+    ('' when absent) — same decode route as :func:`extract_links_col`."""
+    s = F.make_valid_utf8(html.cast("string"))
+    return F.lower(F.regexp_extract(s, META_ROBOTS_PATTERN, 1))
+
+
+def page_noindex_col(html: Column) -> Column:
+    """True when the page's meta-robots directive carries ``noindex`` —
+    the page may be crawled for links but must not enter the corpus."""
+    return meta_robots_col(html).contains("noindex")
+
+
+def extract_follow_links_col(html: Column) -> Column:
+    """Link extraction honoring the Robots Exclusion Protocol's
+    link/page-level directives, entirely in whole-stage codegen:
+
+    - anchors carrying ``rel="nofollow"`` (any attribute order) are
+      dropped;
+    - a page whose ``<meta name="robots">`` content contains
+      ``nofollow`` contributes NO links at all.
+
+    Unlike :func:`extract_links_col` (href-first grammar, the golden
+    crawl-order twin of parsers_ref.extract_links), this scans full
+    anchor OPENING tags and re-extracts href per element, so href may
+    appear after other attributes. Opt-in at the crawl level
+    (``CrawlRun(respect_nofollow=True)``) — the reference simulator and
+    its goldens predate REP link directives, so default crawl semantics
+    are unchanged.
+
+    Plan shape: regexp scan + array filter/transform, all JVM — fuses
+    into the fetch projection, no extra shuffle.
+    """
+    s = F.make_valid_utf8(html.cast("string"))
+    page_nofollow = F.lower(
+        F.regexp_extract(s, META_ROBOTS_PATTERN, 1)
+    ).contains("nofollow")
+    tags = F.regexp_extract_all(s, F.lit(ANCHOR_TAG_PATTERN), 0)
+    followed = F.filter(tags, lambda t: ~t.rlike(REL_NOFOLLOW_PATTERN))
+    hrefs = F.filter(
+        F.transform(
+            followed,
+            lambda t: F.regexp_extract(t, '(?i)href="([^"]*)"', 1),
+        ),
+        lambda u: u != "",
+    )
+    return F.when(page_nofollow, F.array().cast("array<string>")).otherwise(hrefs)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     canonicalize_urls_split,
+    extract_follow_links_col,
     extract_links_col,
     extract_text_col,
     host_col,
@@ -140,6 +141,7 @@ class CrawlRun:
         transport=None,
         trap_gate: bool = False,
         wildcard_robots: bool = False,
+        respect_nofollow: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -163,6 +165,12 @@ class CrawlRun:
         # path is verdict-identical on metachar-free rule sets (the
         # fixture universe) and cheaper per URL.
         self.wildcard_robots = wildcard_robots
+        # opt-in REP link/page directives (functions/udfs.py:
+        # extract_follow_links_col): anchors with rel="nofollow" and
+        # pages whose <meta name="robots"> carries nofollow contribute
+        # no frontier links. Default off — the goldens pin the
+        # directive-blind reference grammar (href-first anchors).
+        self.respect_nofollow = respect_nofollow
         # decide the robots-join strategy ONCE per run (the dim is fixed).
         # Bounded probe, not count(): the decision only needs "more rows
         # than the ceiling?", and limit(ceiling+1).count() early-exits as
@@ -283,7 +291,12 @@ class CrawlRun:
             .withColumn(
                 "links",
                 F.coalesce(
-                    F.when(F.col("fetch_ok"), extract_links_col(F.col("html"))),
+                    F.when(
+                        F.col("fetch_ok"),
+                        extract_follow_links_col(F.col("html"))
+                        if self.respect_nofollow
+                        else extract_links_col(F.col("html")),
+                    ),
                     F.array().cast("array<string>"),
                 ),
             )
