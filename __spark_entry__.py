@@ -2178,6 +2178,45 @@ def _q_nofollow_links(spark, sf):
     )
 
 
+
+def _q_mime_sniff(spark, sf):
+    """Magic-byte MIME routing (late r05, multimodal.sniff_mime_col):
+    the JVM hex-prefix when-chain that routes fetched bytes by content
+    kind before anything crosses to Python. Inputs: 200 real synthesized
+    containers (wav/bmp/ppm/junk/png/gif via synth_container, the
+    media_decode fixture) plus 40 literal magic prefixes
+    (pdf/gzip/zip/mp3/mp4/jpeg/html/unknown via unhex). The oracle
+    recomputes the expected mime from the same id arithmetic — the byte
+    construction AND the sniff are checked end to end."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        sniff_mime_col, synth_media_fixture,
+    )
+
+    d = _t(spark, sf, "documents")
+    containers = synth_media_fixture(
+        d.filter(F.col("doc_id") < 200).select("doc_id"), mod=6
+    )
+    did = F.col("doc_id")
+    raw = (
+        F.when(did % 8 == 0, F.unhex(F.lit("255044462D312E34")))
+        .when(did % 8 == 1, F.unhex(F.lit("1F8B0800")))
+        .when(did % 8 == 2, F.unhex(F.lit("504B030414")))
+        .when(did % 8 == 3, F.unhex(F.lit("49443304")))
+        .when(did % 8 == 4, F.unhex(F.lit("00000018667479706D703432")))
+        .when(did % 8 == 5, F.unhex(F.lit("FFD8FFE000104A464946")))
+        .when(did % 8 == 6, F.unhex(F.lit("2020090A3C21444F43545950452068746D6C3E")))
+        .otherwise(F.unhex(F.lit("DEADBEEF")))
+    )
+    literals = (
+        d.filter((did >= 200) & (did < 240))
+        .select(did.alias("media_id"), raw.alias("payload"))
+    )
+    allp = containers.unionByName(literals)
+    return allp.select(
+        "media_id", sniff_mime_col(F.col("payload")).alias("mime")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2369,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "bpe_train": _q_bpe_train,
         "nofollow_links": _q_nofollow_links,
+        "mime_sniff": _q_mime_sniff,
     }
 
 
@@ -5066,5 +5106,32 @@ def oracle_sql() -> dict[str, str]:
                 AS follow_url,
             noindex
         FROM l
+    """
+    # mime sniff: expected mime from the same id arithmetic that built
+    # the bytes (the media_decode oracle pattern)
+    out["mime_sniff"] = r"""
+        SELECT doc_id AS media_id,
+            CASE WHEN doc_id < 200 THEN
+                CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN 'audio/wav'
+                    WHEN 1 THEN 'image/bmp'
+                    WHEN 2 THEN 'image/x-portable-pixmap'
+                    WHEN 3 THEN 'application/octet-stream'
+                    WHEN 4 THEN 'image/png'
+                    WHEN 5 THEN 'image/gif'
+                END
+            ELSE
+                CASE CAST(doc_id % 8 AS INT)
+                    WHEN 0 THEN 'application/pdf'
+                    WHEN 1 THEN 'application/gzip'
+                    WHEN 2 THEN 'application/zip'
+                    WHEN 3 THEN 'audio/mpeg'
+                    WHEN 4 THEN 'video/mp4'
+                    WHEN 5 THEN 'image/jpeg'
+                    WHEN 6 THEN 'text/html'
+                    WHEN 7 THEN 'application/octet-stream'
+                END
+            END AS mime
+        FROM documents WHERE doc_id < 240
     """
     return out

@@ -1667,3 +1667,53 @@ def test_train_bpe_greedy_run_semantics(spark):
         for r in ts.train_bpe(df, n_merges=2).orderBy("step").collect()
     ]
     assert got == [(1, "a", "a", "aa"), (2, "aa", "aa", "aaaa")]
+
+
+def test_sniff_mime_col_agrees_with_python_sniffer(spark):
+    """The JVM hex-prefix sniff and the Arrow-side sniff_decode agree on
+    every synthesized container kind; literal magics route correctly."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        sniff_decode,
+        sniff_mime_col,
+        synth_container,
+    )
+
+    rows = [(i, synth_container(i, mod=6)[1]) for i in range(24)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r.mime
+        for r in df.select(
+            "media_id", sniff_mime_col(F.col("payload")).alias("mime")
+        ).collect()
+    }
+    fmt2mime = {
+        "wav": "audio/wav", "bmp": "image/bmp",
+        "ppm": "image/x-portable-pixmap", "png": "image/png",
+        "gif": "image/gif", None: "application/octet-stream",
+    }
+    for i, payload in rows:
+        meta = sniff_decode(payload)
+        assert got[i] == fmt2mime[meta.get("format")], (i, meta)
+    lit = [
+        (0, b"%PDF-1.4", "application/pdf"),
+        (1, b"\x1f\x8b\x08\x00", "application/gzip"),
+        (2, b"PK\x03\x04\x14", "application/zip"),
+        (3, b"ID3\x04", "audio/mpeg"),
+        (4, b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (5, b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+        (6, b"  \t\n<!DOCTYPE html>", "text/html"),
+        (7, b"<HTML><body>", "text/html"),
+        (8, b"\xde\xad\xbe\xef", "application/octet-stream"),
+        (9, b"", "application/octet-stream"),
+    ]
+    df2 = spark.createDataFrame(
+        [(i, p) for i, p, _ in lit], "media_id long, payload binary"
+    )
+    got2 = {
+        r.media_id: r.mime
+        for r in df2.select(
+            "media_id", sniff_mime_col(F.col("payload")).alias("mime")
+        ).collect()
+    }
+    for i, _, want in lit:
+        assert got2[i] == want, (i, got2[i], want)

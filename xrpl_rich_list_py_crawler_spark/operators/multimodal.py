@@ -14,7 +14,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
@@ -581,3 +581,52 @@ def synth_patterned_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
             )
 
     return ids.mapInPandas(_run, "media_id long, payload binary")
+
+
+def sniff_mime_col(payload: Column) -> Column:
+    """Magic-byte MIME sniffing as a whole-stage-codegen Column — the
+    crawl-scale front gate that routes fetched bytes (media vs text vs
+    archive) BEFORE anything crosses to Python. :func:`sniff_decode`
+    does the same dispatch per-batch in Arrow; this is its JVM twin for
+    the hot path, where a 100 TB fetch output needs kind routing at
+    parquet-scan throughput.
+
+    Matches on ``hex(substring(payload, 1, 16))`` prefixes — binary-safe
+    (no charset decode), engine-portable (DuckDB's hex(blob) is the same
+    uppercase spelling). WAV additionally checks 'WAVE' at byte 9 and
+    MP4 'ftyp' at byte 5, both as fixed hex slices. The HTML heuristic
+    decodes via make_valid_utf8 (byte-preserving + U+FFFD repair) and
+    accepts optional leading whitespace. Unknowns fall through to
+    'application/octet-stream' — never NULL, so downstream group-bys
+    don't silently drop rows.
+    """
+    h = F.hex(F.substring(payload, 1, 16))
+    text = F.make_valid_utf8(payload.cast("string"))
+    return (
+        F.when(h.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(
+            h.startswith("474946383761") | h.startswith("474946383961"),
+            F.lit("image/gif"),
+        )
+        .when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(
+            h.startswith("52494646")
+            & (F.substring(h, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(h.startswith("424D"), F.lit("image/bmp"))
+        .when(
+            h.startswith("5034") | h.startswith("5035") | h.startswith("5036"),
+            F.lit("image/x-portable-pixmap"),
+        )
+        .when(h.startswith("25504446"), F.lit("application/pdf"))
+        .when(h.startswith("1F8B"), F.lit("application/gzip"))
+        .when(h.startswith("504B0304"), F.lit("application/zip"))
+        .when(h.startswith("494433"), F.lit("audio/mpeg"))
+        .when(F.substring(h, 9, 8) == "66747970", F.lit("video/mp4"))
+        .when(
+            text.rlike(r"(?i)\A[ \t\n\r\f\x0b]*<(!doctype|html)"),
+            F.lit("text/html"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
