@@ -335,3 +335,62 @@ def test_substring_dedup_keyed_joins_only(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SinglePartition" not in plan
+
+
+def test_gopher_quality_is_shuffle_free_codegen(spark, sf_dir):
+    """The Gopher gate is a pure per-row projection: no Exchange, no
+    Python/Arrow eval, no window — it must fuse into the scan stage."""
+    from xrpl_rich_list_py_crawler_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(ts.gopher_quality(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "codegen id" in plan
+
+
+def test_mime_sniff_is_shuffle_free_codegen(spark):
+    """Magic-byte routing is a when-chain over hex prefixes — pure
+    codegen, no shuffle, no Python."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        sniff_mime_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), F.unhex(F.lit("89504E470D0A1A0A00")).alias("payload")
+    )
+    plan = _plan(df.select("id", sniff_mime_col(F.col("payload")).alias("m")))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_soft_dedup_two_keyed_shuffles_no_window(spark, sf_dir):
+    """soft_dedup = one md5-keyed agg + one join back on the same key:
+    hash-partitioned exchanges only, no window, no global sort, and a
+    map-side partial count before the agg exchange."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import soft_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(soft_dedup(docs))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_leakage_safe_split_adds_no_shuffle(spark):
+    """The split over an existing components frame is a pure projection."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from pyspark.sql import functions as F
+
+    comps = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("component")
+    )
+    plan = _plan(leakage_safe_split(comps))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
