@@ -2217,6 +2217,18 @@ def _q_mime_sniff(spark, sf):
     )
 
 
+
+def _q_bpe_encode_counts(spark, sf):
+    """BPE application (late r05, textstats.bpe_encode): per-doc TRUE
+    post-merge token counts under the 6-merge table train_bpe learns
+    from the same corpus — broadcast merge dim, distinct-unit Arrow
+    encode, two key-partitioned shuffles. Rank-priority iteration has no
+    SQL twin (rows-only driver check); pinned against a pure-Python
+    reference in pytest."""
+    d = _t(spark, sf, "documents")
+    return ts.bpe_encode(d, ts.train_bpe(d, n_merges=6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2276,7 +2288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     snapshot_diff, boilerplate_clean, profile_events, postings_delta,
     resolve_redirects) are tail-registered: each is LOCAL-green via
     scripts/check_correctness.py this round and is a head-slot
-    candidate for the r06 rotation.
+    candidate for the r06 rotation. The final-session additions
+    (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
+    mime_sniff — all oracle-backed and local-green; bpe_train and
+    bpe_encode_counts — iterative, rows-only by design, pytest-pinned
+    against pure-Python references) join that tail.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -2409,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "nofollow_links": _q_nofollow_links,
         "mime_sniff": _q_mime_sniff,
+        "bpe_encode_counts": _q_bpe_encode_counts,
     }
 
 

@@ -1717,3 +1717,56 @@ def test_sniff_mime_col_agrees_with_python_sniffer(spark):
     }
     for i, _, want in lit:
         assert got2[i] == want, (i, got2[i], want)
+
+
+def test_bpe_encode_counts_match_python(spark):
+    """Applying the trained merge table yields the same per-doc post-merge
+    token counts as sequential pure-Python application; zero merges
+    degenerates to per-unit character totals; counts are monotonically
+    non-increasing in the number of merges."""
+    import re
+
+    texts = [
+        "the theme of the day is the weather theory",
+        "another anthem, anthers and anthills abound",
+        "aaa aaaa aa theory theory the",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    merges_df = ts.train_bpe(df, n_merges=10)
+    got = {
+        r.doc_id: (r.n_units, r.n_tokens)
+        for r in ts.bpe_encode(df, merges_df).collect()
+    }
+    merges = [(m[1], m[2]) for m in _py_bpe(texts, 10)]
+    unit_re = re.compile(ts.BPE_UNIT)
+
+    def _apply(u):
+        sym = list(u)
+        for a, b in merges:
+            out, pend = [], ""
+            for sx in sym:
+                if pend == "":
+                    pend = sx
+                elif pend == a and sx == b:
+                    out.append(a + b)
+                    pend = ""
+                else:
+                    out.append(pend)
+                    pend = sx
+            if pend:
+                out.append(pend)
+            sym = out
+        return len(sym)
+
+    for i, t in enumerate(texts):
+        units = unit_re.findall(t)
+        want = (len(units), sum(_apply(u) for u in units))
+        assert got[i] == want, (i, got[i], want)
+    zero = {
+        r.doc_id: r.n_tokens for r in ts.bpe_encode(df, []).collect()
+    }
+    for i, t in enumerate(texts):
+        assert zero[i] == sum(len(u) for u in unit_re.findall(t))
+        assert got[i][1] <= zero[i]

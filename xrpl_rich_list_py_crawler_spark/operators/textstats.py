@@ -8,6 +8,7 @@ leaves whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -766,4 +767,96 @@ def train_bpe(
             seqs = seqs.localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, cnt bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`train_bpe` output) to the
+    corpus: per-document TRUE post-merge token counts — the production
+    complement of :func:`bpe_token_count_col`'s pre-merge unit-count
+    proxy, and the number a training-budget pipeline actually needs.
+
+    Spark-first shape: the merge table (≤ ~100k rows for any real
+    tokenizer — vocab_size-bounded) collects to the driver ONCE and
+    rides the encoder closure (classic broadcast-dim pattern); the
+    corpus collapses to the DISTINCT pre-token vocabulary (the same
+    optimization as training), each distinct unit is encoded ONCE in an
+    Arrow-batched pandas UDF (rank-priority merging, GPT-2 semantics:
+    repeatedly merge every occurrence of the lowest-rank adjacent pair,
+    left-to-right), and per-doc counts come from one unit-keyed join +
+    one doc-keyed sum — two key-partitioned shuffles, linear in corpus
+    tokens, never per-occurrence Python.
+
+    Output: (id_col, n_units, n_tokens) where n_tokens ≤ the per-unit
+    character total and decreases as merges grow. Like train_bpe this
+    has no SQL twin (rank-priority iteration); pinned by pytest against
+    a pure-Python reference.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        rows = merges.select("step", "left", "right").collect()
+        rank = {(r.left, r.right): r.step for r in rows}
+    else:
+        rank = {(left, right): i + 1 for i, (left, right) in enumerate(merges)}
+
+    @pandas_udf("int")
+    def _encode_len(units: pd.Series) -> pd.Series:
+        out = []
+        for u in units:
+            sym = list(u)
+            while len(sym) >= 2:
+                best, best_rank = None, None
+                for i in range(len(sym) - 1):
+                    r = rank.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (sym[i], sym[i + 1]), r
+                if best is None:
+                    break
+                a, b = best
+                merged, i = [], 0
+                while i < len(sym):
+                    if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                sym = merged
+            out.append(len(sym))
+        return pd.Series(out, dtype="int32")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_UNIT), F.lit(0))
+        ).alias("unit"),
+    )
+    unit_counts = toks.groupBy(id_col, "unit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vocab = (
+        unit_counts.select("unit").distinct()
+        .withColumn("unit_tokens", _encode_len(F.col("unit")))
+    )
+    per_doc = (
+        unit_counts.join(vocab, "unit")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_units"),
+            F.sum(F.col("n") * F.col("unit_tokens")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_units", F.lit(0)).cast("bigint").alias("n_units"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )
