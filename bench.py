@@ -435,6 +435,13 @@ HEADLINE = [
     "mixture_sample",
     # C4 page cleaning: pure-codegen scan over the full documents table
     "c4_line_clean",
+    # final-session additions: Gopher gate, SoftDeDup, component-keyed
+    # splits, trained-BPE application, JVM mime routing
+    "gopher_quality",
+    "soft_dedup",
+    "leakage_safe_split",
+    "bpe_encode_counts",
+    "mime_sniff",
 ]
 
 
