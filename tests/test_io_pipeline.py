@@ -150,3 +150,56 @@ def test_preflight_versions():
     assert not bad["ok"]
     assert not bad["deps"]["pyspark"]["ok"]
     assert bad["deps"]["no-such-pkg"]["installed"] is None
+
+
+def test_run_curation_cli_end_to_end(spark, tmp_path, monkeypatch):
+    """The curation spark-submit entry composes verdicts + gopher +
+    soft-dedup + splits and writes a readable parquet; split atomicity
+    and the soft-dedup singleton law hold on the output."""
+    import sys as _sys
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                (
+                    "the quick brown fox jumps over the lazy dog and that "
+                    "is fine to be sure of it all with more plain words "
+                    f"here today variant {i % 7} "
+                )
+                * 3,
+                f"src{i % 3}",
+                100 + i,
+            )
+            for i in range(60)
+        ],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    src_path = str(tmp_path / "docs.parquet")
+    out_path = str(tmp_path / "verdicts.parquet")
+    docs.write.parquet(src_path)
+    import os as _os
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+    from scripts import run_curation as rc
+
+    monkeypatch.setattr(_sys, "argv", [
+        "run_curation.py", "--documents", src_path, "--out", out_path,
+        "--gopher", "--gopher-min-words", "20", "--soft-dedup", "--splits",
+        "--per-source-cap", "5",
+    ])
+    rc.main()
+    back = spark.read.parquet(out_path)
+    assert back.count() == 60
+    cols = set(back.columns)
+    assert {"selected", "quality_ok", "gopher_ok", "n_dups", "weight",
+            "soft_keep", "split"} <= cols
+    # per-source quota respected
+    from pyspark.sql import functions as F
+    caps = back.filter("selected").groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in caps)
+    # split atomicity: near-identical docs (same i%7 variant) share splits
+    rows = back.select("doc_id", "split").collect()
+    splits = {r.doc_id: r.split for r in rows}
+    for i in range(60):
+        assert splits[i] == splits[i % 7]

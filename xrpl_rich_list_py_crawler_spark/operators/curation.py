@@ -748,10 +748,12 @@ def soft_dedup(
 
     Scale shape: one md5-keyed groupBy for group sizes (map-side
     partial counts) + one join back on the same key — two shuffles on
-    the same hash key, no window, no skew hazard beyond the duplicate
-    groups themselves (a pathological 10^8-copy group is one counter,
-    not one partition of rows, on the agg side; the join back fans out
-    but stays key-partitioned).
+    the same hash key, no window. Skew: a pathological 10^8-copy group
+    is one counter on the agg side, but the join back would land all
+    its rows in one partition — every engine session enables AQE
+    (spark.sql.adaptive.enabled, which includes skewJoin), so that hot
+    partition splits and replicates the matching one-row sizes side:
+    the worst case degrades to a parallel scan, not a straggler.
     """
     g = F.md5(F.col(text_col)).alias("dup_key")
     keyed = df.select(F.col(id_col), g)
