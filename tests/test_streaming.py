@@ -324,3 +324,50 @@ def test_hll_register_stream_equals_batch_sketch(spark, tmp_path):
     assert stream_est == sorted(
         map(tuple, hll_distinct(whole, "host", "url").collect())
     )
+
+
+def test_gopher_gate_composes_with_streaming(spark, tmp_path):
+    """The per-row quality gates are stateless codegen projections, so
+    they apply unchanged to a readStream source: the streaming verdicts
+    equal the batch verdicts on the same deliveries."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to be sure of it all with some more plain words here today"
+    )
+    rows = [(0, good), (1, "too short"), (2, good + " " + "# " * 40)]
+    pd.DataFrame({"doc_id": [i for i, _ in rows],
+                  "text": [t for _, t in rows]}).to_parquet(
+        os.path.join(src, "b0.parquet"))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        gopher_quality(stream, min_words=20)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: r.keep for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.parquet(src)
+    want = {
+        r.doc_id: r.keep
+        for r in gopher_quality(batch, min_words=20).collect()
+    }
+    assert got == want == {0: True, 1: False, 2: False}
