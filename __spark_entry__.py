@@ -2229,6 +2229,59 @@ def _q_bpe_encode_counts(spark, sf):
     return ts.bpe_encode(d, ts.train_bpe(d, n_merges=6))
 
 
+
+def _q_text_normalize(spark, sf):
+    """Encoding-hygiene normalization (final session,
+    textstats.normalize_text_col): CR/CRLF folding, zero-width and
+    C0/C1 control stripping, curly-quote/dash/ellipsis folding,
+    whitespace-run collapse, trim — one codegen replace chain. Dirt is
+    injected deterministically from doc_id (the fixture corpus is
+    clean), so both engines scrub identical bytes; n_raw/n_clean
+    lengths certify every removal."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    dirty = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\r\nend’s “q” — done… \x07!"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.col("text"), F.lit("  a\t\tb​﻿c\x01")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.col("text"), F.lit("\n\n\n\n–d‘e’")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.length(dirty).cast("int").alias("n_raw"),
+        ts.normalize_text_col(dirty).alias("clean_text"),
+        F.length(ts.normalize_text_col(dirty)).cast("int").alias("n_clean"),
+    )
+
+
+def _q_shard_assignment(spark, sf):
+    """Size-balanced output sharding (final session,
+    packing.shard_assignment): byte-offset prefix sum over doc_id order
+    via the two-phase global_cumsum plan (range shuffle + P-row
+    broadcast offset dim — never a single-partition window), shard =
+    offset div target. The oracle runs the naive SUM() OVER (ORDER BY)
+    the scale plan exists to avoid — certifying the distributed prefix
+    sum against closed-form truth."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        shard_assignment,
+    )
+
+    d = _t(spark, sf, "documents")
+    return shard_assignment(d, target_bytes=4000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2426,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nofollow_links": _q_nofollow_links,
         "mime_sniff": _q_mime_sniff,
         "bpe_encode_counts": _q_bpe_encode_counts,
+        "text_normalize": _q_text_normalize,
+        "shard_assignment": _q_shard_assignment,
     }
 
 
@@ -5150,5 +5205,56 @@ def oracle_sql() -> dict[str, str]:
                 END
             END AS mime
         FROM documents WHERE doc_id < 240
+    """
+    # normalization: same chain, literal unicode chars (the file is
+    # UTF-8; DuckDB e-strings lack unicode escapes) + chr() zero-widths
+    out["text_normalize"] = r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN text ||
+                        e'\r\n' || 'end’s “q” — done… ' || e'\x07' || '!'
+                     WHEN doc_id % 4 = 1 THEN text ||
+                        '  a' || e'\t\t' || 'b' || chr(8203) || chr(65279)
+                        || 'c' || e'\x01'
+                     WHEN doc_id % 4 = 2 THEN text ||
+                        e'\n\n\n\n' || '–d‘e’'
+                     ELSE text END AS t
+            FROM documents
+        ),
+        cleaned AS (
+            SELECT doc_id, length(t) AS n_raw,
+                trim(
+                 regexp_replace(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                   regexp_replace(regexp_replace(
+                    regexp_replace(t, e'\r\n|\r', e'\n', 'g'),
+                    '[' || chr(8203) || chr(8204) || chr(8205)
+                        || chr(65279) || ']', '', 'g'),
+                   e'[\x01-\x08\x0b\x0c\x0e-\x1f\x7f' || chr(128)
+                       || '-' || chr(159) || ']', '', 'g'),
+                  '’', chr(39)), '‘', chr(39)), '“', '"'),
+                  '”', '"'), '—', '-'), '–', '-'),
+                  '…', '...'),
+                 e'[ \t]+', ' ', 'g'), e'\n\n\n+', e'\n\n', 'g')
+                ) AS clean_text
+            FROM dirty
+        )
+        SELECT doc_id, CAST(n_raw AS INT) AS n_raw, clean_text,
+               CAST(length(clean_text) AS INT) AS n_clean
+        FROM cleaned
+    """
+    # shard assignment: the naive global window IS the oracle
+    out["shard_assignment"] = r"""
+        SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_bytes,
+            CAST(COALESCE(SUM(length(text)) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS offset,
+            CAST(COALESCE(SUM(length(text)) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 4000 AS BIGINT) AS shard
+        FROM documents
     """
     return out

@@ -145,3 +145,47 @@ def test_bpe_merge_pairs_counts_known_corpus(spark):
     )
     got = {r["pair"]: (r["cnt"], r["rank"]) for r in bpe_merge_pairs(d).collect()}
     assert got == {"a a": (6, 1), "a b": (3, 2), "x y": (1, 3)}
+
+
+def test_shard_assignment_laws(spark, tmp_path):
+    """Offsets are the exact prefix sum in doc_id order; shards are
+    contiguous, start at 0, and every shard except possibly the last
+    reaches the byte target; assignment is invariant to input
+    partitioning; write_sharded round-trips content by shard."""
+    import random
+
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        shard_assignment,
+        write_sharded,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, "x" * rng.randint(1, 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = 3000
+    got = {
+        r.doc_id: (r.n_bytes, r.offset, r.shard)
+        for r in shard_assignment(df, target).collect()
+    }
+    off = 0
+    for i, t in rows:
+        assert got[i] == (len(t), off, off // target), i
+        off += len(t)
+    shards = [got[i][2] for i, _ in rows]
+    assert shards == sorted(shards) and shards[0] == 0
+    sizes = {}
+    for i, t in rows:
+        sizes[got[i][2]] = sizes.get(got[i][2], 0) + len(t)
+    for s in range(max(shards)):
+        assert sizes[s] >= target - 400  # within one doc of target
+    got8 = {
+        r.doc_id: (r.n_bytes, r.offset, r.shard)
+        for r in shard_assignment(df.repartition(8), target).collect()
+    }
+    assert got == got8
+    out = str(tmp_path / "shards")
+    write_sharded(df, out, target)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    joined = {r.doc_id: r.shard for r in back.collect()}
+    assert all(joined[i] == got[i][2] for i, _ in rows)

@@ -1770,3 +1770,29 @@ def test_bpe_encode_counts_match_python(spark):
     for i, t in enumerate(texts):
         assert zero[i] == sum(len(u) for u in unit_re.findall(t))
         assert got[i][1] <= zero[i]
+
+
+def test_normalize_text_col_cases(spark):
+    """Every normalization rule fires: CR folding, zero-width/control
+    stripping, punctuation folding, run collapse, newline squeeze, trim."""
+    cases = [
+        (0, "a\r\nb\rc", "a\nb\nc"),
+        (1, "a\u200bb\u200cc\u200dd\ufeffe", "abcde"),
+        (2, "a\x01b\x07c\x7fde", "abcde"),
+        (3, "it\u2019s \u2018x\u2019 \u201cy\u201d \u2014 z \u2013 w \u2026 end",
+         "it's 'x' \"y\" - z - w ... end"),
+        (4, "a  \t b\t\tc", "a b c"),
+        (5, "p\n\n\n\n\nq", "p\n\nq"),
+        (6, "  padded  ", "padded"),
+        (7, "tab\tonly", "tab only"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               ["doc_id", "text"])
+    got = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", ts.normalize_text_col(F.col("text")).alias("clean")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))

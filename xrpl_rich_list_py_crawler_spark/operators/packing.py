@@ -157,3 +157,73 @@ def pack_sequences(
         (slice_start - F.col("_start")).cast("long").alias("doc_off"),
         (slice_end - slice_start).cast("int").alias("n_toks"),
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Size-balanced output sharding: assign every document to the
+    training-data shard file whose byte range its stream offset falls
+    in — the deterministic answer to "write this curated corpus as
+    ~``target_bytes`` files" that ``repartition(n)`` cannot give
+    (hash placement ignores size and changes with partitioning).
+
+    A document is never split: it belongs to shard
+    ``floor(offset / target_bytes)`` where ``offset`` is the byte
+    prefix-sum of all documents ordered before it (``id_col`` order).
+    Shards are therefore contiguous in document order, reproducible on
+    any cluster size, and sized within one document of the target — the
+    same guarantee a single-writer concatenation would give.
+
+    The prefix sum is :func:`global_cumsum`'s two-phase plan (range
+    shuffle + P-row broadcast offset dim) — NEVER a single-partition
+    ``SUM() OVER (ORDER BY)``; the naive window is exactly what the
+    DuckDB oracle runs to certify it.
+
+    Output: (id_col, n_bytes, offset, shard).
+    """
+    size = (
+        F.col(size_col)
+        if size_col
+        else F.length(F.col(text_col))
+    ).cast("bigint")
+    sized = df.select(F.col(id_col), size.alias("n_bytes"))
+    cum = global_cumsum(
+        sized, order_by=[id_col], value_col="n_bytes", out_col="offset"
+    )
+    return cum.select(
+        id_col,
+        "n_bytes",
+        F.col("offset").cast("bigint").alias("offset"),
+        (F.col("offset") / F.lit(int(target_bytes)))
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus as size-balanced shard directories:
+    :func:`shard_assignment` + one shard-keyed repartition +
+    ``partitionBy("shard")`` parquet write. Each shard directory holds
+    one writer's contiguous document range, so a dataloader can stream
+    shards independently with deterministic content."""
+    a = shard_assignment(
+        df, target_bytes, id_col=id_col, text_col=text_col
+    ).select(id_col, "shard")
+    (
+        df.join(a, id_col)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -860,3 +860,40 @@ def bpe_encode(
         F.coalesce("n_units", F.lit(0)).cast("bigint").alias("n_units"),
         F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Web-text normalization as one codegen regexp/replace chain — the
+    encoding-hygiene stage every corpus pipeline runs before quality
+    gates (mojibake controls and invisible characters otherwise poison
+    token counts, fingerprints, and dedup hashes):
+
+    1. line endings: CRLF and lone CR → LF;
+    2. zero-width/invisible: ZWSP, ZWNJ, ZWJ, BOM removed;
+    3. C0/C1 controls except tab+newline removed (incl. DEL);
+    4. punctuation folding (the NFKC subset that matters for dedup):
+       curly quotes → ASCII quotes, en/em dash → '-', ellipsis → '...';
+    5. every horizontal whitespace run (incl. lone tabs) → one
+       space; 3+ newlines → 2;
+    6. outer trim.
+
+    Every class is spelled explicitly (never ``\\s`` — the Java-vs-RE2
+    margin), every step is a single-pass global replace, and the chain
+    is portable: the DuckDB twin is the same patterns with the 'g'
+    flag. Pure per-row projection — fuses into the scan at any scale.
+    """
+    t = F.regexp_replace(text, "\r\n|\r", "\n")
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    t = F.regexp_replace(
+        t, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]", ""
+    )
+    t = F.replace(t, F.lit("’"), F.lit("'"))
+    t = F.replace(t, F.lit("‘"), F.lit("'"))
+    t = F.replace(t, F.lit("“"), F.lit('"'))
+    t = F.replace(t, F.lit("”"), F.lit('"'))
+    t = F.replace(t, F.lit("—"), F.lit("-"))
+    t = F.replace(t, F.lit("–"), F.lit("-"))
+    t = F.replace(t, F.lit("…"), F.lit("..."))
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, "\n\n\n+", "\n\n")
+    return F.trim(t)
