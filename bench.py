@@ -442,6 +442,8 @@ HEADLINE = [
     "leakage_safe_split",
     "bpe_encode_counts",
     "mime_sniff",
+    "text_normalize",
+    "shard_assignment",
 ]
 
 
