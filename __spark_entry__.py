@@ -2343,9 +2343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_correctness.py this round and is a head-slot
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
-    mime_sniff — all oracle-backed and local-green; bpe_train and
-    bpe_encode_counts — iterative, rows-only by design, pytest-pinned
-    against pure-Python references) join that tail.
+    mime_sniff, text_normalize, shard_assignment — all oracle-backed
+    and local-green; bpe_train and bpe_encode_counts — iterative,
+    rows-only by design, pytest-pinned against pure-Python references)
+    join that tail.
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
