@@ -2282,6 +2282,31 @@ def _q_shard_assignment(spark, sf):
     return shard_assignment(d, target_bytes=4000)
 
 
+
+def _q_media_resize(spark, sf):
+    """Distributed image resize (final session, multimodal.resize_media):
+    patterned 8x8 PPMs (grayscale plane (17x+31y+7(id%16)) % 256) plus
+    10 junk payloads, nearest-neighbor resampled to 5x3 with floor
+    source mapping. The oracle recomputes the resized pixel sum
+    closed-form from the same arithmetic via a generate_series cross
+    join — decode, NN mapping, and re-encode certified end to end; the
+    junk rows pin the ok=false path."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        resize_media, synth_patterned_fixture,
+    )
+
+    d = _t(spark, sf, "documents")
+    imgs = synth_patterned_fixture(d.filter(F.col("doc_id") < 200))
+    junk = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.lit("4A554E4B")).alias("payload"),
+    )
+    out = resize_media(imgs.unionByName(junk), out_w=5, out_h=3)
+    return out.select(
+        "media_id", "ok", "width", "height", "n_bytes", "pixel_sum"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2343,7 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_correctness.py this round and is a head-slot
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
-    mime_sniff, text_normalize, shard_assignment — all oracle-backed
+    mime_sniff, text_normalize, shard_assignment, media_resize — all
+    oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2482,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_counts": _q_bpe_encode_counts,
         "text_normalize": _q_text_normalize,
         "shard_assignment": _q_shard_assignment,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -5257,5 +5284,28 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
             ), 0) // 4000 AS BIGINT) AS shard
         FROM documents
+    """
+    # resize: closed-form pixel sum of the NN-resampled pattern
+    out["media_resize"] = r"""
+        WITH ids AS (
+            SELECT doc_id AS media_id FROM documents WHERE doc_id < 210
+        ),
+        px AS (
+            SELECT i.media_id,
+                (17 * ((x * 8) // 5) + 31 * ((y * 8) // 3)
+                 + 7 * (i.media_id % 16)) % 256 AS g
+            FROM ids i, generate_series(0, 4) AS t1(x),
+                 generate_series(0, 2) AS t2(y)
+            WHERE i.media_id < 200
+        ),
+        sums AS (SELECT media_id, SUM(3 * g) AS psum FROM px GROUP BY 1)
+        SELECT i.media_id,
+            i.media_id < 200 AS ok,
+            CAST(CASE WHEN i.media_id < 200 THEN 5 END AS INT) AS width,
+            CAST(CASE WHEN i.media_id < 200 THEN 3 END AS INT) AS height,
+            CAST(CASE WHEN i.media_id < 200 THEN 11 + 45 END AS INT)
+                AS n_bytes,
+            CAST(s.psum AS BIGINT) AS pixel_sum
+        FROM ids i LEFT JOIN sums s USING (media_id)
     """
     return out

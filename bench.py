@@ -444,6 +444,7 @@ HEADLINE = [
     "mime_sniff",
     "text_normalize",
     "shard_assignment",
+    "media_resize",
 ]
 
 

@@ -1796,3 +1796,40 @@ def test_normalize_text_col_cases(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_resize_media_laws(spark):
+    """Identity dims reproduce source pixels exactly (PPM and BMP
+    containers agree); 2x downscale picks floor-mapped sources; junk
+    payloads yield ok=false rows, never exceptions."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        _rgb_pixels,
+        resize_media,
+        synth_container,
+        synth_patterned_ppm,
+    )
+
+    ppm = synth_patterned_ppm(5)
+    bmp = synth_container(13, mod=4)[1]  # 13 % 4 == 1 -> BMP
+    rows = [(0, ppm), (1, bmp), (2, b"JUNK9999")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    w_b, h_b, _ = _rgb_pixels(bmp)
+    ident = {
+        r.media_id: r
+        for r in resize_media(df, out_w=8, out_h=8).collect()
+    }
+    # PPM 8x8 identity: payload round-trips byte-for-byte
+    assert bytes(ident[0].payload) == ppm
+    assert not ident[2].ok and ident[2].payload is None
+    # BMP resized to its own dims: pixels equal the decoded source
+    same = resize_media(df, out_w=w_b, out_h=h_b).collect()
+    got_b = next(r for r in same if r.media_id == 1)
+    assert _rgb_pixels(bytes(got_b.payload))[2] == _rgb_pixels(bmp)[2]
+    # floor-mapped 2x downscale of the 8x8 pattern: src = (x*8)//4 = 2x
+    down = {
+        r.media_id: r for r in resize_media(df, out_w=4, out_h=4).collect()
+    }
+    _, _, src_rows = _rgb_pixels(ppm)
+    want = [[src_rows[2 * y][2 * x] for x in range(4)] for y in range(4)]
+    assert _rgb_pixels(bytes(down[0].payload))[2] == want
+    assert down[0].pixel_sum == sum(sum(p) for row in want for p in row)

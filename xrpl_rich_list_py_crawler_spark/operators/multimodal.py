@@ -363,13 +363,12 @@ def sample_frames(
 # ---------------------------------------------------------------------------
 
 
-def _gray_pixels(payload: bytes):
-    """Row-major TOP-DOWN grayscale ints from a BMP (24-bit uncompressed)
-    or binary-PPM payload, or None if the payload is neither. Grayscale is
-    the integer mean (r+g+b)//3 — exact, engine-free arithmetic. BMP rows
-    are stored bottom-up (positive height) with 4-byte row padding; both
-    are undone here so the same image hashes identically in either
-    container (pinned by test)."""
+def _rgb_pixels(payload: bytes):
+    """Row-major TOP-DOWN (r, g, b) tuples from a BMP (24-bit
+    uncompressed) or binary-PPM payload, or None if the payload is
+    neither. BMP rows are stored bottom-up (positive height) with 4-byte
+    row padding and BGR order; both are undone here so the same image
+    resizes/hashes identically in either container (pinned by test)."""
     import struct
 
     b = bytes(payload)
@@ -388,8 +387,7 @@ def _gray_pixels(payload: bytes):
             src = y if top_down else h - 1 - y
             base = off + src * stride
             row = [
-                (b[base + 3 * x] + b[base + 3 * x + 1] + b[base + 3 * x + 2])
-                // 3
+                (b[base + 3 * x + 2], b[base + 3 * x + 1], b[base + 3 * x])
                 for x in range(w)
             ]
             rows.append(row)
@@ -418,13 +416,24 @@ def _gray_pixels(payload: bytes):
         for y in range(h):
             base = base0 + y * 3 * w
             row = [
-                (b[base + 3 * x] + b[base + 3 * x + 1] + b[base + 3 * x + 2])
-                // 3
+                (b[base + 3 * x], b[base + 3 * x + 1], b[base + 3 * x + 2])
                 for x in range(w)
             ]
             rows.append(row)
         return w, h, rows
     return None
+
+
+def _gray_pixels(payload: bytes):
+    """Row-major TOP-DOWN grayscale ints from a BMP/PPM payload (None
+    otherwise): integer mean (r+g+b)//3 over :func:`_rgb_pixels` —
+    exact, engine-free arithmetic, container-invariant (pinned by
+    test)."""
+    t = _rgb_pixels(payload)
+    if t is None:
+        return None
+    w, h, rows = t
+    return w, h, [[(r + g + b) // 3 for (r, g, b) in row] for row in rows]
 
 
 def ahash64(w: int, h: int, rows) -> tuple[int, int]:
@@ -629,4 +638,72 @@ def sniff_mime_col(payload: Column) -> Column:
             F.lit("text/html"),
         )
         .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed image resize (the brief's decode → RESIZE →
+    feature-extract chain): nearest-neighbor resample of every decodable
+    raster payload (BMP / binary PPM via :func:`_rgb_pixels`) to
+    ``out_w × out_h``, re-encoded as binary PPM — mapInPandas, Arrow
+    batches, ids stay partitioned, no driver traffic.
+
+    Nearest-neighbor with FLOOR source mapping (src = (dst·in) // out):
+    all-integer, deterministic on any engine/cluster, and closed-form —
+    for an arithmetic test pattern the oracle recomputes the resized
+    pixel sum from the same formula (generate_series cross join), so
+    decode, mapping, and re-encode are all certified end to end.
+    Identity dims reproduce the source pixels exactly. Non-raster
+    payloads → ok=false row (never dropped, never an exception — the
+    router upstream is :func:`sniff_mime_col`).
+
+    Output: (id_col, ok, width, height, n_bytes, pixel_sum, payload) —
+    pixel_sum is the exact integer RGB byte sum of the RESIZED image,
+    the cheap cross-engine digest of the pixel content.
+    """
+    ow, oh = int(out_w), int(out_h)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                t = _rgb_pixels(bytes(b))
+                if t is None:
+                    recs.append(
+                        (int(mid), False, None, None, None, None, None)
+                    )
+                    continue
+                w, h, rows = t
+                out = bytearray()
+                psum = 0
+                for y in range(oh):
+                    sy = (y * h) // oh
+                    for x in range(ow):
+                        sx = (x * w) // ow
+                        r, g, bl = rows[sy][sx]
+                        out.extend((r, g, bl))
+                        psum += r + g + bl
+                header = f"P6\n{ow} {oh}\n255\n".encode()
+                blob = header + bytes(out)
+                recs.append(
+                    (int(mid), True, ow, oh, len(blob), psum, blob)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    id_col, "ok", "width", "height", "n_bytes",
+                    "pixel_sum", "payload",
+                ],
+            )
+
+    return df.mapInPandas(
+        _run,
+        f"{id_col} long, ok boolean, width int, height int, "
+        "n_bytes int, pixel_sum long, payload binary",
     )
