@@ -2307,6 +2307,32 @@ def _q_media_resize(spark, sf):
     )
 
 
+
+def _q_audio_resample(spark, sf):
+    """Distributed audio resample (final session,
+    multimodal.resample_audio): patterned mono 16-bit WAVs (sample i =
+    ((13i + 7(id%16)) % 503) - 251 at 8/12/16 kHz) plus 10 junk
+    payloads, NN-resampled to 8 kHz. The oracle recomputes out-frame
+    counts and the resampled |sample| sums closed-form from the same
+    arithmetic via a correlated generate_series — decode, frame
+    mapping, and re-encode certified end to end."""
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        resample_audio, synth_patterned_wav_fixture,
+    )
+
+    d = _t(spark, sf, "documents")
+    wavs = synth_patterned_wav_fixture(d.filter(F.col("doc_id") < 200))
+    junk = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.lit("4A554E4B")).alias("payload"),
+    )
+    out = resample_audio(wavs.unionByName(junk), out_rate=8000)
+    return out.select(
+        "media_id", "ok", "n_channels", "sample_rate", "n_frames",
+        "sample_abs_sum",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2368,8 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_correctness.py this round and is a head-slot
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
-    mime_sniff, text_normalize, shard_assignment, media_resize — all
-    oracle-backed
+    mime_sniff, text_normalize, shard_assignment, media_resize,
+    audio_resample — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2509,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "shard_assignment": _q_shard_assignment,
         "media_resize": _q_media_resize,
+        "audio_resample": _q_audio_resample,
     }
 
 
@@ -5307,5 +5334,32 @@ def oracle_sql() -> dict[str, str]:
                 AS n_bytes,
             CAST(s.psum AS BIGINT) AS pixel_sum
         FROM ids i LEFT JOIN sums s USING (media_id)
+    """
+    # audio resample: closed-form |sample| sum of the NN-resampled pattern
+    out["audio_resample"] = r"""
+        WITH ids AS (
+            SELECT doc_id AS media_id,
+                8000 + (doc_id % 3) * 4000 AS rate,
+                (64 * 8000) // (8000 + (doc_id % 3) * 4000) AS out_n
+            FROM documents WHERE doc_id < 210
+        ),
+        s AS (
+            SELECT i.media_id,
+                abs(((13 * ((j * 64) // i.out_n)
+                      + 7 * (i.media_id % 16)) % 503) - 251) AS a
+            FROM ids i, generate_series(0, 63) AS t(j)
+            WHERE i.media_id < 200 AND j < i.out_n
+        ),
+        sums AS (SELECT media_id, SUM(a) AS ssum FROM s GROUP BY 1)
+        SELECT i.media_id,
+            i.media_id < 200 AS ok,
+            CAST(CASE WHEN i.media_id < 200 THEN 1 END AS INT)
+                AS n_channels,
+            CAST(CASE WHEN i.media_id < 200 THEN 8000 END AS INT)
+                AS sample_rate,
+            CAST(CASE WHEN i.media_id < 200 THEN i.out_n END AS INT)
+                AS n_frames,
+            CAST(m.ssum AS BIGINT) AS sample_abs_sum
+        FROM ids i LEFT JOIN sums m USING (media_id)
     """
     return out

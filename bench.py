@@ -445,6 +445,7 @@ HEADLINE = [
     "text_normalize",
     "shard_assignment",
     "media_resize",
+    "audio_resample",
 ]
 
 

@@ -1833,3 +1833,43 @@ def test_resize_media_laws(spark):
     want = [[src_rows[2 * y][2 * x] for x in range(4)] for y in range(4)]
     assert _rgb_pixels(bytes(down[0].payload))[2] == want
     assert down[0].pixel_sum == sum(sum(p) for row in want for p in row)
+
+
+def test_resample_audio_laws(spark):
+    """Identity rate reproduces the source container byte-for-byte; 2x
+    downsample picks floor-mapped frames; stereo interleave survives;
+    junk payloads yield ok=false rows."""
+    import struct
+
+    from xrpl_rich_list_py_crawler_spark.operators.multimodal import (
+        _wav_samples,
+        resample_audio,
+        synth_patterned_wav,
+    )
+
+    mono = synth_patterned_wav(0)  # rate 8000, 64 frames
+    # hand-built stereo wav at 8000: frames (i, -i)
+    data = b"".join(struct.pack("<hh", i, -i) for i in range(32))
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    stereo = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    df = spark.createDataFrame(
+        [(0, mono), (1, stereo), (2, b"nope")],
+        "media_id long, payload binary",
+    )
+    ident = {r.media_id: r for r in resample_audio(df, 8000).collect()}
+    assert bytes(ident[0].payload) == mono
+    assert ident[1].n_channels == 2 and ident[1].n_frames == 32
+    assert _wav_samples(bytes(ident[1].payload))[2] == [
+        (i, -i) for i in range(32)
+    ]
+    assert not ident[2].ok and ident[2].payload is None
+    down = {r.media_id: r for r in resample_audio(df, 4000).collect()}
+    assert down[0].n_frames == 32 and down[0].sample_rate == 4000
+    src_frames = _wav_samples(mono)[2]
+    want = [src_frames[(j * 64) // 32] for j in range(32)]
+    assert _wav_samples(bytes(down[0].payload))[2] == want
+    assert down[1].sample_abs_sum == sum(
+        2 * abs(2 * j) for j in range(16)
+    )

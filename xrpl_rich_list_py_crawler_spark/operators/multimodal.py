@@ -707,3 +707,142 @@ def resize_media(
         f"{id_col} long, ok boolean, width int, height int, "
         "n_bytes int, pixel_sum long, payload binary",
     )
+
+
+def _wav_samples(b: bytes):
+    """(channels, rate, frames) from a 16-bit PCM WAV, or None — frames
+    is a list of per-frame tuples of signed int16 samples. Same chunk
+    walk as :func:`_parse_wav`, but materializing the data payload."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, ch, rate, _br, _al, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    ch, rate, bits = fmt
+    if ch == 0 or rate == 0 or bits != 16:
+        return None
+    n = len(data) // (2 * ch)
+    it = struct.iter_unpack("<" + "h" * ch, data[: n * 2 * ch])
+    return ch, rate, list(it)
+
+
+def synth_patterned_wav(doc_id: int, n_frames: int = 64) -> bytes:
+    """Deterministic mono 16-bit WAV whose samples are the closed form
+    ``((13·i + 7·(doc_id % 16)) % 503) − 251`` — the audio twin of
+    :func:`synth_patterned_ppm`, so a resample oracle can recompute
+    digests from the same arithmetic. Rate is 8000 + (doc_id % 3)·4000
+    (the media_decode fixture rates)."""
+    import struct
+
+    rate = 8000 + (doc_id % 3) * 4000
+    data = b"".join(
+        struct.pack("<h", ((13 * i + 7 * (doc_id % 16)) % 503) - 251)
+        for i in range(n_frames)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed audio resample (the audio twin of
+    :func:`resize_media`): every decodable 16-bit PCM WAV is
+    nearest-neighbor resampled to ``out_rate`` and re-encoded as WAV —
+    mapInPandas, Arrow batches, no driver traffic.
+
+    All-integer frame mapping: out_n = (n·out_rate) // in_rate, source
+    frame = (j·n) // out_n — deterministic on any engine/cluster and
+    closed-form for the :func:`synth_patterned_wav` fixture, so the
+    oracle recomputes the resampled |sample| sum from the same
+    arithmetic. Identity rate reproduces the source frames exactly.
+    Non-WAV payloads → ok=false rows.
+
+    Output: (id_col, ok, n_channels, sample_rate, n_frames,
+    sample_abs_sum, payload).
+    """
+    import struct
+
+    target = int(out_rate)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                t = _wav_samples(bytes(b))
+                if t is None:
+                    recs.append(
+                        (int(mid), False, None, None, None, None, None)
+                    )
+                    continue
+                ch, rate, frames = t
+                n = len(frames)
+                out_n = (n * target) // rate if n else 0
+                picked = [frames[(j * n) // out_n] for j in range(out_n)]
+                data = b"".join(
+                    struct.pack("<" + "h" * ch, *f) for f in picked
+                )
+                fmt = struct.pack(
+                    "<HHIIHH", 1, ch, target, target * ch * 2, ch * 2, 16
+                )
+                riff = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+                s_sum = sum(abs(s) for f in picked for s in f)
+                recs.append(
+                    (int(mid), True, ch, target, out_n, s_sum, blob)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    id_col, "ok", "n_channels", "sample_rate", "n_frames",
+                    "sample_abs_sum", "payload",
+                ],
+            )
+
+    return df.mapInPandas(
+        _run,
+        f"{id_col} long, ok boolean, n_channels int, sample_rate int, "
+        "n_frames int, sample_abs_sum long, payload binary",
+    )
+
+
+def synth_patterned_wav_fixture(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed (media_id, payload) rows of real patterned-WAV bytes —
+    the audio twin of :func:`synth_patterned_fixture`."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        synth_patterned_wav(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(_run, "media_id long, payload binary")
