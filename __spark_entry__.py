@@ -2333,6 +2333,26 @@ def _q_audio_resample(spark, sf):
     )
 
 
+
+def _q_epoch_expand(spark, sf):
+    """Fractional-epoch mixture upsampling (final session,
+    curation.epoch_expand): per-source epoch factors {src0: 2.0,
+    src1: 1.5, src2: 0.25, default 1.0} — whole factors replicate
+    exactly, fractional factors add the md5-uniform extra copy, sub-1
+    factors become deterministic sampling. Output is one row per
+    (doc, copy) with epoch_ix; the oracle recomputes copy counts from
+    the same integer md5 math and unnests a range."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        epoch_expand,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = epoch_expand(
+        d, {"src0": 2.0, "src1": 1.5, "src2": 0.25}, seed=42
+    )
+    return out.select("doc_id", "source", "n_copies", "epoch_ix")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2395,7 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
-    audio_resample — all oracle-backed
+    audio_resample, epoch_expand — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2536,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "media_resize": _q_media_resize,
         "audio_resample": _q_audio_resample,
+        "epoch_expand": _q_epoch_expand,
     }
 
 
@@ -5361,5 +5382,27 @@ def oracle_sql() -> dict[str, str]:
                 AS n_frames,
             CAST(m.ssum AS BIGINT) AS sample_abs_sum
         FROM ids i LEFT JOIN sums m USING (media_id)
+    """
+    # epoch expansion: same integer md5 uniform, unnested range
+    out["epoch_expand"] = r"""
+        WITH f AS (
+            SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.5
+                     WHEN 'src2' THEN 0.25 ELSE 1.0 END AS ep,
+                CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':42'), 1, 8) AS UBIGINT) AS DOUBLE)
+                    / 4294967296.0 AS u
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, source,
+                CAST(FLOOR(ep) + CASE WHEN u < ep - FLOOR(ep)
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                    AS n_copies
+            FROM f
+        )
+        SELECT doc_id, source, n_copies,
+            CAST(unnest(range(0, n_copies)) AS INT) AS epoch_ix
+        FROM n WHERE n_copies > 0
     """
     return out

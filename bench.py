@@ -446,6 +446,7 @@ HEADLINE = [
     "shard_assignment",
     "media_resize",
     "audio_resample",
+    "epoch_expand",
 ]
 
 

@@ -1873,3 +1873,36 @@ def test_resample_audio_laws(spark):
     assert down[1].sample_abs_sum == sum(
         2 * abs(2 * j) for j in range(16)
     )
+
+
+def test_epoch_expand_laws(spark):
+    """Copy counts follow floor(f) + [u < frac] bit-exactly (hashlib
+    twin); whole factors replicate exactly; epoch_ix is a complete
+    0..n-1 range per doc; expected mass over many docs ~= f."""
+    import hashlib
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        epoch_expand,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = epoch_expand(df, {"a": 3.0, "b": 1.25, "c": 0.5}, seed=9).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, src in rows:
+        f = {"a": 3.0, "b": 1.25, "c": 0.5}[src]
+        u = int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], 16) / 2**32
+        want = int(f) + (1 if u < f - int(f) else 0)
+        got = by_doc.get(i, [])
+        assert len(got) == want, (i, src, len(got), want)
+        if got:
+            assert sorted(r.epoch_ix for r in got) == list(range(want))
+            assert all(r.n_copies == want for r in got)
+    # whole factor: every 'a' doc appears exactly 3 times
+    assert all(len(by_doc[i]) == 3 for i, s in rows if s == "a")
+    # mass ~= f per source over 200 docs each
+    n_b = sum(len(by_doc.get(i, [])) for i, s in rows if s == "b")
+    n_c = sum(len(by_doc.get(i, [])) for i, s in rows if s == "c")
+    assert abs(n_b / 200 - 1.25) < 0.12 and abs(n_c / 200 - 0.5) < 0.12

@@ -846,3 +846,66 @@ def leakage_safe_split(
         )
     split = split.otherwise(F.lit(names[-1]))
     return components.select(id_col, comp_col, split.alias("split"))
+
+
+def epoch_expand(
+    df: DataFrame,
+    epochs,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch upsampling for training mixes: replicate each
+    document ``floor(f)`` or ``floor(f)+1`` times so the expected copy
+    count is EXACTLY the per-source epoch factor ``f`` — how a
+    pretraining run gives its high-quality sources >1 epoch (and its
+    bulk web slice <1) without a random sampler.
+
+    The extra-copy decision reuses the :func:`hash_sample` integer
+    uniform: copy count k = floor(f) + [u < frac(f)], with u derived
+    from md5(id:seed) — stateless, engine-portable, independent of
+    partitioning; a whole-number f replicates exactly f times, an
+    f < 1 becomes plain deterministic sampling. Copies materialize via
+    ``explode(sequence(...))``; ``epoch_ix`` (0-based) disambiguates
+    them downstream (e.g. for per-copy sequence packing offsets).
+
+    ``epochs`` is one float or a {source: f} dict (unlisted sources
+    fall back to ``default_epochs``). Output: the input columns plus
+    ``n_copies`` and ``epoch_ix``.
+
+    Scale shape: a pure per-row projection + constant-bounded explode
+    (fan-out = ceil(max f)); no shuffle, no state — fuses into the
+    scan like the other per-row gates.
+    """
+    if isinstance(epochs, dict):
+        f = F.lit(float(default_epochs))
+        for k, v in sorted(epochs.items()):
+            f = F.when(F.col(source_col) == F.lit(k), F.lit(float(v))).otherwise(f)
+    else:
+        f = F.lit(float(epochs))
+    base = F.floor(f).cast("bigint")
+    frac = f - F.floor(f)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint").cast("double")
+        / F.lit(float(2**32))
+    )
+    n = (base + F.when(u < frac, 1).otherwise(0)).alias("n_copies")
+    expanded = df.select("*", n).filter(F.col("n_copies") > 0)
+    return expanded.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_copies").cast("int") - 1)
+        ).alias("epoch_ix"),
+    )
