@@ -2353,6 +2353,23 @@ def _q_epoch_expand(spark, sf):
     return out.select("doc_id", "source", "n_copies", "epoch_ix")
 
 
+
+def _q_kneser_ney_lm(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (final session,
+    lm.kneser_ney_bigram): exact-integer sufficient statistics (pair
+    counts, left totals/fan-outs, right fan-ins, scalar type count) and
+    ONE composed float expression per output row — the smoothed model
+    the transition heuristic stands in for. min_count=3 keeps the
+    fixture dim table modest; the oracle recomputes every statistic and
+    the identical IEEE expression tree."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import (
+        kneser_ney_bigram,
+    )
+
+    d = _t(spark, sf, "documents")
+    return kneser_ney_bigram(d, min_count=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2415,7 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
-    audio_resample, epoch_expand — all oracle-backed
+    audio_resample, epoch_expand, kneser_ney_lm — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2557,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "audio_resample": _q_audio_resample,
         "epoch_expand": _q_epoch_expand,
+        "kneser_ney_lm": _q_kneser_ney_lm,
     }
 
 
@@ -5404,5 +5422,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, n_copies,
             CAST(unnest(range(0, n_copies)) AS INT) AS epoch_ix
         FROM n WHERE n_copies > 0
+    """
+    # Kneser-Ney: same statistics, same operation tree
+    out["kneser_ney_lm"] = r"""
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                         '[ \t\n\r\f\x0b]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        bi AS (
+            SELECT unnest(list_transform(
+                range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+            FROM toks WHERE len(t) >= 2
+        ),
+        pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM bi),
+        pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM pairs GROUP BY 1, 2),
+        l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c_w1,
+                     CAST(COUNT(*) AS BIGINT) AS n1_fwd
+              FROM pc GROUP BY 1),
+        r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bwd
+              FROM pc GROUP BY 1),
+        ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM pc)
+        SELECT pc.w1, pc.w2, pc.cnt,
+            ROUND(
+              GREATEST(CAST(pc.cnt AS DOUBLE) - 0.75, 0.0)
+                / CAST(l.c_w1 AS DOUBLE)
+              + (0.75 * CAST(l.n1_fwd AS DOUBLE)
+                 / CAST(l.c_w1 AS DOUBLE))
+                * (CAST(r.n1_bwd AS DOUBLE)
+                   / CAST(ty.n_types AS DOUBLE)),
+            9) AS prob
+        FROM pc JOIN l USING (w1) JOIN r USING (w2), ty
+        WHERE pc.cnt >= 3
     """
     return out

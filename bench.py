@@ -447,6 +447,7 @@ HEADLINE = [
     "media_resize",
     "audio_resample",
     "epoch_expand",
+    "kneser_ney_lm",
 ]
 
 

@@ -255,3 +255,66 @@ def dsir_weights(
             6,
         ).alias("importance"),
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model — the real smoothed LM the
+    transition heuristic (:func:`bigram_quality`) stands in for:
+
+        P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+                 + (D · N1+(w1·) / c(w1·)) · N1+(·w2) / N1+(··)
+
+    Every sufficient statistic is an exact integer groupBy aggregate
+    (pair counts; left-context totals and fan-outs; right-context
+    fan-ins; one scalar bigram-type count), joined back on their
+    natural keys. The probability is ONE composed float expression per
+    OUTPUT row — no accumulation across rows, so Spark and DuckDB
+    evaluate the identical IEEE-double operation tree bit-for-bit
+    (the unigram_quality discipline).
+
+    Scale shape: one bigram explode (linear in corpus tokens), three
+    key-partitioned groupBys (pair / w1 / w2, all map-side combined),
+    one broadcast 1-row scalar, equi joins on w1 and w2. The output is
+    the LM dim table downstream scorers broadcast.
+
+    Output: (w1, w2, cnt, prob) for pairs with cnt >= min_count.
+    """
+    pairs = df.select(
+        F.explode(bigram_col(F.col(text_col))).alias("bigram")
+    ).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    left = pc.groupBy("w1").agg(
+        F.sum("cnt").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1_fwd"),
+    )
+    right = pc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1_bwd")
+    )
+    types = pc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d = float(discount)
+    joined = (
+        pc.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    prob = (
+        F.greatest(F.col("cnt").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c_w1").cast("double")
+        + (F.lit(d) * F.col("n1_fwd").cast("double")
+           / F.col("c_w1").cast("double"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types").cast("double"))
+    )
+    return (
+        joined.filter(F.col("cnt") >= int(min_count))
+        .select("w1", "w2", "cnt", F.round(prob, 9).alias("prob"))
+    )
