@@ -394,3 +394,35 @@ def test_leakage_safe_split_adds_no_shuffle(spark):
     plan = _plan(leakage_safe_split(comps))
     assert "Exchange" not in plan
     assert "codegen id" in plan
+
+
+def test_epoch_expand_is_shuffle_free(spark, sf_dir):
+    """Epoch upsampling is a projection + constant-bounded explode —
+    no exchange, no window, no Python."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        epoch_expand,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(epoch_expand(docs.select("doc_id", "source"),
+                              {"src0": 2.0}, seed=1))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kneser_ney_keyed_aggs_only(spark, sf_dir):
+    """KN training is keyed groupBys + equi joins + one 1-row broadcast:
+    no single-partition exchange except the scalar type count, no
+    window, no Python, no cartesian product."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import (
+        kneser_ney_bigram,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(kneser_ney_bigram(docs, min_count=3))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the only SinglePartition exchange feeds the 1-row type-count agg
+    assert plan.count("Exchange SinglePartition") <= 1
