@@ -2370,6 +2370,19 @@ def _q_kneser_ney_lm(spark, sf):
     return kneser_ney_bigram(d, min_count=3)
 
 
+
+def _q_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (final session, textstats.
+    winnow_fingerprints — Schleimer et al. 2003 / MOSS): md5-derived
+    k-gram hashes, rightmost-min over each sliding window, distinct
+    (pos, fp) per doc — position-aware overlap localization. doc_id<50
+    bounds the compare set; the oracle recomputes the same selection
+    with list_slice/list_aggregate and the reversed-slice rightmost-min
+    trick."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return ts.winnow_fingerprints(d, k=9, window=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2432,7 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
-    audio_resample, epoch_expand, kneser_ney_lm — all oracle-backed
+    audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints —
+    all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2575,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": _q_audio_resample,
         "epoch_expand": _q_epoch_expand,
         "kneser_ney_lm": _q_kneser_ney_lm,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -5456,5 +5471,31 @@ def oracle_sql() -> dict[str, str]:
             9) AS prob
         FROM pc JOIN l USING (w1) JOIN r USING (w2), ty
         WHERE pc.cnt >= 3
+    """
+    # winnowing: same md5-derived hashes; rightmost min via reversed slice
+    out["winnow_fingerprints"] = r"""
+        WITH g AS (
+            SELECT doc_id,
+                list_transform(
+                    range(1, greatest(length(text) - 8, 0) + 1),
+                    i -> CAST(CAST('0x' || substr(md5(
+                        substr(text, CAST(i AS INT), 9)), 1, 8)
+                        AS UBIGINT) AS BIGINT)
+                ) AS hs
+            FROM documents WHERE doc_id < 50
+        ),
+        sel AS (
+            SELECT doc_id, list_transform(
+                range(1, greatest(len(hs) - 3, 0) + 1),
+                s -> [
+                    CAST(s + 4 - list_position(
+                        list_reverse(hs[s:s+3]),
+                        list_aggregate(hs[s:s+3], 'min')) AS BIGINT),
+                    list_aggregate(hs[s:s+3], 'min')
+                ]) AS sels
+            FROM g
+        )
+        SELECT DISTINCT doc_id, p[1] AS pos, p[2] AS fp
+        FROM (SELECT doc_id, unnest(sels) AS p FROM sel)
     """
     return out

@@ -1906,3 +1906,42 @@ def test_epoch_expand_laws(spark):
     n_b = sum(len(by_doc.get(i, [])) for i, s in rows if s == "b")
     n_c = sum(len(by_doc.get(i, [])) for i, s in rows if s == "c")
     assert abs(n_b / 200 - 1.25) < 0.12 and abs(n_c / 200 - 0.5) < 0.12
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Selected fingerprints match a pure-Python winnow (rightmost-min
+    windows over the same md5-derived hashes); any shared substring of
+    length >= k + w - 1 yields a shared fingerprint (the winnowing
+    guarantee); disjoint texts share nothing."""
+    import hashlib
+
+    k, w = 5, 3
+    a = "the winnowing guarantee holds for long shared spans here"
+    b = "prefix junk THEN winnowing guarantee holds for long shared XX"
+    c = "zzzz completely unrelated qqqq material vvvv"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], ["doc_id", "text"]
+    )
+    got = {}
+    for r in ts.winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    def py_winnow(t):
+        hs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            best_pos, best = None, None
+            for j in range(s, s + w):
+                if best is None or hs[j] <= best:
+                    best_pos, best = j, hs[j]
+            out.add((best_pos + 1, best))
+        return out
+
+    for i, t in ((0, a), (1, b), (2, c)):
+        assert got[i] == py_winnow(t), i
+    fps = lambda i: {fp for _, fp in got[i]}  # noqa: E731
+    assert fps(0) & fps(1)       # the shared long span must collide
+    assert not (fps(0) & fps(2))  # unrelated text shares nothing

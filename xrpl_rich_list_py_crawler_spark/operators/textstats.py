@@ -897,3 +897,77 @@ def normalize_text_col(text: Column) -> Column:
     t = F.regexp_replace(t, "[ \t]+", " ")
     t = F.regexp_replace(t, "\n\n\n+", "\n\n")
     return F.trim(t)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a ``window`` over the
+    hash sequence, keep each window's MINIMUM (rightmost occurrence on
+    ties) — guaranteeing every match of length >= k + window − 1 shares
+    a selected fingerprint, at ~2/(window+1) storage. The
+    position-aware complement of :func:`fingerprint`'s whole-document
+    hashes: shared fingerprints localize WHERE two docs overlap.
+
+    Pure JVM: k-grams via transform+substring, hashes via xxhash64 (an
+    engine-local choice — the oracle uses the same selection computed
+    over DuckDB's hash() instead, certified by the POSITION sets, which
+    are hash-function-invariant only for identical texts; cross-engine
+    equality therefore pins positions of the minima over md5-derived
+    portable hashes). Window minima via transform(slice)+array_min:
+    per-row arrays, zero shuffle until the final explode+distinct.
+
+    Output: (id_col, pos, fp) — distinct selected fingerprints with the
+    1-based k-gram position of each minimum.
+    """
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(int(k) - 1), F.lit(0))
+    # portable per-gram hash: first 8 md5 hex chars as a bigint
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(int(k)))), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    n_windows = F.greatest(
+        F.size(grams) - F.lit(int(window) - 1), F.lit(0)
+    )
+    # per window: min hash; position = RIGHTMOST index attaining it
+    sel = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda w: F.struct(
+            F.aggregate(
+                F.sequence(w, w + F.lit(int(window) - 1)),
+                F.struct(
+                    F.lit(0).cast("bigint").alias("pos"),
+                    F.lit(None).cast("bigint").alias("h"),
+                ),
+                lambda acc, i: F.when(
+                    acc["h"].isNull()
+                    | (F.element_at(grams, i) <= acc["h"]),
+                    F.struct(
+                        i.cast("bigint").alias("pos"),
+                        F.element_at(grams, i).alias("h"),
+                    ),
+                ).otherwise(acc),
+            ).alias("m")
+        ),
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.explode(F.when(n_windows > 0, sel).otherwise(
+            F.array().cast(
+                "array<struct<m:struct<pos:bigint,h:bigint>>>"
+            )
+        )).alias("s"),
+    ).select(
+        id_col,
+        F.col("s.m.pos").alias("pos"),
+        F.col("s.m.h").alias("fp"),
+    )
+    return rows.distinct()
