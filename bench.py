@@ -448,6 +448,7 @@ HEADLINE = [
     "audio_resample",
     "epoch_expand",
     "kneser_ney_lm",
+    "winnow_fingerprints",
 ]
 
 
