@@ -914,60 +914,55 @@ def winnow_fingerprints(
     position-aware complement of :func:`fingerprint`'s whole-document
     hashes: shared fingerprints localize WHERE two docs overlap.
 
-    Pure JVM: k-grams via transform+substring, hashes via xxhash64 (an
-    engine-local choice — the oracle uses the same selection computed
-    over DuckDB's hash() instead, certified by the POSITION sets, which
-    are hash-function-invariant only for identical texts; cross-engine
-    equality therefore pins positions of the minima over md5-derived
-    portable hashes). Window minima via transform(slice)+array_min:
-    per-row arrays, zero shuffle until the final explode+distinct.
+    Per-gram hashes are md5-derived bigints (engine-portable — the
+    oracle reproduces the exact selection). The gram array materializes
+    ONCE per row through ``posexplode`` — an earlier nested-transform
+    formulation re-evaluated the whole md5 array per window element
+    (Catalyst does not CSE across lambda scopes), turning 50 docs into
+    41 s; this shape is linear. The rightmost-min is one per-DOC sliding
+    ``min(struct(h, -idx))`` window (lexicographic: min hash, then the
+    largest index) — partitioned by document, never global.
+
+    Scale shape: one explode (linear in characters), one doc-keyed
+    shuffle for the window sort, one distinct on the selected
+    fingerprints (~2/(window+1) of grams). No Python.
 
     Output: (id_col, pos, fp) — distinct selected fingerprints with the
     1-based k-gram position of each minimum.
     """
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - F.lit(int(k) - 1), F.lit(0))
-    # portable per-gram hash: first 8 md5 hex chars as a bigint
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(
             F.substring(F.md5(t.substr(i, F.lit(int(k)))), 1, 8), 16, 10
         ).cast("bigint"),
     )
-    n_windows = F.greatest(
-        F.size(grams) - F.lit(int(window) - 1), F.lit(0)
-    )
-    # per window: min hash; position = RIGHTMOST index attaining it
-    sel = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda w: F.struct(
-            F.aggregate(
-                F.sequence(w, w + F.lit(int(window) - 1)),
-                F.struct(
-                    F.lit(0).cast("bigint").alias("pos"),
-                    F.lit(None).cast("bigint").alias("h"),
-                ),
-                lambda acc, i: F.when(
-                    acc["h"].isNull()
-                    | (F.element_at(grams, i) <= acc["h"]),
-                    F.struct(
-                        i.cast("bigint").alias("pos"),
-                        F.element_at(grams, i).alias("h"),
-                    ),
-                ).otherwise(acc),
-            ).alias("m")
-        ),
-    )
     rows = df.select(
         F.col(id_col),
-        F.explode(F.when(n_windows > 0, sel).otherwise(
-            F.array().cast(
-                "array<struct<m:struct<pos:bigint,h:bigint>>>"
-            )
-        )).alias("s"),
+        n_grams.alias("_n"),
+        F.posexplode(grams).alias("_i0", "_h"),
     ).select(
         id_col,
-        F.col("s.m.pos").alias("pos"),
-        F.col("s.m.h").alias("fp"),
+        "_n",
+        (F.col("_i0") + 1).alias("_idx"),
+        F.col("_h"),
     )
-    return rows.distinct()
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_idx")
+        .rowsBetween(Window.currentRow, int(window) - 1)
+    )
+    m = F.min(
+        F.struct(F.col("_h").alias("h"), (-F.col("_idx")).alias("neg"))
+    ).over(w)
+    sel = (
+        rows.select(id_col, "_n", "_idx", m.alias("_m"))
+        .filter(F.col("_idx") <= F.col("_n") - F.lit(int(window) - 1))
+        .select(
+            id_col,
+            (-F.col("_m.neg")).cast("bigint").alias("pos"),
+            F.col("_m.h").alias("fp"),
+        )
+    )
+    return sel.distinct()
