@@ -2383,6 +2383,32 @@ def _q_winnow_fingerprints(spark, sf):
     return ts.winnow_fingerprints(d, k=9, window=4)
 
 
+
+def _q_seq_assembly(spark, sf):
+    """Packed-sequence assembly (final session, packing.
+    assemble_sequences): one row per training sequence with its
+    in-order document list and the boundary offsets an attention mask
+    needs (packed docs must not attend across each other). Arrays are
+    emitted comma-joined so the hash compare is representation-exact in
+    both engines; the oracle rebuilds the same assembly from the naive
+    prefix-sum window + ordered list aggregation."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        assemble_sequences,
+    )
+
+    d = _t(spark, sf, "documents")
+    out = assemble_sequences(d, capacity=256)
+    return out.select(
+        "seq_id", "n_docs", "n_toks",
+        F.array_join(F.transform("doc_ids",
+                                 lambda x: x.cast("string")), ",").alias(
+            "doc_ids"),
+        F.array_join(F.transform("boundaries",
+                                 lambda x: x.cast("string")), ",").alias(
+            "boundaries"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2445,8 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidate for the r06 rotation. The final-session additions
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
-    audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints —
-    all oracle-backed
+    audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints,
+    seq_assembly — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2590,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_expand": _q_epoch_expand,
         "kneser_ney_lm": _q_kneser_ney_lm,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "seq_assembly": _q_seq_assembly,
     }
 
 
@@ -5497,5 +5524,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT doc_id, p[1] AS pos, p[2] AS fp
         FROM (SELECT doc_id, unnest(sels) AS p FROM sel)
+    """
+    # sequence assembly: naive prefix-sum window + ordered list agg
+    out["seq_assembly"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+                    len(list_filter(regexp_split_to_array(trim(text),
+                        '[ \t\n\r\f\x0b]+'), x -> x <> '')) END
+                    + 1 AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS start
+            FROM toks
+        ),
+        spans AS (
+            SELECT c.doc_id, c.start, c.start + c.n_tok AS fin,
+                   unnest(range(c.start // 256,
+                                (c.start + c.n_tok - 1) // 256 + 1))
+                       AS seq_id
+            FROM cum c
+        ),
+        sl AS (
+            SELECT seq_id, doc_id,
+                CAST(GREATEST(start, seq_id * 256) - seq_id * 256
+                     AS INT) AS seq_off,
+                CAST(LEAST(fin, seq_id * 256 + 256)
+                     - GREATEST(start, seq_id * 256) AS INT) AS n_toks
+            FROM spans
+        )
+        SELECT seq_id,
+            CAST(COUNT(*) AS INT) AS n_docs,
+            CAST(SUM(n_toks) AS INT) AS n_toks,
+            array_to_string(list(CAST(doc_id AS VARCHAR)
+                ORDER BY seq_off, doc_id), ',') AS doc_ids,
+            array_to_string(list(CAST(seq_off AS VARCHAR)
+                ORDER BY seq_off, doc_id), ',') AS boundaries
+        FROM sl GROUP BY seq_id
     """
     return out

@@ -449,6 +449,7 @@ HEADLINE = [
     "epoch_expand",
     "kneser_ney_lm",
     "winnow_fingerprints",
+    "seq_assembly",
 ]
 
 

@@ -189,3 +189,42 @@ def test_shard_assignment_laws(spark, tmp_path):
     assert back.count() == 300
     joined = {r.doc_id: r.shard for r in back.collect()}
     assert all(joined[i] == got[i][2] for i, _ in rows)
+
+
+def test_assemble_sequences_boundaries(spark):
+    """Assembly laws: boundaries start at 0 and strictly ascend; every
+    sequence except the last is exactly at capacity; doc order within a
+    sequence matches ascending seq_off; totals reconcile with the slice
+    rows; result is partitioning-invariant."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        assemble_sequences,
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 7) % 40))) for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cap = 64
+    seqs = {r.seq_id: r for r in assemble_sequences(df, capacity=cap).collect()}
+    last = max(seqs)
+    for sid, r in seqs.items():
+        assert r.boundaries[0] == 0
+        assert list(r.boundaries) == sorted(set(r.boundaries))
+        assert r.n_docs == len(r.doc_ids) == len(r.boundaries)
+        if sid != last:
+            assert r.n_toks == cap
+    slices = pack_sequences(df, capacity=cap).collect()
+    by_seq = {}
+    for s in slices:
+        by_seq.setdefault(s.seq_id, []).append(s)
+    for sid, ss in by_seq.items():
+        ss.sort(key=lambda s: (s.seq_off, s.doc_id))
+        assert [s.doc_id for s in ss] == list(seqs[sid].doc_ids)
+        assert [s.seq_off for s in ss] == list(seqs[sid].boundaries)
+        assert sum(s.n_toks for s in ss) == seqs[sid].n_toks
+    again = {
+        r.seq_id: (list(r.doc_ids), list(r.boundaries))
+        for r in assemble_sequences(df.repartition(16), capacity=cap).collect()
+    }
+    assert again == {
+        k: (list(v.doc_ids), list(v.boundaries)) for k, v in seqs.items()
+    }

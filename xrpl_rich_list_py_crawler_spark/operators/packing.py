@@ -227,3 +227,50 @@ def write_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """One row per TRAINING SEQUENCE from :func:`pack_sequences`' slice
+    rows — the dataloader-facing view: which documents compose each
+    sequence, in order, with the boundary offsets an attention mask
+    needs so packed documents don't attend across each other.
+
+    Output: (seq_id, n_docs, n_toks, doc_ids, boundaries) where
+    ``doc_ids`` is the in-order document list and ``boundaries`` the
+    matching sequence offsets (each doc's slice starts at
+    boundaries[i], ends at boundaries[i+1] or n_toks). Slices within a
+    sequence never overlap by construction, so ``sort_array`` on
+    (seq_off, doc_id) structs is a total order and the assembly is
+    deterministic at any parallelism.
+
+    Scale shape: one groupBy(seq_id) over the slice rows — dense
+    integer keys, bounded group size (≤ capacity slices, typically a
+    handful), map-side partial collect. The final sequence table is
+    ~total_tokens/capacity rows.
+    """
+    slices = pack_sequences(
+        df, capacity=capacity, text_col=text_col, id_col=id_col,
+        eos_tokens=eos_tokens,
+    )
+    entry = F.struct(
+        F.col("seq_off").alias("off"), F.col(id_col).alias("doc")
+    )
+    g = slices.groupBy("seq_id").agg(
+        F.sort_array(F.collect_list(entry)).alias("_e"),
+        F.sum("n_toks").cast("int").alias("n_toks"),
+    )
+    return g.select(
+        "seq_id",
+        F.size("_e").cast("int").alias("n_docs"),
+        "n_toks",
+        F.transform(F.col("_e"), lambda e: e["doc"]).alias("doc_ids"),
+        F.transform(F.col("_e"), lambda e: e["off"].cast("int")).alias(
+            "boundaries"
+        ),
+    )
