@@ -2409,6 +2409,28 @@ def _q_seq_assembly(spark, sf):
     )
 
 
+
+def _q_corpus_report(spark, sf):
+    """Per-source corpus report (final session, curation.corpus_report):
+    the one-page pre-training rollup — volumes, dup/contamination
+    pressure, quality and final selection rates per source — one
+    map-side-combined groupBy over the same training_mix verdicts the
+    training_mix query certifies. Oracle = the training_mix oracle
+    wrapped in the identical rollup."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        corpus_report,
+        training_mix,
+    )
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 7)
+    bench = d.filter(F.col("doc_id") % 10 == 7)
+    v = training_mix(
+        train, bench, per_source_cap=10, max_top_token_ratio=0.12
+    )
+    return corpus_report(v)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2472,7 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
     audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints,
-    seq_assembly — all oracle-backed
+    seq_assembly, corpus_report — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2617,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_lm": _q_kneser_ney_lm,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "seq_assembly": _q_seq_assembly,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -5566,4 +5589,25 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY seq_off, doc_id), ',') AS boundaries
         FROM sl GROUP BY seq_id
     """
+    # corpus report: the training_mix oracle wrapped in the rollup
+    out["corpus_report"] = (
+        "WITH tm AS (" + out["training_mix"] + """)
+        SELECT source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exact_dup,
+            CAST(SUM(CASE WHEN is_near_dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_near_dup,
+            CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_contaminated,
+            CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quality_ok,
+            CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_selected,
+            ROUND(CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*), 6) AS quality_rate,
+            ROUND(CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*), 6) AS selection_rate
+        FROM tm GROUP BY source"""
+    )
     return out

@@ -450,6 +450,7 @@ HEADLINE = [
     "kneser_ney_lm",
     "winnow_fingerprints",
     "seq_assembly",
+    "corpus_report",
 ]
 
 

@@ -909,3 +909,42 @@ def epoch_expand(
             F.sequence(F.lit(0), F.col("n_copies").cast("int") - 1)
         ).alias("epoch_ix"),
     )
+
+
+def corpus_report(
+    verdicts: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Per-source rollup of :func:`training_mix` verdicts — the one-page
+    corpus report a data team reads before a training run: volumes,
+    dup/contamination pressure, quality pass rate, final selection
+    rate. One map-side-combined groupBy over the verdict table; rates
+    are exact integer counts divided once (the engine's ratio
+    discipline).
+
+    Output: (source, n_docs, n_exact_dup, n_near_dup, n_contaminated,
+    n_quality_ok, n_selected, quality_rate, selection_rate).
+    """
+    c = F.count(F.lit(1)).cast("bigint")
+
+    def cnt(col):
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).cast("bigint")
+
+    g = verdicts.groupBy(source_col).agg(
+        c.alias("n_docs"),
+        cnt("is_exact_dup").alias("n_exact_dup"),
+        cnt("is_near_dup").alias("n_near_dup"),
+        cnt("contaminated").alias("n_contaminated"),
+        cnt("quality_ok").alias("n_quality_ok"),
+        cnt("selected").alias("n_selected"),
+    )
+    return g.select(
+        source_col,
+        "n_docs", "n_exact_dup", "n_near_dup", "n_contaminated",
+        "n_quality_ok", "n_selected",
+        F.round(
+            F.col("n_quality_ok").cast("double") / F.col("n_docs"), 6
+        ).alias("quality_rate"),
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n_docs"), 6
+        ).alias("selection_rate"),
+    )
