@@ -1945,3 +1945,44 @@ def test_winnow_fingerprints_reference_and_guarantee(spark):
     fps = lambda i: {fp for _, fp in got[i]}  # noqa: E731
     assert fps(0) & fps(1)       # the shared long span must collide
     assert not (fps(0) & fps(2))  # unrelated text shares nothing
+
+
+def test_corpus_report_rollup(spark):
+    """corpus_report over a hand-built verdict frame: exact per-source
+    counts, rates as single divisions of those counts, one row per
+    source, and a plan with map-side partial aggregation and no Python
+    eval (it must stay a single-shuffle JVM rollup at corpus scale)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        corpus_report,
+    )
+
+    # (source, is_exact_dup, is_near_dup, contaminated, quality_ok, selected)
+    rows = [
+        ("web", True, False, False, False, False),
+        ("web", False, True, False, False, False),
+        ("web", False, False, True, False, False),
+        ("web", False, False, False, True, True),
+        ("web", False, False, False, True, False),   # quota-capped
+        ("wiki", False, False, False, True, True),
+        ("wiki", False, False, False, False, False),  # repetition gate
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["source", "is_exact_dup", "is_near_dup", "contaminated",
+         "quality_ok", "selected"],
+    )
+    got = {r["source"]: r for r in corpus_report(df).collect()}
+    assert set(got) == {"web", "wiki"}
+    web, wiki = got["web"], got["wiki"]
+    assert (web["n_docs"], web["n_exact_dup"], web["n_near_dup"],
+            web["n_contaminated"], web["n_quality_ok"],
+            web["n_selected"]) == (5, 1, 1, 1, 2, 1)
+    assert web["quality_rate"] == 0.4 and web["selection_rate"] == 0.2
+    assert (wiki["n_docs"], wiki["n_quality_ok"], wiki["n_selected"]) == (
+        2, 1, 1)
+    assert wiki["quality_rate"] == 0.5 and wiki["selection_rate"] == 0.5
+    plan = (
+        corpus_report(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
