@@ -1234,6 +1234,34 @@ def _q_minhash_neardups(spark, sf):
     )
 
 
+def _q_minhash_incremental(spark, sf):
+    """Incremental near-dup: NEW docs (doc_id % 10 >= 8, the day's
+    fetch) LSH-banded against the REFERENCE corpus (doc_id % 10 < 8)
+    with `minhash_vs_reference` — neither side self-pairs, the reference
+    participates only via its (id, band, bucket) index — then EXACT
+    char-9-gram Jaccard verification. Oracle-checkable the same way as
+    minhash_neardups: emitted pairs are exactly the cross-split pairs
+    with true Jaccard ≥ 0.5 (LSH recall ≈ 1-4e-8 at j=0.9 with 16
+    bands × 4 rows on the bimodal fixture)."""
+    d = _t(spark, sf, "documents")
+    new_side = d.filter(F.col("doc_id") % 10 >= 8)
+    ref_side = d.filter(F.col("doc_id") % 10 < 8)
+    cand = dd.minhash_vs_reference(
+        new_side, ref_side, bands=16, n_hashes=64
+    ).select(
+        F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
+    )
+    return (
+        dd.chargram_jaccard_pairs(d, cand, n=9, stride=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("ref_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def _q_neardup_components(spark, sf):
     """Keep-one-per-component dedup verdicts: verified minhash near-dup
     pairs (the minhash_neardups truth set) → iterative min-label
@@ -2640,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "seq_assembly": _q_seq_assembly,
         "corpus_report": _q_corpus_report,
+        "minhash_incremental": _q_minhash_incremental,
     }
 
 
@@ -5610,4 +5639,22 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) / COUNT(*), 6) AS selection_rate
         FROM tm GROUP BY source"""
     )
+    # incremental near-dup: exact cross-split char-gram Jaccard (same
+    # oracle-by-construction argument as minhash_neardups — LSH recall
+    # ≈ 1 on the bimodal fixture, verification filters to truth)
+    out["minhash_incremental"] = r"""
+        WITH grams AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(text) - 8, 1) + 1, 3),
+                i -> substr(text, CAST(i AS INT), 9))) AS g
+            FROM documents
+        )
+        SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+            ROUND(CAST(len(list_intersect(n.g, r.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(n.g, r.g))), 6) AS jaccard
+        FROM grams n JOIN grams r
+          ON (n.doc_id % 10) >= 8 AND (r.doc_id % 10) < 8
+        WHERE CAST(len(list_intersect(n.g, r.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(n.g, r.g))) >= 0.5
+    """
     return out

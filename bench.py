@@ -451,6 +451,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "seq_assembly",
     "corpus_report",
+    "minhash_incremental",
 ]
 
 

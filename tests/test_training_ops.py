@@ -1986,3 +1986,44 @@ def test_corpus_report_rollup(spark):
     )
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_minhash_vs_reference_cross_only(spark):
+    """Incremental LSH: candidates pair NEW docs with REFERENCE docs
+    only — a dup pair inside either side is never emitted, the cross
+    dup is caught, and the candidate set agrees exactly with the
+    self-join path restricted to cross pairs (both use the shared
+    band_buckets, so bucketing is identical by construction). Plan must
+    be an equi-join on (band, bucket) — no cartesian product."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),                         # ref
+        (2, base + "tail-a"),              # ref, near-dup of 1 (in-ref pair)
+        (3, "completely different reference text " * 10),
+        (10, base + "tail-b"),             # new, near-dup of 1 and 2
+        (11, "unrelated new document about spark physical plans " * 9),
+        (12, "unrelated new document about spark physical plans " * 9
+             + "x"),                       # new, near-dup of 11 (in-new pair)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = df.filter("doc_id < 10")
+    new = df.filter("doc_id >= 10")
+    got = {
+        (r.new_id, r.ref_id)
+        for r in dd.minhash_vs_reference(new, ref).collect()
+    }
+    assert {(10, 1), (10, 2)} <= got
+    assert all(n >= 10 and rf < 10 for n, rf in got)  # cross pairs only
+    assert (12, 11) not in got and (2, 1) not in got
+    # consistency with the self-join path, restricted to cross pairs
+    self_cross = {
+        (max(p.id_a, p.id_b), min(p.id_a, p.id_b))
+        for p in dd.minhash_lsh_candidates(df).collect()
+        if (p.id_a < 10) != (p.id_b < 10)
+    }
+    assert got == self_cross
+    plan = (
+        dd.minhash_vs_reference(new, ref)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

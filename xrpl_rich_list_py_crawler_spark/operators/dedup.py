@@ -174,6 +174,88 @@ def salt_split_oversize(
     return salted, [*group_keys, "_salt"]
 
 
+def band_buckets(
+    with_sig: DataFrame, id_col: str, bands: int, r: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a (id, sig) frame: slice the minhash
+    signature into ``bands`` bands of ``r`` rows, hash each band
+    (``xxhash64(band_index, rendered slice)``), posexplode. Shared by the
+    self-join candidate path and the incremental vs-reference path so
+    both sides of any candidate join bucket IDENTICALLY by construction.
+    """
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), F.slice("sig", b * r + 1, r).cast("array<string>").cast("string")
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = with_sig.select(id_col, "sig", F.posexplode(F.array(*band_cols)))
+    # (pos, col) = (band index, bucket hash)
+    return banded.select(
+        id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
+    )
+
+
+def minhash_vs_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW docs against an existing
+    REFERENCE corpus — the continuous-ingest shape of web-crawl dedup
+    (each day's fetch is deduped against the accumulated 100 TB corpus;
+    re-running the self-join over old∪new every increment would redo
+    O(corpus) work per day and re-emit every historical pair).
+
+    Same banded LSH as :func:`minhash_lsh_candidates`, but the band
+    buckets of the two sides are built separately and EQUI-JOINED
+    (new ⋈ ref on (band, bucket)): the reference side never pairs with
+    itself, the new side never pairs with itself, and candidate
+    generation touches the reference only through its (id, band, bucket)
+    index — which production writes once as a table bucketed by
+    (band, bucket) (``DataFrameWriter.bucketBy``), so each increment's
+    join shuffles ONLY the new side. Output: distinct (new_id, ref_id).
+
+    Generalizes the reference crawler's seen-URL anti-join
+    (validator.py:94-110 re-fetch skip) from exact URL identity to
+    near-duplicate content identity, per SURVEY.md §2's
+    training-data-pipeline mandate.
+
+    Skew note: a boilerplate bucket with n_new × n_ref members emits
+    that many candidates — inherent to candidate generation, but unlike
+    the self-join path the join here is a plain equi-join, so AQE's
+    skew-join split handles oversized buckets without the salt
+    machinery (no within-bucket pair enumeration happens engine-side).
+    Verification downstream (:func:`chargram_jaccard_pairs`) is linear
+    in candidates.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures_udf(n_hashes, shingle_k)
+    nb = band_buckets(
+        new_df.select(id_col, sig(F.col(text_col)).alias("sig")),
+        id_col, bands, r,
+    )
+    rb = band_buckets(
+        ref_df.select(id_col, sig(F.col(text_col)).alias("sig")),
+        id_col, bands, r,
+    )
+    return (
+        nb.select(
+            F.col(id_col).alias("new_id"), "band", "bucket"
+        )
+        .join(
+            rb.select(F.col(id_col).alias("ref_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -241,21 +323,11 @@ def minhash_lsh_candidates(
             .select(id_col, "sig")
         )
 
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), F.slice("sig", b * r + 1, r).cast("array<string>").cast("string")
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = with_sig.select(id_col, "sig", F.posexplode(F.array(*band_cols)))
-    # (pos, col) = (band index, bucket hash)
     # persisted: the self-join references this frame TWICE — without a
     # materialization barrier each side recomputes the Arrow signature
     # UDF over the whole corpus (plan-audit finding, round 3). Storage is
     # (id, band, bucket) only — tiny; LRU-evicted with the session.
-    buckets = banded.select(
-        id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
-    ).persist()
+    buckets = band_buckets(with_sig, id_col, bands, r).persist()
 
     keys = ["band", "bucket"]
     if max_bucket_size is not None:
