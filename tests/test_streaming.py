@@ -371,3 +371,71 @@ def test_gopher_gate_composes_with_streaming(spark, tmp_path):
         for r in gopher_quality(batch, min_words=20).collect()
     }
     assert got == want == {0: True, 1: False, 2: False}
+
+
+def test_neardup_vs_reference_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental near-dup candidates == batch
+    minhash_vs_reference over the same deliveries: a near-dup of a
+    reference doc is flagged against it, an unrelated doc is not, the
+    pair set is exact across micro-batches, and a checkpointed restart
+    does not re-emit pairs already seen."""
+    from xrpl_rich_list_py_crawler_spark.operators import dedup as dd
+    from xrpl_rich_list_py_crawler_spark.streaming import (
+        neardup_vs_reference_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different reference text " * 10
+    ref = spark.createDataFrame(
+        [(1, base), (2, base + "tail-a"), (3, other)],
+        ["doc_id", "text"],
+    )
+    ref_index = dd.reference_band_index(ref).persist()
+
+    epoch = datetime(2026, 3, 1)
+    src = str(tmp_path / "newdocs")
+    os.makedirs(src)
+
+    def deliver(name, rows, hour):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [i for i, _ in rows],
+                "url": [f"https://d.com/{i}" for i, _ in rows],
+                "text": [t for _, t in rows],
+                "ingest_ts": [epoch + timedelta(hours=hour)] * len(rows),
+            }
+        )
+        pdf["ingest_ts"] = pdf["ingest_ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"{name}.parquet"))
+
+    out = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ckpt")
+    deliver("b0", [(10, base + "tail-b"), (11, "unrelated new text " * 9)], 0)
+    deliver("b1", [(12, other + " extra")], 1)
+    q = neardup_vs_reference_stream(spark, src, ref_index, out, ckpt)
+    q.awaitTermination(300)
+    got = {
+        (r.new_id, r.ref_id) for r in spark.read.parquet(out).collect()
+    }
+    new_batch = spark.createDataFrame(
+        [(10, base + "tail-b"), (11, "unrelated new text " * 9),
+         (12, other + " extra")],
+        ["doc_id", "text"],
+    )
+    want = {
+        (r.new_id, r.ref_id)
+        for r in dd.minhash_vs_reference(new_batch, ref).collect()
+    }
+    assert got == want
+    assert {(10, 1), (10, 2), (12, 3)} <= got
+    assert all(n != 11 for n, _ in got)
+    # restart: a re-delivered near-dup pair inside the watermark is
+    # suppressed by state; a genuinely new doc is flagged
+    deliver("b2", [(13, base + "tail-c")], 2)
+    q = neardup_vs_reference_stream(spark, src, ref_index, out, ckpt)
+    q.awaitTermination(300)
+    got2 = [
+        (r.new_id, r.ref_id) for r in spark.read.parquet(out).collect()
+    ]
+    assert len(got2) == len(set(got2))          # no duplicate pair rows
+    assert {(13, 1), (13, 2)} <= set(got2)

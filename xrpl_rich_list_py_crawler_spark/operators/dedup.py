@@ -180,8 +180,10 @@ def band_buckets(
     """(id, band, bucket) rows from a (id, sig) frame: slice the minhash
     signature into ``bands`` bands of ``r`` rows, hash each band
     (``xxhash64(band_index, rendered slice)``), posexplode. Shared by the
-    self-join candidate path and the incremental vs-reference path so
-    both sides of any candidate join bucket IDENTICALLY by construction.
+    self-join candidate path, the incremental vs-reference path, and the
+    streaming vs-reference job, so every side of any candidate join
+    buckets IDENTICALLY by construction. Columns other than ``sig`` are
+    passed through (the streaming caller carries ``ingest_ts``).
     """
     band_cols = [
         F.xxhash64(
@@ -189,10 +191,33 @@ def band_buckets(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = with_sig.select(id_col, "sig", F.posexplode(F.array(*band_cols)))
+    banded = with_sig.select("*", F.posexplode(F.array(*band_cols)))
     # (pos, col) = (band index, bucket hash)
+    keep = [c for c in with_sig.columns if c != "sig"]
     return banded.select(
-        id_col, F.col("pos").alias("band"), F.col("col").alias("bucket")
+        *keep, F.col("pos").alias("band"), F.col("col").alias("bucket")
+    )
+
+
+def reference_band_index(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """The reference corpus's (id, band, bucket) LSH index — the static
+    side of incremental dedup (:func:`minhash_vs_reference` and the
+    streaming ``neardup_vs_reference_stream``). In production this is
+    computed ONCE per corpus version and written with
+    ``bucketBy(n, "band", "bucket")`` so every later increment's
+    candidate join is exchange-free on the reference side."""
+    r = n_hashes // bands
+    sig = minhash_signatures_udf(n_hashes, shingle_k)
+    return band_buckets(
+        ref_df.select(id_col, sig(F.col(text_col)).alias("sig")),
+        id_col, bands, r,
     )
 
 
@@ -233,15 +258,11 @@ def minhash_vs_reference(
     Verification downstream (:func:`chargram_jaccard_pairs`) is linear
     in candidates.
     """
-    r = n_hashes // bands
-    sig = minhash_signatures_udf(n_hashes, shingle_k)
-    nb = band_buckets(
-        new_df.select(id_col, sig(F.col(text_col)).alias("sig")),
-        id_col, bands, r,
+    nb = reference_band_index(
+        new_df, text_col, id_col, n_hashes, bands, shingle_k
     )
-    rb = band_buckets(
-        ref_df.select(id_col, sig(F.col(text_col)).alias("sig")),
-        id_col, bands, r,
+    rb = reference_band_index(
+        ref_df, text_col, id_col, n_hashes, bands, shingle_k
     )
     return (
         nb.select(

@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     frontier_dedup_stream,
     hll_register_stream,
     hourly_summary_stream,
+    neardup_vs_reference_stream,
     politeness_stream,
     warc_ingest_stream,
 )

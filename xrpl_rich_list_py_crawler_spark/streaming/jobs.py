@@ -313,6 +313,73 @@ def corpus_dedup_stream(
     )
 
 
+def neardup_vs_reference_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    ref_index,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental near-dup: micro-batches of arriving docs
+    LSH-banded and STREAM-STATIC joined against the reference corpus's
+    precomputed (id, band, bucket) index
+    (:func:`..operators.dedup.reference_band_index`) — the continuous
+    deployment of ``minhash_vs_reference``. Emits (new_id, ref_id,
+    ingest_ts) candidate rows; exact verification stays a batch
+    follow-up over candidates (linear, tiny).
+
+    State: the ONLY streaming state is the pair-dedup
+    (``dropDuplicatesWithinWatermark`` on (new_id, ref_id) — a doc
+    bucketing with the same reference row in several bands would
+    otherwise emit the pair once per band), evicted past the ingest
+    watermark. The reference index carries no state at all: it is a
+    static frame re-joined each micro-batch — persist it (done here) at
+    sandbox scale; at 100 TB it is a ``bucketBy(band, bucket)`` table so
+    each micro-batch's join shuffles only that batch's bands.
+    """
+    from ..operators.dedup import band_buckets, minhash_signatures_udf
+
+    schema = "doc_id long, url string, text string, ingest_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    r = n_hashes // bands
+    sig = minhash_signatures_udf(n_hashes, shingle_k)
+    nb = band_buckets(
+        stream.select(
+            "doc_id", "ingest_ts", sig(F.col("text")).alias("sig")
+        ),
+        "doc_id", bands, r,
+    ).select(
+        F.col("doc_id").alias("new_id"), F.col("ingest_ts"),
+        "band", "bucket",
+    )
+    ref = ref_index.select(
+        F.col(ref_index.columns[0]).alias("ref_id"), "band", "bucket"
+    ).persist()
+    pairs = (
+        nb.join(ref, ["band", "bucket"])
+        .select("new_id", "ref_id", "ingest_ts")
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["new_id", "ref_id"])
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def warc_ingest_stream(
     spark: SparkSession,
     warc_dir: str,
