@@ -1262,6 +1262,26 @@ def _q_minhash_incremental(spark, sf):
     )
 
 
+def _q_kn_doc_quality(spark, sf):
+    """Apply the trained Kneser-Ney LM to score documents (final
+    session, lm.kn_doc_scores) — the CCNet step the model dim exists
+    for. min_count=10 leaves real OOV bigrams (coverage < 1),
+    rare_tau=0.02 fires the rare-transition counter, and the
+    0.95/0.1 gates reject a measurable slice at sf0.01 — every branch
+    engages on the fixture. Order-independent reductions only (COUNT /
+    MIN), so the oracle recomputes the identical doubles."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import (
+        kn_doc_scores,
+        kneser_ney_bigram,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = kneser_ney_bigram(d, min_count=10)
+    return kn_doc_scores(
+        d, lm, rare_tau=0.02, min_coverage=0.95, max_rare_ratio=0.1
+    )
+
+
 def _q_neardup_components(spark, sf):
     """Keep-one-per-component dedup verdicts: verified minhash near-dup
     pairs (the minhash_neardups truth set) → iterative min-label
@@ -2669,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_assembly": _q_seq_assembly,
         "corpus_report": _q_corpus_report,
         "minhash_incremental": _q_minhash_incremental,
+        "kn_doc_quality": _q_kn_doc_quality,
     }
 
 
@@ -5656,5 +5677,77 @@ def oracle_sql() -> dict[str, str]:
           ON (n.doc_id % 10) >= 8 AND (r.doc_id % 10) < 8
         WHERE CAST(len(list_intersect(n.g, r.g)) AS DOUBLE)
               / len(list_distinct(list_concat(n.g, r.g))) >= 0.5
+    """
+    # KN LM applied per-doc: the kneser_ney_lm statistics at
+    # min_count=10, then order-independent per-doc reductions (the
+    # count/min discipline — no float accumulation anywhere)
+    out["kn_doc_quality"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                                         '[ \t\n\r\f\x0b]+'),
+                            x -> x <> '') AS t
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+            FROM toks WHERE len(t) >= 2
+        ),
+        dbg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bi),
+        pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM dbg GROUP BY 1, 2),
+        l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c_w1,
+                     CAST(COUNT(*) AS BIGINT) AS n1_fwd
+              FROM pc GROUP BY 1),
+        r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bwd
+              FROM pc GROUP BY 1),
+        ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM pc),
+        lm AS (
+            SELECT pc.w1, pc.w2,
+                ROUND(
+                  GREATEST(CAST(pc.cnt AS DOUBLE) - 0.75, 0.0)
+                    / CAST(l.c_w1 AS DOUBLE)
+                  + (0.75 * CAST(l.n1_fwd AS DOUBLE)
+                     / CAST(l.c_w1 AS DOUBLE))
+                    * (CAST(r.n1_bwd AS DOUBLE)
+                       / CAST(ty.n_types AS DOUBLE)),
+                9) AS prob
+            FROM pc JOIN l USING (w1) JOIN r USING (w2), ty
+            WHERE pc.cnt >= 10
+        ),
+        per AS (
+            SELECT g.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(CASE WHEN lm.prob IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_modeled,
+                CAST(SUM(CASE WHEN lm.prob < 0.02 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rare,
+                MIN(lm.prob) AS min_prob
+            FROM dbg g LEFT JOIN lm USING (w1, w2) GROUP BY 1
+        )
+        SELECT d.doc_id,
+            COALESCE(per.n_bigrams, 0) AS n_bigrams,
+            COALESCE(per.n_modeled, 0) AS n_modeled,
+            COALESCE(per.n_rare, 0) AS n_rare,
+            per.min_prob,
+            ROUND(CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+                  THEN CAST(per.n_modeled AS DOUBLE)
+                       / CAST(per.n_bigrams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS coverage,
+            ROUND(CASE WHEN COALESCE(per.n_modeled, 0) > 0
+                  THEN CAST(per.n_rare AS DOUBLE)
+                       / CAST(per.n_modeled AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rare_ratio,
+            COALESCE(per.n_bigrams, 0) > 0
+              AND (CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+                   THEN CAST(per.n_modeled AS DOUBLE)
+                        / CAST(per.n_bigrams AS DOUBLE)
+                   ELSE 0.0 END) >= 0.95
+              AND (CASE WHEN COALESCE(per.n_modeled, 0) > 0
+                   THEN CAST(per.n_rare AS DOUBLE)
+                        / CAST(per.n_modeled AS DOUBLE)
+                   ELSE 0.0 END) <= 0.1 AS kn_ok
+        FROM documents d LEFT JOIN per USING (doc_id)
     """
     return out

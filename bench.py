@@ -452,6 +452,7 @@ HEADLINE = [
     "seq_assembly",
     "corpus_report",
     "minhash_incremental",
+    "kn_doc_quality",
 ]
 
 

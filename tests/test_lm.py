@@ -191,3 +191,58 @@ def test_kneser_ney_matches_hand_model(spark):
     )
     backoff = d * n1_fwd["a"] / c_w1["a"]
     assert abs(direct + backoff * 1.0 - 1.0) < 1e-9  # pcont sums to 1
+
+
+def test_kn_doc_scores_laws(spark):
+    """Applying the KN LM per doc: counts reconcile with a manual join
+    of the doc's bigrams to the model; a fully-modeled doc has
+    coverage 1.0; a doc carrying a below-min_count bigram has
+    coverage < 1; a bigram-less doc gets the zero row with kn_ok
+    false; min_prob equals the true min over modeled transitions; and
+    kn_ok re-derives from each row's own counts. Plan: no Python eval,
+    no cartesian."""
+    common = "the cat sat on the mat"
+    rows = [
+        (0, common), (1, common), (2, common),        # trains the LM
+        (3, common + " zzz qqq"),                      # unique bigrams → OOV
+        (4, "one"),                                    # no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = lm.kneser_ney_bigram(df, min_count=2)
+    got = {
+        r.doc_id: r
+        for r in lm.kn_doc_scores(
+            df, model, rare_tau=0.5, min_coverage=0.95, max_rare_ratio=1.0
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    probs = {(r.w1, r.w2): r.prob for r in model.collect()}
+    toks = common.split()
+    doc0 = [(a, b) for a, b in zip(toks, toks[1:])]
+    assert got[0].n_bigrams == len(doc0)
+    assert got[0].n_modeled == sum((p in probs) for p in doc0) == len(doc0)
+    assert got[0].coverage == 1.0
+    assert got[0].min_prob == min(probs[p] for p in doc0)
+    assert got[0].n_rare == sum(probs[p] < 0.5 for p in doc0)
+    assert got[0].kn_ok
+    # doc 3: " mat zzz", "zzz qqq" appear once → below min_count → OOV
+    assert got[3].n_modeled == got[3].n_bigrams - 2
+    assert 0.0 < got[3].coverage < 1.0
+    assert not got[3].kn_ok            # coverage 5/7 < 0.95
+    # doc 4: no bigrams at all
+    r4 = got[4]
+    assert (r4.n_bigrams, r4.n_modeled, r4.n_rare) == (0, 0, 0)
+    assert r4.min_prob is None and r4.coverage == 0.0 and not r4.kn_ok
+    # kn_ok law from each row's own counts
+    for r in got.values():
+        want = bool(
+            r.n_bigrams > 0
+            and r.n_modeled / r.n_bigrams >= 0.95
+            and (r.n_rare / r.n_modeled if r.n_modeled else 0.0) <= 1.0
+        )
+        assert r.kn_ok == want, r
+    plan = (
+        lm.kn_doc_scores(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -318,3 +318,84 @@ def kneser_ney_bigram(
         joined.filter(F.col("cnt") >= int(min_count))
         .select("w1", "w2", "cnt", F.round(prob, 9).alias("prob"))
     )
+
+
+def kn_doc_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_tau: float = 0.001,
+    min_coverage: float = 0.5,
+    max_rare_ratio: float = 0.2,
+) -> DataFrame:
+    """Score documents under a trained :func:`kneser_ney_bigram` model —
+    the step CCNet's Wikipedia-LM perplexity filter performs after
+    training: apply the LM to every candidate page and gate on the
+    score. Stays inside the engine's determinism discipline by using
+    order-independent per-doc reductions instead of a log-prob SUM
+    (float accumulation order differs between engines; COUNTs and MIN
+    do not):
+
+    - ``n_modeled`` / ``coverage`` — how much of the doc's transition
+      mass the LM has evidence for (OOV bigrams escape any smoothed
+      model's support cut);
+    - ``n_rare`` / ``rare_ratio`` — modeled transitions with
+      ``prob < rare_tau``: the word-salad signal a perplexity threshold
+      reads off the same model;
+    - ``min_prob`` — the single worst modeled transition (MIN over
+      doubles is exact and order-free).
+
+    ``kn_ok`` = has bigrams ∧ coverage ≥ ``min_coverage`` ∧ rare_ratio
+    ≤ ``max_rare_ratio`` (compared on the unrounded ratios).
+
+    Scale shape: one bigram explode (linear in tokens), one equi join
+    to the LM dim (vocabulary-sized — AQE broadcasts it when it fits;
+    at web scale it is a bucketable (w1, w2) table), one map-side-
+    combined groupBy(doc), one left join back to the id spine for
+    bigram-less docs. No window, no state, no Python.
+    """
+    bg = df.select(
+        id_col, F.explode(bigram_col(F.col(text_col))).alias("bigram")
+    ).select(
+        id_col,
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    scored = bg.join(lm.select("w1", "w2", "prob"), ["w1", "w2"], "left")
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("prob").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_modeled"),
+        F.sum(
+            F.when(F.col("prob") < F.lit(float(rare_tau)), 1).otherwise(0)
+        ).cast("bigint").alias("n_rare"),
+        F.min("prob").alias("min_prob"),
+    )
+    spine = df.select(id_col)
+    out = spine.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_modeled", F.lit(0)).cast("bigint").alias("n_modeled"),
+        F.coalesce("n_rare", F.lit(0)).cast("bigint").alias("n_rare"),
+        F.col("min_prob"),
+    )
+    coverage = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("n_modeled").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rare_ratio = F.when(
+        F.col("n_modeled") > 0,
+        F.col("n_rare").cast("double") / F.col("n_modeled").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "n_bigrams", "n_modeled", "n_rare", "min_prob",
+        F.round(coverage, 6).alias("coverage"),
+        F.round(rare_ratio, 6).alias("rare_ratio"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (coverage >= F.lit(float(min_coverage)))
+            & (rare_ratio <= F.lit(float(max_rare_ratio)))
+        ).alias("kn_ok"),
+    )
