@@ -64,6 +64,8 @@ AUDITED = [
     "mime_sniff",             # hex-prefix when-chain router
     "text_normalize",         # replace-chain hygiene pass
     "shard_assignment",       # two-phase prefix-sum sharding
+    "minhash_incremental",    # final session: stream-shape band equi-join
+    "kn_doc_quality",         # final session: LM dim join + count/min agg
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -426,3 +426,50 @@ def test_kneser_ney_keyed_aggs_only(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the only SinglePartition exchange feeds the 1-row type-count agg
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_minhash_vs_reference_band_equi_join(spark, sf_dir):
+    """Incremental candidates are a plain (band, bucket) equi-join of
+    the two band indexes: hash-keyed exchanges only, no cartesian or
+    nested-loop join, no window, and the only Python nodes are the two
+    Arrow signature UDFs (one per side)."""
+    from xrpl_rich_list_py_crawler_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new_side = docs.filter("doc_id % 10 >= 8")
+    ref_side = docs.filter("doc_id % 10 < 8")
+    plan = _plan(dd.minhash_vs_reference(new_side, ref_side))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    # executedPlan lists nodes once (explain-formatted would repeat them
+    # in the details section): exactly one signature UDF per side
+    exec_plan = (
+        dd.minhash_vs_reference(new_side, ref_side)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert exec_plan.count("ArrowEvalPython") == 2
+    # an equi HASH join keyed on (band, bucket) — broadcast at fixture
+    # scale, shuffled/sort-merge when the index outgrows the broadcast
+    # threshold; never a non-equi strategy
+    assert any(
+        f"{j} [band" in exec_plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_kn_doc_scores_no_window_no_python(spark, sf_dir):
+    """Applying the LM is an equi join + map-side-combined groupBy(doc)
+    + id-spine left join: no window, no Python, no cartesian, and the
+    doc aggregate has a partial phase before its exchange."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import (
+        kn_doc_scores,
+        kneser_ney_bigram,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(kn_doc_scores(docs, kneser_ney_bigram(docs, min_count=3)))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
