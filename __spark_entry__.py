@@ -2542,7 +2542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (gopher_quality, soft_dedup, leakage_safe_split, nofollow_links,
     mime_sniff, text_normalize, shard_assignment, media_resize,
     audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints,
-    seq_assembly, corpus_report — all oracle-backed
+    seq_assembly, corpus_report, minhash_incremental — the
+    vs-reference incremental LSH join, kn_doc_quality — the KN LM
+    applied per doc — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
