@@ -1282,6 +1282,26 @@ def _q_kn_doc_quality(spark, sf):
     )
 
 
+def _q_script_profile(spark, sf):
+    """Unicode script composition (final session, ts.script_profile) over
+    documents augmented with deterministic non-Latin tails (§8/§9
+    in-query synthesis pattern — the fixture corpus is ASCII-only, so
+    the tails make every counter and the dominance flip engage):
+    %5==1 hiragana, %5==2 cyrillic, %5==4 katakana (short tails — ratios
+    engage, latin stays dominant), %5==3 a repeated CJK run long enough
+    to FLIP dominant_script to cjk. Identical literals on both engines."""
+    d = _t(spark, sf, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" これはてすとです"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" Этотексттест"))
+        .when(F.col("doc_id") % 5 == 3, F.repeat(F.lit("中文文本"), 80))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" テストカタカナ文字"))
+        .otherwise(F.lit(""))
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    return ts.script_profile(aug)
+
+
 def _q_neardup_components(spark, sf):
     """Keep-one-per-component dedup verdicts: verified minhash near-dup
     pairs (the minhash_neardups truth set) → iterative min-label
@@ -2544,7 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     audio_resample, epoch_expand, kneser_ney_lm, winnow_fingerprints,
     seq_assembly, corpus_report, minhash_incremental — the
     vs-reference incremental LSH join, kn_doc_quality — the KN LM
-    applied per doc — all oracle-backed
+    applied per doc, script_profile — Unicode script composition with
+    synthesized non-Latin tails — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2692,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "minhash_incremental": _q_minhash_incremental,
         "kn_doc_quality": _q_kn_doc_quality,
+        "script_profile": _q_script_profile,
     }
 
 
@@ -5679,6 +5701,78 @@ def oracle_sql() -> dict[str, str]:
           ON (n.doc_id % 10) >= 8 AND (r.doc_id % 10) < 8
         WHERE CAST(len(list_intersect(n.g, r.g)) AS DOUBLE)
               / len(list_distinct(list_concat(n.g, r.g))) >= 0.5
+    """
+    # script composition: literal-range char classes (probed
+    # bit-identical Java-regex vs RE2), counts via regexp_extract_all
+    # (DuckDB has no regexp_count), same deterministic tie-break
+    out["script_profile"] = r"""
+        WITH aug AS (
+            SELECT doc_id, text ||
+                CASE
+                    WHEN doc_id % 5 = 1 THEN ' これはてすとです'
+                    WHEN doc_id % 5 = 2 THEN ' Этотексттест'
+                    WHEN doc_id % 5 = 3 THEN repeat('中文文本', 80)
+                    WHEN doc_id % 5 = 4 THEN ' テストカタカナ文字'
+                    ELSE ''
+                END AS text
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, length(text) AS n_chars,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+                CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+                CAST(len(regexp_extract_all(text, '[぀-ゟ]')) AS BIGINT) AS n_hiragana,
+                CAST(len(regexp_extract_all(text, '[゠-ヿ]')) AS BIGINT) AS n_katakana,
+                CAST(len(regexp_extract_all(text, '[가-힣]')) AS BIGINT) AS n_hangul,
+                CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+                CAST(len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+                CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS BIGINT) AS n_arabic,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+            FROM aug
+        )
+        SELECT doc_id, n_chars,
+            n_latin, n_cjk, n_hiragana, n_katakana, n_hangul,
+            n_cyrillic, n_greek, n_arabic, n_digit,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_latin AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS latin_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_cjk AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS cjk_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_hiragana AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS hiragana_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_katakana AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS katakana_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_hangul AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS hangul_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_cyrillic AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS cyrillic_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_greek AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS greek_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_arabic AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS arabic_ratio,
+            ROUND(CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS digit_ratio,
+            CASE
+                WHEN greatest(n_latin, n_cjk, n_hiragana, n_katakana,
+                              n_hangul, n_cyrillic, n_greek, n_arabic,
+                              n_digit) = 0 THEN 'none'
+                WHEN n_latin = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'latin'
+                WHEN n_cjk = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'cjk'
+                WHEN n_hiragana = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'hiragana'
+                WHEN n_katakana = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'katakana'
+                WHEN n_hangul = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'hangul'
+                WHEN n_cyrillic = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'cyrillic'
+                WHEN n_greek = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'greek'
+                WHEN n_arabic = greatest(n_latin, n_cjk, n_hiragana,
+                    n_katakana, n_hangul, n_cyrillic, n_greek, n_arabic,
+                    n_digit) THEN 'arabic'
+                ELSE 'digit'
+            END AS dominant_script
+        FROM c
     """
     # KN LM applied per-doc: the kneser_ney_lm statistics at
     # min_count=10, then order-independent per-doc reductions (the

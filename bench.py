@@ -453,6 +453,7 @@ HEADLINE = [
     "corpus_report",
     "minhash_incremental",
     "kn_doc_quality",
+    "script_profile",
 ]
 
 

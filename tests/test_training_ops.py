@@ -2027,3 +2027,34 @@ def test_minhash_vs_reference_cross_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_script_profile_counts_and_dominance(spark):
+    """Exact per-script counts on hand-built multiscript text, ratio
+    reconciliation, first-in-order tie-break, 'none' for char-less
+    docs, and a shuffle-free no-Python plan (pure projection)."""
+    rows = [
+        (0, "abc 世界 ひらが カナ 가나 мир αβ ؟م 42"),
+        (1, ""),                      # no chars at all → 'none'
+        (2, "ab 汉字"),               # 2-2 tie → latin (earlier in order)
+        (3, "漢字漢字漢"),            # pure CJK
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in ts.script_profile(df).collect()}
+    r0 = got[0]
+    assert (r0.n_latin, r0.n_cjk, r0.n_hiragana, r0.n_katakana,
+            r0.n_hangul, r0.n_cyrillic, r0.n_greek, r0.n_arabic,
+            r0.n_digit) == (3, 2, 3, 2, 2, 3, 2, 2, 2)
+    assert r0.n_chars == len(rows[0][1])
+    assert r0.latin_ratio == round(3 / len(rows[0][1]), 6)
+    assert r0.dominant_script == "latin"    # 3-way tie latin/hira/cyr
+    assert got[1].n_chars == 0 and got[1].dominant_script == "none"
+    assert got[1].latin_ratio == 0.0
+    assert got[2].dominant_script == "latin"  # 2-2 tie breaks to latin
+    assert got[3].dominant_script == "cjk" and got[3].cjk_ratio == 1.0
+    plan = (
+        ts.script_profile(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -966,3 +966,72 @@ def winnow_fingerprints(
         )
     )
     return sel.distinct()
+
+
+#: Unicode script classes as LITERAL codepoint ranges (no \p{Script}:
+#: Java and RE2 disagree on property-name sets, but a literal BMP range
+#: is the same char class in both — probed bit-identical vs DuckDB).
+#: Ordered: ties in dominant-script resolution break toward the earlier
+#: entry, so the verdict is deterministic and engine-free.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[一-鿿]"),
+    ("hiragana", "[぀-ゟ]"),
+    ("katakana", "[゠-ヿ]"),
+    ("hangul", "[가-힣]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Unicode script composition — the signal web pipelines run
+    beside language ID (a page whose chars are 60% CJK is not English no
+    matter what its n-grams vote, and mixed-script soup is a spam
+    marker). Counts are exact ``regexp_count`` over literal-range
+    classes (whole-stage codegen, one corpus pass, zero shuffle);
+    ratios are single divisions; ``dominant_script`` is the first class
+    in :data:`SCRIPT_CLASSES` order holding the max count (''none'' for
+    char-less docs) — deterministic tie-break, identical in SQL.
+
+    Output: (id, n_chars, n_<script>... , <script>_ratio...,
+    dominant_script).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)) for name, pat in SCRIPT_CLASSES
+    }
+    cols = [F.col(id_col), n.alias("n_chars")]
+    cols += [
+        counts[name].cast("bigint").alias(f"n_{name}")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    base = df.select(*cols)
+    ratio_cols = [
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.col(f"n_{name}").cast("double")
+                / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias(f"{name}_ratio")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    top = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
+    dominant = F.lit("none")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        dominant = F.when(
+            (top > 0) & (F.col(f"n_{name}") == top), F.lit(name)
+        ).otherwise(dominant)
+    return base.select(
+        id_col, "n_chars",
+        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        *ratio_cols,
+        dominant.alias("dominant_script"),
+    )
