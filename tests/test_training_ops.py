@@ -2058,3 +2058,47 @@ def test_script_profile_counts_and_dominance(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_script_profile_fuzz_vs_python_re(spark):
+    """Randomized engine-equivalence fuzz (seeded, the 300-body parser
+    pattern): script_profile's counts, ratios, and dominance over
+    adversarial mixed-script strings — range ENDPOINT chars, chars one
+    codepoint outside every range, whitespace/punct, and an astral
+    emoji — must equal a pure-Python `re` twin exactly."""
+    import random
+    import re
+
+    pool = (
+        # endpoints of every class + one-outside neighbours
+        "Az09一鿿䷿ꀀ"      # cjk ends, outside-both-sides
+        "぀ゟ゠ヿ　"    # hira/kata ends + ideo space
+        "가힣ЀӿͰϿ؀ۿ"
+        " .,!?-_\n\t"
+        "\U0001f600"                        # astral: counts in n_chars only
+    )
+    rng = random.Random(42)
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in ts.script_profile(df).collect()}
+    classes = ts.SCRIPT_CLASSES
+    for i, text in rows:
+        r = got[i]
+        assert r.n_chars == len(text), (i, text)
+        counts = {
+            name: len(re.findall(pat, text)) for name, pat in classes
+        }
+        for name, _ in classes:
+            assert getattr(r, f"n_{name}") == counts[name], (i, name, text)
+            want_ratio = (
+                round(counts[name] / len(text), 6) if text else 0.0
+            )
+            assert getattr(r, f"{name}_ratio") == want_ratio, (i, name)
+        top = max(counts.values(), default=0)
+        want_dom = "none" if top == 0 else next(
+            name for name, _ in classes if counts[name] == top
+        )
+        assert r.dominant_script == want_dom, (i, text)
