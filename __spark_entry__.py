@@ -1302,6 +1302,20 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_kmeans_embeddings(spark, sf):
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators/kmeans.py) — the offline centroid trainer similarity.py's
+    IVF docstring promises ("trains centroids offline"). k=8, 3 Lloyd
+    iterations, integer-exact quantized arithmetic, so per-vector final
+    assignments (vec_id, cell, dist2) are bit-identical to the oracle's
+    fully-unrolled CTE re-derivation (kmeans_oracle_sql)."""
+    from xrpl_rich_list_py_crawler_spark.operators.kmeans import kmeans_train
+
+    emb = _t(spark, sf, "embeddings")
+    assigned, _cents = kmeans_train(emb, k=8, n_iter=3)
+    return assigned
+
+
 def _q_neardup_components(spark, sf):
     """Keep-one-per-component dedup verdicts: verified minhash near-dup
     pairs (the minhash_neardups truth set) → iterative min-label
@@ -2565,7 +2579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seq_assembly, corpus_report, minhash_incremental — the
     vs-reference incremental LSH join, kn_doc_quality — the KN LM
     applied per doc, script_profile — Unicode script composition with
-    synthesized non-Latin tails — all oracle-backed
+    synthesized non-Latin tails, kmeans_embeddings — integer-exact
+    distributed Lloyd's k-means whose oracle unrolls all iterations as
+    CTEs — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2714,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "kn_doc_quality": _q_kn_doc_quality,
         "script_profile": _q_script_profile,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 
@@ -5846,4 +5863,14 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END) <= 0.1 AS kn_ok
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+    # kmeans_embeddings: the oracle unrolls all 3 Lloyd iterations as
+    # CTEs — an independent integral k-means (operators/kmeans.py
+    # contract), bit-identical assignments, not a golden file.
+    from xrpl_rich_list_py_crawler_spark.operators.kmeans import (
+        kmeans_oracle_sql,
+    )
+
+    out["kmeans_embeddings"] = kmeans_oracle_sql(
+        table="embeddings", k=8, n_iter=3, dim=64
+    )
     return out

@@ -454,6 +454,9 @@ HEADLINE = [
     "minhash_incremental",
     "kn_doc_quality",
     "script_profile",
+    # verification-session addition: integer-exact distributed Lloyd's
+    # k-means (3 iterations over the 5k×64 sf0.1 embeddings)
+    "kmeans_embeddings",
 ]
 
 

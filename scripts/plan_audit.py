@@ -66,6 +66,11 @@ AUDITED = [
     "shard_assignment",       # two-phase prefix-sum sharding
     "minhash_incremental",    # final session: stream-shape band equi-join
     "kn_doc_quality",         # final session: LM dim join + count/min agg
+    # construction executes the 3 Lloyd iterations (driver centroid
+    # collects, like bpe_train) — but unlike bpe_train the RETURNED
+    # plan is exactly the per-iteration assignment shape (centroid
+    # literals in codegen: no join, no exchange), so the audit holds it
+    "kmeans_embeddings",
 ]
 
 BAD_NODES = ("CartesianProduct",)

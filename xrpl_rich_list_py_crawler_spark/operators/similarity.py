@@ -179,6 +179,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     cell (argmax centroid dot), probe each query's top-``nprobe`` cells.
@@ -187,8 +188,16 @@ def ivf_topk(
     ``_cell`` once; each query scans nprobe/n_cells of the data. The
     scatter is a broadcast of (query × nprobe) rows; scoring stays in
     whole-stage codegen. Recall tunes with nprobe — the standard IVF
-    trade-off."""
-    cents = ivf_centroids(dim, n_cells)
+    trade-off.
+
+    ``centroids`` (optional, shape (n_cells, dim)) plugs in TRAINED
+    coarse centroids — e.g. ``operators.kmeans.kmeans_train`` output
+    de-quantized by its scale — instead of the deterministic stand-ins;
+    ``n_cells`` is then taken from the array."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        cents = ivf_centroids(dim, n_cells)
     scores = centroid_scores_col(F.col(vec_col), cents)
     emb_cell = embeddings.withColumn(
         "_cell", F.array_position(scores, F.array_max(scores)).cast("int")
