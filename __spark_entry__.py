@@ -1302,6 +1302,52 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_ccnet_buckets(spark, sf):
+    """CCNet §4.1 head/middle/tail corpus split (lm.ccnet_buckets):
+    docs ordered best-first under the trained KN LM, corpus cut into
+    three equal CHARACTER-mass buckets via the two-phase global prefix
+    sum. Ordering keys are exact integers (scaled div of the rare and
+    coverage ratios — never the rounded doubles, whose last-ulp
+    rounding could differ between engines and silently reorder the
+    stream). Oracle runs the naive SUM() OVER window — certifying the
+    scale plan computes the identical layout (the seq_packing
+    pattern)."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import (
+        ccnet_buckets,
+        kn_doc_scores,
+        kneser_ney_bigram,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = kneser_ney_bigram(d, min_count=10)
+    kn = kn_doc_scores(
+        d, lm, rare_tau=0.02, min_coverage=0.95, max_rare_ratio=0.1
+    )
+    sized = kn.join(
+        d.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    # integer quality keys: scaled-div rational ordering (10^9 — safe
+    # headroom under int64 even for 10^9-bigram documents, both engines)
+    scored = sized.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CASE WHEN n_modeled > 0 THEN (n_rare * 1000000000) div n_modeled"
+            " ELSE 1000000000 END"
+        ).alias("qk_rare"),
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN (n_modeled * 1000000000) div n_bigrams"
+            " ELSE 0 END"
+        ).alias("qk_cov"),
+    )
+    return ccnet_buckets(
+        scored,
+        [F.asc("qk_rare"), F.desc("qk_cov"), F.asc("doc_id")],
+        "n_chars",
+    )
+
+
 def _q_kmeans_embeddings(spark, sf):
     """Distributed Lloyd's k-means over the embeddings table
     (operators/kmeans.py) — the offline centroid trainer similarity.py's
@@ -2581,7 +2627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     applied per doc, script_profile — Unicode script composition with
     synthesized non-Latin tails, kmeans_embeddings — integer-exact
     distributed Lloyd's k-means whose oracle unrolls all iterations as
-    CTEs — all oracle-backed
+    CTEs, ccnet_buckets — CCNet §4.1 equal-character-mass
+    head/middle/tail split in KN-LM quality order over the two-phase
+    prefix sum — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2731,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_quality": _q_kn_doc_quality,
         "script_profile": _q_script_profile,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -5873,4 +5922,37 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_embeddings"] = kmeans_oracle_sql(
         table="embeddings", k=8, n_iter=3, dim=64
     )
+    # ccnet_buckets: reuse the kn_doc_quality oracle as the scoring CTE,
+    # derive the exact integer quality keys, then the NAIVE cumulative
+    # window — the Spark side runs the two-phase prefix-sum scale plan
+    # and must compute the identical layout (the seq_packing pattern).
+    out["ccnet_buckets"] = f"""
+        WITH kn AS ({out["kn_doc_quality"]}),
+        sized AS (
+            SELECT kn.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN kn.n_modeled > 0
+                        THEN (kn.n_rare * 1000000000) // kn.n_modeled
+                        ELSE 1000000000 END AS BIGINT) AS qk_rare,
+                   CAST(CASE WHEN kn.n_bigrams > 0
+                        THEN (kn.n_modeled * 1000000000) // kn.n_bigrams
+                        ELSE 0 END AS BIGINT) AS qk_cov
+            FROM kn JOIN documents d USING (doc_id)
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM sized),
+        c AS (
+            SELECT doc_id, n_chars, qk_rare, qk_cov,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                       ORDER BY qk_rare, qk_cov DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM sized
+        )
+        SELECT doc_id, n_chars, qk_rare, qk_cov, cum_before,
+               CASE WHEN 3 * cum_before < (SELECT t FROM tot) THEN 'head'
+                    WHEN 3 * cum_before < 2 * (SELECT t FROM tot)
+                        THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM c
+    """
     return out

@@ -454,9 +454,11 @@ HEADLINE = [
     "minhash_incremental",
     "kn_doc_quality",
     "script_profile",
-    # verification-session addition: integer-exact distributed Lloyd's
-    # k-means (3 iterations over the 5k×64 sf0.1 embeddings)
+    # verification-session additions: integer-exact distributed Lloyd's
+    # k-means (3 iterations over the 5k×64 sf0.1 embeddings) and the
+    # CCNet equal-mass corpus split over the KN-LM scores
     "kmeans_embeddings",
+    "ccnet_buckets",
 ]
 
 

@@ -71,6 +71,7 @@ AUDITED = [
     # plan is exactly the per-iteration assignment shape (centroid
     # literals in codegen: no join, no exchange), so the audit holds it
     "kmeans_embeddings",
+    "ccnet_buckets",          # two-phase prefix-sum corpus split
 ]
 
 BAD_NODES = ("CartesianProduct",)

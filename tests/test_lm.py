@@ -246,3 +246,68 @@ def test_kn_doc_scores_laws(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets
+# ---------------------------------------------------------------------------
+
+
+def _bucketed(spark, rows, order=("q", "doc_id")):
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n_chars"])
+    out = lm.ccnet_buckets(
+        df, [F.asc(c) for c in order], "n_chars"
+    )
+    return {r.doc_id: (r.cum_before, r.bucket) for r in out.collect()}
+
+
+def test_ccnet_equal_mass_thirds(spark):
+    # 9 docs of equal size in quality order 0..8: exact thirds
+    rows = [(i, i, 10) for i in range(9)]
+    got = _bucketed(spark, rows)
+    assert [got[i][1] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert [got[i][0] for i in range(9)] == [10 * i for i in range(9)]
+
+
+def test_ccnet_mass_not_count(spark):
+    # one huge best doc swallows the whole head budget: head is 1 doc,
+    # not n/3 docs — the reason CCNet splits by mass
+    rows = [(0, 0, 100)] + [(i, i, 10) for i in range(1, 7)]
+    got = _bucketed(spark, rows)
+    assert got[0][1] == "head"
+    assert all(got[i][1] != "head" for i in range(1, 7))
+
+
+def test_ccnet_boundary_rule_exact(spark):
+    # total 30: head while 3*cum < 30 (cum<10), middle while 3*cum < 60
+    # (cum<20), else tail — doc landing exactly ON a boundary goes DOWN
+    rows = [(0, 0, 10), (1, 1, 10), (2, 2, 10)]
+    got = _bucketed(spark, rows)
+    assert [got[i][1] for i in range(3)] == ["head", "middle", "tail"]
+
+
+def test_ccnet_parallelism_invariance(spark):
+    rows = [(i, (i * 7) % 13, 1 + (i * 3) % 9) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n_chars"])
+    order = [F.asc("q"), F.asc("doc_id")]
+    a = lm.ccnet_buckets(df.repartition(1), order, "n_chars")
+    b = lm.ccnet_buckets(df.repartition(11, "doc_id"), order, "n_chars")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_ccnet_all_zero_sizes_land_in_tail(spark):
+    got = _bucketed(spark, [(i, i, 0) for i in range(4)])
+    assert all(b == "tail" for _, b in got.values())
+
+
+def test_ccnet_no_single_partition_window(spark):
+    rows = [(i, i, 5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n_chars"])
+    out = lm.ccnet_buckets(df, [F.asc("q"), F.asc("doc_id")], "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side sort must be range-partitioned (two-phase plan);
+    # the only SinglePartition window allowed is the P-row offset dim
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan

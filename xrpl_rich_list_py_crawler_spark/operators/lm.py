@@ -399,3 +399,62 @@ def kn_doc_scores(
             & (rare_ratio <= F.lit(float(max_rare_ratio)))
         ).alias("kn_ok"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    order_by: list,
+    size_col: str,
+    out_col: str = "bucket",
+    n_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """CCNet §4.1 head/middle/tail corpus split: order documents
+    best-first by LM quality, then cut the corpus into three
+    EQUAL-MASS buckets by cumulative ``size_col`` (CCNet splits by
+    bytes, not by document count — a few huge pages must not fill
+    "head" with a handful of rows).
+
+    ``order_by`` must be a total order (pass a unique id last) and its
+    keys must be exact (integers/strings — not floats whose last-ulp
+    rounding could differ between engines and silently reorder the
+    stream; the registered query derives integer quality keys via
+    scaled ``div`` for exactly this reason).
+
+    Bucket rule, all integral: with ``cum_before`` the exclusive prefix
+    sum of ``size_col`` in quality order and ``total`` the corpus mass,
+    ``head`` iff ``3·cum_before < total``, ``middle`` iff
+    ``3·cum_before < 2·total``, else ``tail`` — the first/second/third
+    of the corpus mass in quality order. Degenerate corpora (all sizes
+    0) land in ``tail``.
+
+    Scale shape: the prefix sum is :func:`packing.global_cumsum`'s
+    two-phase plan (ONE range shuffle + a P-row broadcast offset dim —
+    never ``SUM() OVER (ORDER BY)``'s single partition); the corpus
+    total is a 1-row aggregate joined back via broadcast crossJoin (the
+    A1 discipline); the verdict itself is per-row codegen. Nothing else
+    touches the data.
+    """
+    from .packing import global_cumsum
+
+    cum = global_cumsum(
+        df,
+        order_by,
+        size_col,
+        out_col="cum_before",
+        n_partitions=n_partitions,
+        cache_registry=cache_registry,
+    )
+    total = df.agg(F.sum(size_col).cast("long").alias("_total"))
+    three = F.col("cum_before") * F.lit(3).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            *df.columns,
+            "cum_before",
+            F.when(three < F.col("_total"), F.lit("head"))
+            .when(three < F.lit(2).cast("long") * F.col("_total"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias(out_col),
+        )
+    )
