@@ -1302,6 +1302,26 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_host_hits(spark, sf):
+    """HITS hubs/authorities (operators/graph.py host_hits) over the
+    same deterministic doc_id-derived link graph as host_pagerank
+    (hosts 57-59: in-links only → hub 0; every step integral with the
+    unit-divide normalization, so scores are bit-identical across
+    engines and partitionings). The oracle UNROLLS all 4 iterations —
+    8 half-steps — as plain SQL CTEs: an independent DuckDB HITS, not
+    a golden file."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import host_hits
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    edges = (
+        d.select((did % 57).alias("src"), ((did * 7 + 3) % 60).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return host_hits(edges, n_iter=4)
+
+
 def _q_ccnet_buckets(spark, sf):
     """CCNet §4.1 head/middle/tail corpus split (lm.ccnet_buckets):
     docs ordered best-first under the trained KN LM, corpus cut into
@@ -2629,7 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distributed Lloyd's k-means whose oracle unrolls all iterations as
     CTEs, ccnet_buckets — CCNet §4.1 equal-character-mass
     head/middle/tail split in KN-LM quality order over the two-phase
-    prefix sum — all oracle-backed
+    prefix sum, host_hits — integer-exact HITS hubs/authorities with
+    the unit-divide normalization — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2780,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "ccnet_buckets": _q_ccnet_buckets,
+        "host_hits": _q_host_hits,
     }
 
 
@@ -4618,6 +4640,65 @@ def oracle_sql() -> dict[str, str]:
         )"""
     _pr += "\n        SELECT host, rank FROM r5"
     out["host_pagerank"] = _pr
+    # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
+    # an independent DuckDB HITS with the same unit-divide integral
+    # normalization (graph.py host_hits contract), not a golden file.
+    # Every CTE is AS MATERIALIZED: each half-step references its
+    # predecessor ~4× (raw sum, unit total, spine join), and DuckDB
+    # INLINES plain CTEs — the unrolled chain re-expands ~4^8 times and
+    # a 60-host graph takes >600 s (measured; 0.05 s materialized).
+    # PageRank gets away with plain CTEs only because its per-iteration
+    # reference fan-out is 3 over 5 iterations.
+    _hits = """
+        WITH ids AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id < 600),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT doc_id % 57 AS src, (doc_id*7+3) % 60 AS dst
+            FROM ids WHERE doc_id % 57 <> (doc_id*7+3) % 60
+        ),
+        hosts AS MATERIALIZED (SELECT DISTINCT h AS host FROM
+            (SELECT src AS h FROM edges UNION SELECT dst AS h FROM edges)),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM hosts),
+        h0 AS MATERIALIZED (SELECT host,
+                   CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS s
+               FROM hosts)"""
+    for _i in range(1, 5):
+        _hits += f""",
+        ar{_i} AS MATERIALIZED (
+            SELECT e.dst AS host, CAST(SUM(h.s) AS BIGINT) AS raw
+            FROM edges e JOIN h{_i - 1} h ON e.src = h.host GROUP BY 1
+        ),
+        au{_i} AS MATERIALIZED (
+            SELECT CAST(GREATEST(1,
+                CAST(COALESCE(SUM(raw), 0) // 1000000000000 AS BIGINT))
+              AS BIGINT) AS unit
+            FROM ar{_i}
+        ),
+        a{_i} AS MATERIALIZED (
+            SELECT hs.host,
+                CAST(COALESCE(r.raw, 0) // (SELECT unit FROM au{_i})
+                  AS BIGINT) AS s
+            FROM hosts hs LEFT JOIN ar{_i} r ON hs.host = r.host
+        ),
+        hr{_i} AS MATERIALIZED (
+            SELECT e.src AS host, CAST(SUM(a.s) AS BIGINT) AS raw
+            FROM edges e JOIN a{_i} a ON e.dst = a.host GROUP BY 1
+        ),
+        hu{_i} AS MATERIALIZED (
+            SELECT CAST(GREATEST(1,
+                CAST(COALESCE(SUM(raw), 0) // 1000000000000 AS BIGINT))
+              AS BIGINT) AS unit
+            FROM hr{_i}
+        ),
+        h{_i} AS MATERIALIZED (
+            SELECT hs.host,
+                CAST(COALESCE(r.raw, 0) // (SELECT unit FROM hu{_i})
+                  AS BIGINT) AS s
+            FROM hosts hs LEFT JOIN hr{_i} r ON hs.host = r.host
+        )"""
+    _hits += """
+        SELECT a4.host, a4.s AS auth, h4.s AS hub
+        FROM a4 JOIN h4 USING (host)"""
+    out["host_hits"] = _hits
     out["sessionization"] = r"""
         WITH o AS (
             SELECT user_id, event_id, ts,

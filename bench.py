@@ -424,9 +424,9 @@ HEADLINE = [
     # r05 dataloader prep: two-phase prefix-sum packing + BPE merge count
     "seq_packing",
     "bpe_merge_pairs",
-    # r05 clickstream windowing (host_pagerank is NOT benched: its
-    # fixture graph is a fixed 60 hosts at every sf, so the line would
-    # measure only per-iteration scheduler overhead, not the engine)
+    # r05 clickstream windowing (host_pagerank and host_hits are NOT
+    # benched: their fixture graph is a fixed 60 hosts at every sf, so
+    # the line would measure only per-iteration scheduler overhead)
     "sessionization",
     # late-r05 additions: semantic dedup over embedding cells, crawl-trap
     # frontier gate, feasibility-derived training-mixture sampling

@@ -72,6 +72,7 @@ AUDITED = [
     # literals in codegen: no join, no exchange), so the audit holds it
     "kmeans_embeddings",
     "ccnet_buckets",          # two-phase prefix-sum corpus split
+    "host_hits",              # per-half-step keyed join (integer HITS)
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -129,3 +129,77 @@ def test_resolve_redirects_partition_invariant(spark):
     a = sorted(map(tuple, resolve_redirects(df).collect()))
     b = sorted(map(tuple, resolve_redirects(df.repartition(11)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+
+def _hits(spark, pairs, **kw):
+    from xrpl_rich_list_py_crawler_spark.operators.graph import host_hits
+
+    return {
+        r.host: (r.auth, r.hub)
+        for r in host_hits(_edges(spark, pairs), **kw).collect()
+    }
+
+
+def test_hits_hub_and_authority_split(spark):
+    # h links to a1..a3 (pure hub); a1..a3 link nowhere
+    pairs = [("h", f"a{i}") for i in range(3)]
+    r = _hits(spark, pairs, n_iter=2)
+    assert r["h"][0] == 0                    # no in-links: auth 0
+    assert r["h"][1] > 0                     # the hub
+    for i in range(3):
+        assert r[f"a{i}"][0] > 0             # authorities
+        assert r[f"a{i}"][1] == 0            # no out-links: hub 0
+    # symmetric authorities tie exactly (integer arithmetic)
+    assert len({r[f"a{i}"][0] for i in range(3)}) == 1
+
+
+def test_hits_better_hub_scores_higher(spark):
+    # hub2 points at BOTH authorities, hub1 at one: hub2 must outrank
+    pairs = [("hub1", "x"), ("hub2", "x"), ("hub2", "y"), ("z", "hub2")]
+    r = _hits(spark, pairs, n_iter=3)
+    assert r["hub2"][1] > r["hub1"][1]
+    # x has two hub in-links, y one: x is the stronger authority
+    assert r["x"][0] > r["y"][0]
+
+
+def test_hits_partitioning_invariance(spark):
+    pairs = [
+        (f"h{i}", f"h{(i * 7 + 3) % 20}")
+        for i in range(60)
+        if i % 20 != (i * 7 + 3) % 20
+    ]
+    e = _edges(spark, pairs)
+    from xrpl_rich_list_py_crawler_spark.operators.graph import host_hits
+
+    a = {
+        r.host: (r.auth, r.hub)
+        for r in host_hits(e.repartition(1), n_iter=3).collect()
+    }
+    b = {
+        r.host: (r.auth, r.hub)
+        for r in host_hits(e.repartition(13, "dst"), n_iter=3).collect()
+    }
+    assert a == b
+
+
+def test_hits_mass_renormalizes_near_scale(spark):
+    # unit-divide keeps each score vector's total within one unit-per-
+    # node of the scale after every iteration (no drift, no overflow)
+    pairs = [(f"s{i}", f"d{(i * 3 + 1) % 7}") for i in range(12)]
+    r = _hits(spark, pairs, n_iter=4)
+    total_auth = sum(a for a, _ in r.values())
+    scale = 10**12
+    assert total_auth <= scale * 2          # bounded near scale
+    assert total_auth > 0
+
+
+def test_hits_empty_graph(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.graph import host_hits
+
+    out = host_hits(_edges(spark, [("a", "b")]).filter("1=0"), n_iter=2)
+    assert out.count() == 0

@@ -219,3 +219,98 @@ def resolve_redirects(
         F.when(F.col("done"), F.col("hops")).alias("n_hops"),
         F.col("done").alias("terminal"),
     )
+
+
+def host_hits(
+    edges: DataFrame,
+    n_iter: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg) over a distinct (src, dst) host
+    edge list: returns (host, auth, hub) — the hub/authority pair is
+    the classic crawl-priority complement to :func:`host_pagerank`
+    (directory-ish hub pages are where frontiers find fresh links;
+    authorities are what the corpus should keep).
+
+    Same determinism stance as ``host_pagerank``: float HITS normalizes
+    by an L2 norm (order-dependent float sums — breaks the oracle and
+    the parallelism-invariance contract), so this keeps every step
+    integral. Per iteration:
+
+    * ``auth_raw(p) = Σ hub(q)`` over in-edges q→p (exact long sums);
+    * normalize by the UNIT-DIVIDE rule: ``unit = greatest(1,
+      total div scale)``; ``auth = auth_raw div unit`` — one integral
+      division per node, values re-bounded near ``scale`` every
+      iteration so no product ever overflows (the naive
+      ``v·scale div total`` multiply overflows long at indegree ≥ ~10);
+    * then the mirrored hub update from the fresh auth scores.
+
+    L1-style unit normalization preserves HITS's ranking fixpoint
+    direction (scores are scale-invariant in HITS; only relative size
+    matters) while making every engine/partitioning bit-identical.
+    Hosts with no in-links keep auth 0; no out-links, hub 0 (the
+    classic convention), both pinned via the host-spine left join.
+
+    Scale shape: identical to PageRank's — each half-iteration is ONE
+    keyed equi join (edges ⋈ scores) + one groupBy with map-side
+    partial integer sums, linear in |edges|; the normalization total is
+    a 1-row aggregate joined back via broadcast crossJoin (A1
+    discipline, never an empty window); edges and the host spine are
+    loop-invariant (persisted once); lineage is localCheckpoint-bounded
+    per iteration (the connected_components/pagerank loop discipline).
+    At 10^8 hosts, bucket the edge table by src once and both
+    half-iterations reuse the layout.
+    """
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = hosts.count()  # the one driver scalar (bounded: #hosts)
+    if n == 0:
+        return hosts.select(
+            "host",
+            F.lit(0).cast("long").alias("auth"),
+            F.lit(0).cast("long").alias("hub"),
+        )
+    e = edges.persist()
+    spine = hosts.persist()
+    hub = spine.select("host", F.lit(scale // n).cast("long").alias("s"))
+
+    def _half(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("host", join_on), join_on)
+            .groupBy(F.col(group_to).alias("host"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        total = raw.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"coalesce(sum(raw), CAST(0 AS LONG)) div {scale}"),
+            ).alias("unit")
+        )
+        return (
+            spine.join(raw, "host", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "host",
+                F.expr("coalesce(raw, CAST(0 AS LONG)) div unit")
+                .cast("long")
+                .alias("s"),
+            )
+        )
+
+    auth = None
+    for _ in range(int(n_iter)):
+        auth = _half(hub, "src", "dst").localCheckpoint(eager=True)
+        hub = _half(auth, "dst", "src").localCheckpoint(eager=True)
+    out = (
+        auth.withColumnRenamed("s", "auth")
+        .join(hub.withColumnRenamed("s", "hub"), "host")
+        .select("host", "auth", "hub")
+    )
+    # auth/hub are already checkpointed (lineage cut), so the loop
+    # invariants can be freed before the caller acts
+    e.unpersist()
+    spine.unpersist()
+    return out
