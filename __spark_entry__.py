@@ -1302,6 +1302,26 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_lang_segments(spark, sf):
+    """Per-paragraph language segmentation (textstats.lang_segments):
+    the fixture corpus is single-paragraph English, so mixed-language
+    multi-paragraph pages are synthesized in-query (the script_profile
+    §8/§9 pattern): %3==1 gains a German paragraph (DE marker tokens
+    beat the EN stopword count), %3==2 a CJK paragraph (>10% CJK chars
+    → 'ja'), %3==0 stays single-paragraph — every lang branch and the
+    multi-paragraph indexing engage. Identical literals on both
+    engines."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 3 == 1, F.lit("\nder die und das ist nicht ein"))
+        .when(did % 3 == 2, F.lit("\n中文文本中文文本中文"))
+        .otherwise(F.lit(""))
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    return ts.lang_segments(aug)
+
+
 def _q_host_hits(spark, sf):
     """HITS hubs/authorities (operators/graph.py host_hits) over the
     same deterministic doc_id-derived link graph as host_pagerank
@@ -2650,7 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CTEs, ccnet_buckets — CCNet §4.1 equal-character-mass
     head/middle/tail split in KN-LM quality order over the two-phase
     prefix sum, host_hits — integer-exact HITS hubs/authorities with
-    the unit-divide normalization — all oracle-backed
+    the unit-divide normalization, lang_segments — CCNet per-paragraph
+    language segmentation with synthesized mixed-language pages — all
+    oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2802,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "ccnet_buckets": _q_ccnet_buckets,
         "host_hits": _q_host_hits,
+        "lang_segments": _q_lang_segments,
     }
 
 
@@ -4699,6 +4722,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT a4.host, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 USING (host)"""
     out["host_hits"] = _hits
+    # lang_segments: split on newline runs with aligned unnest /
+    # generate_subscripts (the posexplode twin — subscripts are 1-based),
+    # then the shared lang-ID SQL twin per paragraph.
+    out["lang_segments"] = f"""
+        WITH aug AS (
+            SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 1
+                         THEN chr(10) || 'der die und das ist nicht ein'
+                     WHEN doc_id % 3 = 2
+                         THEN chr(10) || '中文文本中文文本中文'
+                     ELSE '' END AS text
+            FROM documents
+        ),
+        seg AS (
+            SELECT doc_id,
+                CAST(generate_subscripts(
+                    regexp_split_to_array(text, '\\n+'), 1) - 1 AS INT)
+                    AS para_ix,
+                unnest(regexp_split_to_array(text, '\\n+')) AS para
+            FROM aug
+        )
+        SELECT doc_id, para_ix,
+               {ts.lang_id_sql('para')} AS lang,
+               CAST(length(para) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN trim(para) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(para),
+                                                   '[ \\t\\n\\r\\f\\x0b]+'))
+                    END AS BIGINT) AS n_tokens
+        FROM seg WHERE trim(para) <> ''
+    """
     out["sessionization"] = r"""
         WITH o AS (
             SELECT user_id, event_id, ts,

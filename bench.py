@@ -459,6 +459,7 @@ HEADLINE = [
     # CCNet equal-mass corpus split over the KN-LM scores
     "kmeans_embeddings",
     "ccnet_buckets",
+    "lang_segments",
 ]
 
 

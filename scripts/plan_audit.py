@@ -73,6 +73,7 @@ AUDITED = [
     "kmeans_embeddings",
     "ccnet_buckets",          # two-phase prefix-sum corpus split
     "host_hits",              # per-half-step keyed join (integer HITS)
+    "lang_segments",          # shuffle-free per-paragraph langid
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -2102,3 +2102,44 @@ def test_script_profile_fuzz_vs_python_re(spark):
             name for name, _ in classes if counts[name] == top
         )
         assert r.dominant_script == want_dom, (i, text)
+
+
+def test_lang_segments_split_and_indexing(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        lang_segments,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # \n+ collapses the double newline into ONE separator: the
+            # German paragraph is segment 1, and a whitespace-only
+            # middle segment ("a\n \nb" shape, doc 4) is filtered but
+            # later paragraphs keep their split positions
+            (1, "the of and a to in is it\n\nder die und das ist nicht"),
+            (2, "solo english line with the and of"),
+            (3, "   "),  # all-blank doc: no rows
+            (4, "the of and a\n \nder die und das ist nicht"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.para_ix): (r.lang, r.n_chars, r.n_tokens)
+        for r in lang_segments(df).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (4, 0), (4, 2)}
+    assert got[(1, 0)][0] == "en"
+    assert got[(1, 1)][0] == "de"
+    assert got[(4, 2)][0] == "de"  # blank segment filtered, index kept
+    assert got[(2, 0)] == ("en", 33, 7)
+
+
+def test_lang_segments_plan_is_shuffle_free(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        lang_segments,
+    )
+
+    df = spark.createDataFrame([(1, "a b\nc d")], ["doc_id", "text"])
+    plan = (
+        lang_segments(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -1035,3 +1035,43 @@ def script_profile(
         *ratio_cols,
         dominant.alias("dominant_script"),
     )
+
+
+def lang_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n+",
+) -> DataFrame:
+    """CCNet-style per-paragraph language segmentation: split each
+    document on ``sep`` (newline runs — Java regex and RE2 read the
+    class identically) and language-ID every paragraph independently.
+
+    Mixed-language pages are common on the web and CCNet's pipeline
+    langid's and LM-scores PARAGRAPHS, not pages, precisely so a German
+    page with an English boilerplate footer doesn't poison either
+    language's bucket. Output one row per non-blank paragraph:
+    (id, para_ix, lang, n_chars, n_tokens). ``para_ix`` is the
+    paragraph's position in the ORIGINAL split — newline RUNS collapse
+    to one separator (``\\n+``), while whitespace-only segments are
+    filtered but keep their index, so downstream reassembly stays
+    aligned.
+
+    Scale shape: one ``posexplode`` linear in corpus bytes; language ID
+    and both counters are per-row whole-stage-codegen expressions —
+    zero shuffle, zero Python, no state. Downstream per-(doc, lang)
+    rollups group on keys this operator already carries.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "para_ix", "para"
+        ),
+    ).filter(F.trim(F.col("para")) != "")
+    return paras.select(
+        id_col,
+        "para_ix",
+        lang_id_col(F.col("para")).alias("lang"),
+        F.length("para").cast("long").alias("n_chars"),
+        token_count_col(F.col("para")).cast("long").alias("n_tokens"),
+    )
