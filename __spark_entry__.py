@@ -1302,6 +1302,36 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_temperature_sample(spark, sf):
+    """Temperature-scaled (α=1/2) mixture sampling (curation.
+    temperature_sample, XLM-R/mT5 balancing): target shares ∝
+    sqrt(domain token mass) via EXACT integer sqrt + scaled div, so the
+    smallest source binds at rate 1 and head sources downsample — the
+    inverse emphasis of raw-proportional sampling. Float steps (two
+    divisions + the min) mirror the SQL twin's association order
+    exactly."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tokens", ts.token_count_col(F.col("text")))
+        .drop("text")
+    )
+    out = temperature_sample(d, seed=20260818)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("w", 6).alias("w"),
+        F.round("rate", 6).alias("rate"),
+        "u",
+        "sampled",
+    )
+
+
 def _q_lang_segments(spark, sf):
     """Per-paragraph language segmentation (textstats.lang_segments):
     the fixture corpus is single-paragraph English, so mixed-language
@@ -2671,8 +2701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head/middle/tail split in KN-LM quality order over the two-phase
     prefix sum, host_hits — integer-exact HITS hubs/authorities with
     the unit-divide normalization, lang_segments — CCNet per-paragraph
-    language segmentation with synthesized mixed-language pages — all
-    oracle-backed
+    language segmentation with synthesized mixed-language pages,
+    temperature_sample — XLM-R α=1/2 sqrt-mass mixture balancing via
+    exact integer sqrt — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2825,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "host_hits": _q_host_hits,
         "lang_segments": _q_lang_segments,
+        "temperature_sample": _q_temperature_sample,
     }
 
 
@@ -4725,6 +4757,73 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # temperature_sample: exact isqrt (corrected floor-sqrt) + scaled
+    # integral div for the alpha=1/2 shares; the float feasibility chain
+    # mirrors the Spark expression association order term for term.
+    out["temperature_sample"] = r"""
+        WITH base AS (
+            SELECT doc_id, source,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                              '[ \t\n\r\f\x0b]+'))
+                    END AS INT) AS n_tokens
+            FROM documents
+        ),
+        avail AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+            FROM base GROUP BY 1
+        ),
+        sq AS (
+            SELECT source, avail,
+                s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= avail
+                      THEN 1 ELSE 0 END) AS sqrt_mass
+            FROM (
+                SELECT source, avail,
+                    s0 - (CASE WHEN s0 * s0 > avail THEN 1 ELSE 0 END) AS s1
+                FROM (
+                    SELECT source, avail,
+                        CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)
+                            AS s0
+                    FROM avail
+                )
+            )
+        ),
+        tot AS (SELECT CAST(SUM(sqrt_mass) AS BIGINT) AS tot FROM sq),
+        wts AS (
+            SELECT source, avail,
+                CAST((sqrt_mass * 1000000000) // (SELECT tot FROM tot)
+                  AS BIGINT) AS w_scaled
+            FROM sq
+        ),
+        t AS (
+            SELECT MIN(CAST(avail AS DOUBLE)
+                       / (CAST(w_scaled AS DOUBLE)
+                          / CAST(1000000000 AS DOUBLE))) AS T
+            FROM wts WHERE w_scaled > 0
+        ),
+        rates AS (
+            SELECT source,
+                CAST(w_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS w,
+                CASE WHEN avail > 0 THEN LEAST(1.0,
+                    CAST(w_scaled AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+                    * (SELECT T FROM t) / CAST(avail AS DOUBLE))
+                ELSE 0.0 END AS rate
+            FROM wts
+        ),
+        scored AS (
+            SELECT b.doc_id, b.source, b.n_tokens,
+                COALESCE(r.w, 0.0) AS w0,
+                COALESCE(r.rate, 0.0) AS rate0,
+                CAST(CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)
+                    || ':20260818'), 1, 8) AS UBIGINT) AS DOUBLE)
+                    / 4294967296.0 AS u
+            FROM base b LEFT JOIN rates r USING (source)
+        )
+        SELECT doc_id, source, n_tokens,
+            ROUND(w0, 6) AS w, ROUND(rate0, 6) AS rate,
+            u, u < rate0 AS sampled
+        FROM scored
+    """
     out["lang_segments"] = f"""
         WITH aug AS (
             SELECT doc_id, text ||

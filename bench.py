@@ -460,6 +460,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "ccnet_buckets",
     "lang_segments",
+    "temperature_sample",
 ]
 
 

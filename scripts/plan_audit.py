@@ -74,6 +74,7 @@ AUDITED = [
     "ccnet_buckets",          # two-phase prefix-sum corpus split
     "host_hits",              # per-half-step keyed join (integer HITS)
     "lang_segments",          # shuffle-free per-paragraph langid
+    "temperature_sample",     # sqrt-mass dim + broadcast verdicts
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -2143,3 +2143,88 @@ def test_lang_segments_plan_is_shuffle_free(spark):
         lang_segments(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_isqrt_col_exact_over_range(spark):
+    import math
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import _isqrt_col
+
+    vals = (
+        list(range(0, 50))
+        + [x * x + d for x in (10**3, 10**6, 3 * 10**7) for d in (-1, 0, 1)]
+        + [2**52 - 1]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["m"]).select(
+        "m", _isqrt_col(F.col("m")).alias("s")
+    )
+    for r in df.collect():
+        assert r.s == math.isqrt(r.m), r.m
+
+
+def test_temperature_sample_upweights_small_domain(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    # big: 3600 tokens over 36 docs; small: 100 tokens over 10 docs.
+    # sqrt weights 60:10 — the SMALL domain binds (rate 1) and big
+    # downsamples to (60/70)*T/3600 with T = 100/(10/70) = 700
+    rows = [(i, "big", 100) for i in range(36)] + [
+        (100 + i, "small", 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = temperature_sample(df, seed=7)
+    rates = {
+        r.source: (r.w, r.rate)
+        for r in out.select("source", "w", "rate").distinct().collect()
+    }
+    assert rates["small"][1] == 1.0
+    assert 0.0 < rates["big"][1] < 1.0
+    # sqrt share: isqrt(3600)=60, isqrt(100)=10 → w_big = 6/7 (scaled div)
+    assert abs(rates["big"][0] - (60 * 10**9 // 70) / 10**9) < 1e-12
+    # raw-proportional sampling would give big 36/37 of kept mass;
+    # sqrt-temperature caps expected kept big mass at w_big*T = 600
+    # vs small's full 100 — a 6:1 mix instead of 36:1
+    assert rates["big"][1] * 3600 < 36 / 37 * 3700
+
+
+def test_temperature_sample_zero_mass_domain_drops(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [(1, "a", 100), (2, "b", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    got = {r.doc_id: r for r in temperature_sample(df).collect()}
+    assert got[2].rate == 0.0 and not got[2].sampled
+    assert got[1].rate == 1.0
+
+
+def test_temperature_sample_parallelism_invariance(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [(i, f"s{i % 5}", 10 + i % 17) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    a = temperature_sample(df.repartition(1)).collect()
+    b = temperature_sample(df.repartition(9, "doc_id")).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_temperature_sample_plan_broadcast_only(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", 10) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    plan = (
+        temperature_sample(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dim joins must broadcast

@@ -948,3 +948,100 @@ def corpus_report(
             F.col("n_selected").cast("double") / F.col("n_docs"), 6
         ).alias("selection_rate"),
     )
+
+
+def _isqrt_col(m: Column) -> Column:
+    """Exact integer sqrt (floor) of a long column, engine-portable.
+
+    ``floor(sqrt(double))`` alone can be off by one near perfect
+    squares once libm/IEEE rounding enters; the two integer correction
+    terms pin it exactly (the same trick both engines can evaluate in
+    codegen, no loops). Valid for m < 2^53, far beyond any token mass.
+    """
+    s0 = F.floor(F.sqrt(m.cast("double"))).cast("long")
+    s1 = s0 - F.when(s0 * s0 > m, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return s1 + F.when(
+        (s1 + 1) * (s1 + 1) <= m, F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at α = 1/2 (the XLM-R §5.1 /
+    mT5 language-balancing rule): target domain share ∝ ``mass_d^α``,
+    so low-resource domains are UPSAMPLED relative to their raw share —
+    the standard fix for a web corpus where the head language/domain
+    otherwise drowns the tail.
+
+    α = 1/2 is implemented EXACTLY: ``sqrt_mass = isqrt(mass)`` (integer,
+    corrected floor-sqrt — no libm margin), shares as scaled integral
+    ``div``, and only then two float divisions mirroring
+    :func:`mixture_sample`'s feasibility math: the binding domain (the
+    SMALLEST, under sqrt weights) keeps rate 1 and every other domain
+    downsamples to ``w_d·T/avail_d``; zero-mass domains drop to rate 0.
+    Keep decisions reuse the engine-portable md5 uniform, so the
+    realized mix is reproducible across cluster sizes and engines.
+
+    100 TB shape: one map-side-combined groupBy over ``domain_col``
+    (|domains|-row dim), two 1-row aggregates on the broadcast path,
+    one broadcast join back; the keep verdict is per-row codegen.
+    Output: input columns + ``w`` (double share), ``rate``, ``u``,
+    ``sampled``.
+    """
+    avail = df.groupBy(domain_col).agg(
+        F.sum(tokens_col).cast("long").alias("avail")
+    )
+    sq = avail.select(
+        domain_col, "avail", _isqrt_col(F.col("avail")).alias("sqrt_mass")
+    )
+    tot = sq.agg(F.sum("sqrt_mass").cast("long").alias("tot"))
+    wts = sq.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "avail",
+        F.expr(f"(sqrt_mass * {int(scale)}) div tot")
+        .cast("long")
+        .alias("w_scaled"),
+    )
+    wdbl = F.col("w_scaled").cast("double") / F.lit(float(scale))
+    tmin = (
+        wts.filter(F.col("w_scaled") > 0)
+        .agg(F.min(F.col("avail").cast("double") / wdbl).alias("T"))
+    )
+    rates = wts.crossJoin(F.broadcast(tmin)).select(
+        domain_col,
+        wdbl.alias("w"),
+        # avail=0 guard: ANSI mode (Spark 4 default) raises on the 0/0,
+        # and a zero-mass domain's rate is 0 by definition anyway
+        F.when(
+            F.col("avail") > 0,
+            F.least(
+                F.lit(1.0),
+                wdbl * F.col("T") / F.col("avail").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
+    )
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    rate = F.coalesce(F.col("rate"), F.lit(0.0))
+    return df.join(F.broadcast(rates), domain_col, "left").select(
+        *df.columns,
+        F.coalesce(F.col("w"), F.lit(0.0)).alias("w"),
+        rate.alias("rate"),
+        u.alias("u"),
+        (u < rate).alias("sampled"),
+    )
