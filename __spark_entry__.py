@@ -1302,6 +1302,21 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_epoch_shuffle(spark, sf):
+    """Deterministic epoch shuffle (packing.epoch_shuffle): the
+    dataloader's per-epoch permutation — md5(id:epoch:seed) order,
+    position assigned by the two-phase global_rank. Oracle runs the
+    naive ROW_NUMBER window over the same key — certifying the scale
+    plan computes the identical permutation (the seq_packing/W1
+    pattern)."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("seq_id"))
+    return epoch_shuffle(d, epoch=1, seed=20260818)
+
+
 def _q_temperature_sample(spark, sf):
     """Temperature-scaled (α=1/2) mixture sampling (curation.
     temperature_sample, XLM-R/mT5 balancing): target shares ∝
@@ -2703,7 +2718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the unit-divide normalization, lang_segments — CCNet per-paragraph
     language segmentation with synthesized mixed-language pages,
     temperature_sample — XLM-R α=1/2 sqrt-mass mixture balancing via
-    exact integer sqrt — all oracle-backed
+    exact integer sqrt, epoch_shuffle — reproducible per-epoch
+    dataloader permutation over the two-phase rank — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2857,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": _q_host_hits,
         "lang_segments": _q_lang_segments,
         "temperature_sample": _q_temperature_sample,
+        "epoch_shuffle": _q_epoch_shuffle,
     }
 
 
@@ -4757,6 +4774,19 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # epoch_shuffle: the oracle's naive window over the same md5 key —
+    # the Spark side runs the two-phase rank and must produce the
+    # identical permutation.
+    out["epoch_shuffle"] = r"""
+        SELECT seq_id,
+               CAST(row_number() OVER (ORDER BY k, seq_id) AS INT)
+                   AS position
+        FROM (
+            SELECT doc_id AS seq_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':1:20260818') AS k
+            FROM documents
+        )
+    """
     # temperature_sample: exact isqrt (corrected floor-sqrt) + scaled
     # integral div for the alpha=1/2 shares; the float feasibility chain
     # mirrors the Spark expression association order term for term.

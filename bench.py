@@ -461,6 +461,7 @@ HEADLINE = [
     "ccnet_buckets",
     "lang_segments",
     "temperature_sample",
+    "epoch_shuffle",
 ]
 
 

@@ -75,6 +75,7 @@ AUDITED = [
     "host_hits",              # per-half-step keyed join (integer HITS)
     "lang_segments",          # shuffle-free per-paragraph langid
     "temperature_sample",     # sqrt-mass dim + broadcast verdicts
+    "epoch_shuffle",          # two-phase permutation rank
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -228,3 +228,55 @@ def test_assemble_sequences_boundaries(spark):
     assert again == {
         k: (list(v.doc_ids), list(v.boundaries)) for k, v in seqs.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["seq_id"])
+    got = epoch_shuffle(df, epoch=1).collect()
+    assert sorted(r.position for r in got) == list(range(1, 101))
+    # and it actually shuffles: identity order would be astronomical
+    assert [r.seq_id for r in sorted(got, key=lambda r: r.position)] != list(
+        range(100)
+    )
+
+
+def test_epoch_shuffle_epochs_differ_runs_repeat(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(60)], ["seq_id"])
+
+    def order(epoch, parts):
+        out = epoch_shuffle(df.repartition(parts, "seq_id"), epoch=epoch)
+        return tuple(
+            r.seq_id for r in sorted(out.collect(), key=lambda r: r.position)
+        )
+
+    assert order(1, 1) == order(1, 7)      # reproducible at any layout
+    assert order(1, 1) != order(2, 1)      # new permutation per epoch
+
+
+def test_epoch_shuffle_plan_is_two_phase(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["seq_id"])
+    plan = (
+        epoch_shuffle(df, epoch=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -274,3 +274,53 @@ def assemble_sequences(
             "boundaries"
         ),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "seq_id",
+    rank_col: str = "position",
+    seed: int = 42,
+    n_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Deterministic epoch-wise shuffle of training sequences: the
+    dataloader step between :func:`pack_sequences` /
+    ``shard_assignment`` and the trainer. Every epoch must present the
+    sequences in a different order, but the order must be REPRODUCIBLE
+    (resume from step N, re-run on a different cluster size, replay for
+    debugging) — so the permutation key is the engine-portable md5
+    uniform over ``(id, epoch, seed)``, not an RNG with state.
+
+    ``rank_col`` is the sequence's 1-based position in epoch order,
+    assigned by :func:`..operators.frontier.global_rank`'s two-phase
+    plan (range shuffle + P-row broadcast offset dim — never a
+    single-partition ``ROW_NUMBER() OVER (ORDER BY ..)``). The id is
+    the tiebreak after the 32-hex key, making the order total even
+    under md5-prefix collisions.
+
+    Scale shape: one range shuffle per epoch over the sequence TABLE
+    (ids + offsets — never the token payload, which stays put and is
+    fetched by position at read time); everything else is per-row
+    codegen.
+    """
+    from .frontier import global_rank
+
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.lit(str(int(epoch))),
+            F.lit(str(int(seed))),
+        )
+    )
+    keyed = df.withColumn("_shuffle_key", key)
+    ranked = global_rank(
+        keyed,
+        rank_col=rank_col,
+        n_partitions=n_partitions,
+        cache_registry=cache_registry,
+        order_by=[F.col("_shuffle_key"), F.col(id_col)],
+    )
+    return ranked.drop("_shuffle_key")
