@@ -439,3 +439,76 @@ def test_neardup_vs_reference_stream_matches_batch(spark, tmp_path):
     ]
     assert len(got2) == len(set(got2))          # no duplicate pair rows
     assert {(13, 1), (13, 2)} <= set(got2)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Gap-closed sessions emit with exact batch-equal stats; a user's
+    dangling session emits only after the watermark passes its horizon
+    (user A times out via user B's later events); the final open
+    session (B's last) stays in state — the documented streaming tail."""
+    import datetime as dt
+
+    from xrpl_rich_list_py_crawler_spark.operators.sessions import (
+        session_stats,
+    )
+    from xrpl_rich_list_py_crawler_spark.streaming.jobs import (
+        sessionize_stream,
+    )
+
+    epoch = datetime(2026, 1, 1)
+
+    def ev(user, eid, secs):
+        return {
+            "user_id": user,
+            "event_id": eid,
+            "ts": epoch + timedelta(seconds=secs),
+        }
+
+    batches = [
+        # A: two events 60s apart; B: one event
+        [ev("A", 1, 0), ev("A", 2, 60), ev("B", 10, 0)],
+        # B again 2h later: closes B's first session by gap; watermark
+        # advances to 2h
+        [ev("B", 11, 7200)],
+        # B at 4h: closes B's second session by gap AND the watermark
+        # from batch 2 (2h) has passed A's last(60s)+30min → A times out
+        [ev("B", 12, 14400)],
+    ]
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["event_id"] = pdf["event_id"].astype("int64")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, f"b{i}.parquet"))
+    out = str(tmp_path / "sessions")
+    q = sessionize_stream(spark, src, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.start_ts): r for r in spark.read.parquet(out).collect()
+    }
+
+    # batch truth over the SAME events
+    all_events = spark.createDataFrame(pd.concat(
+        [pd.DataFrame(b) for b in batches], ignore_index=True
+    ))
+    truth = {
+        (r.user_id, r.start_ts): r
+        for r in session_stats(all_events).collect()
+    }
+    # stream emits every batch session except B's final open one
+    assert set(got) == set(truth) - {("B", epoch + timedelta(seconds=14400))}
+    for k, r in got.items():
+        t = truth[k]
+        assert (r.n_events, r.end_ts, r.duration_us) == (
+            t.n_events, t.end_ts, t.duration_us
+        ), k
+    # A's dangling session closed by TIMEOUT, B's by in-stream gaps
+    assert got[("A", epoch)].timed_out
+    assert not got[("B", epoch)].timed_out
+    # timeout evicted A's state; B's open session is the only state left
+    # (observable: re-running the stream over the same checkpoint emits
+    # nothing new)
+    q2 = sessionize_stream(spark, src, out, str(tmp_path / "ckpt"))
+    q2.awaitTermination(300)
+    assert len(spark.read.parquet(out).collect()) == len(got)

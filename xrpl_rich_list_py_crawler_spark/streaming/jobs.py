@@ -13,6 +13,11 @@ native Structured Streaming re-expressions:
   operator*: ``applyInPandasWithState`` keeps a per-host fetched-so-far
   counter across micro-batches, so the per-host budget holds over the
   whole stream, not just within one batch (``validator.py:123,181-182``).
+* :func:`sessionize_stream` — the batch gaps-and-islands sessionization
+  as a stateful stream: ``applyInPandasWithState`` with an EVENT-TIME
+  TIMEOUT that closes a session exactly when the watermark passes
+  ``last_event + gap`` and evicts the user's state (state tracks active
+  users, never the user universe).
 """
 
 from __future__ import annotations
@@ -482,6 +487,149 @@ def hll_register_stream(
         src.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization (applyInPandasWithState + event-time timeout)
+# ---------------------------------------------------------------------------
+
+_SESS_OUT = (
+    "user_id string, n_events long, start_ts timestamp, "
+    "end_ts timestamp, duration_us long, timed_out boolean"
+)
+_SESS_STATE = "start_us long, last_us long, n long"
+
+
+def _make_sess_fn(gap_us: int):
+    """Per-user session state machine (closure carries the gap).
+
+    State = the user's OPEN session (start/last/event-count in integer
+    microseconds — the batch ``sessions.sessionize`` exactness rule).
+    A session is emitted when CLOSED, two ways:
+
+    * a new event arrives with gap strictly greater than ``gap_us``
+      (mirrors the batch ``>`` rule, ties stay in-session);
+    * the event-time TIMEOUT fires — the watermark passed
+      ``last + gap``, so no in-order event can extend the session;
+      state is removed, which is what bounds state size to ACTIVE
+      users (the politeness stream's NoTimeout counter is the
+      contrast: tiny fixed state, never evicted).
+
+    Sessions are identified by (user_id, start_ts) — stable across
+    restarts; a numbering column would reset when timeout evicts state,
+    so it is deliberately not part of the streaming contract (the batch
+    job owns global session_ids).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_events": [int(n)],
+                    "start_ts": [pd.to_datetime(start_us, unit="us")],
+                    "end_ts": [pd.to_datetime(last_us, unit="us")],
+                    "duration_us": [int(last_us - start_us)],
+                    "timed_out": [True],
+                }
+            )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in (pdf["ts"].astype("int64") // 1000).tolist():
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # fire once the watermark proves no in-order extension can come
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "n_events": [int(n_) for _, _, n_ in closed],
+                    "start_ts": [
+                        pd.to_datetime(s, unit="us") for s, _, _ in closed
+                    ],
+                    "end_ts": [
+                        pd.to_datetime(e, unit="us") for _, e, _ in closed
+                    ],
+                    "duration_us": [int(e - s) for s, e, _ in closed],
+                    "timed_out": [False] * len(closed),
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming sessionization: the batch gaps-and-islands job
+    (operators/sessions.py) as a custom stateful operator —
+    ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT, the session
+    pattern ``dropDuplicatesWithinWatermark`` can't express (state is a
+    running window, not a key set).
+
+    Closed sessions stream out in append mode; the timeout closes a
+    session exactly when the watermark passes ``last_event + gap`` (no
+    in-order event can extend it) and EVICTS the user's state, so state
+    size tracks currently-ACTIVE users, never the user universe. Each
+    user's final session therefore emits only after a later batch
+    advances the watermark past its horizon — the standard
+    streaming-vs-batch tail difference, pinned in test_streaming.
+
+    Scale shape: one shuffle by user per micro-batch (the stateful
+    exchange); per-user per-batch event counts are bounded (the batch
+    job's same argument); Arrow moves the batches, state is 3 longs per
+    active user.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    schema = "user_id string, event_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    sess = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sess_fn(gap_us),
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
