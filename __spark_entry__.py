@@ -1302,6 +1302,56 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_webdataset_roundtrip(spark, sf):
+    """WebDataset tar-shard sink+source round trip (sources/
+    webdataset.py): documents become two-member samples ({key}.json
+    metadata + {key}.txt payload) folded into 4 deterministic tar
+    shards, then parsed back member-by-member. The oracle reconstructs
+    every parsed field directly from documents, so the ustar framing
+    (pinned mtime/uid/mode, 512-byte blocks, member order, first-dot
+    key rule) must round-trip byte-exactly for the hash to match —
+    the warc_roundtrip pattern applied to the dataloader-facing
+    container."""
+    from xrpl_rich_list_py_crawler_spark.sources.webdataset import (
+        parse_tar_df, to_tar_shards,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 64)
+    did = F.col("doc_id")
+    shard = F.concat(
+        F.lit("shard-"), (did % 4).cast("string"), F.lit(".tar")
+    )
+    key = F.concat(F.lit("d"), did.cast("string"))
+    meta = F.concat(
+        F.lit('{"doc_id": '),
+        did.cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    members = d.select(
+        shard.alias("shard"),
+        key.alias("key"),
+        F.concat(key, F.lit(".json")).alias("member"),
+        meta.cast("binary").alias("payload"),
+    ).unionByName(
+        d.select(
+            shard.alias("shard"),
+            key.alias("key"),
+            F.concat(key, F.lit(".txt")).alias("member"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    parsed = parse_tar_df(to_tar_shards(members))
+    return parsed.select(
+        "shard",
+        "key",
+        "member",
+        F.col("payload").cast("string").alias("payload_text"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_epoch_shuffle(spark, sf):
     """Deterministic epoch shuffle (packing.epoch_shuffle): the
     dataloader's per-epoch permutation — md5(id:epoch:seed) order,
@@ -2719,7 +2769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     language segmentation with synthesized mixed-language pages,
     temperature_sample — XLM-R α=1/2 sqrt-mass mixture balancing via
     exact integer sqrt, epoch_shuffle — reproducible per-epoch
-    dataloader permutation over the two-phase rank — all oracle-backed
+    dataloader permutation over the two-phase rank,
+    webdataset_roundtrip — deterministic tar-shard sink/source with a
+    reconstruct-from-documents oracle — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2874,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": _q_lang_segments,
         "temperature_sample": _q_temperature_sample,
         "epoch_shuffle": _q_epoch_shuffle,
+        "webdataset_roundtrip": _q_webdataset_roundtrip,
     }
 
 
@@ -4774,6 +4827,34 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # webdataset_roundtrip: the oracle reconstructs every parsed member
+    # field straight from documents — the tar layer (to_tar_shards →
+    # parse_tar_df) must be byte-lossless for values to line up (the
+    # warc_roundtrip oracle pattern).
+    out["webdataset_roundtrip"] = r"""
+        WITH d AS (
+            SELECT doc_id, lang, text FROM documents WHERE doc_id < 64
+        ),
+        m AS (
+            SELECT
+                'shard-' || CAST(doc_id % 4 AS VARCHAR) || '.tar' AS shard,
+                'd' || CAST(doc_id AS VARCHAR) AS key,
+                'd' || CAST(doc_id AS VARCHAR) || '.json' AS member,
+                '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                    || ', "lang": "' || lang || '"}' AS payload_text
+            FROM d
+            UNION ALL
+            SELECT
+                'shard-' || CAST(doc_id % 4 AS VARCHAR) || '.tar',
+                'd' || CAST(doc_id AS VARCHAR),
+                'd' || CAST(doc_id AS VARCHAR) || '.txt',
+                text
+            FROM d
+        )
+        SELECT shard, key, member, payload_text,
+               CAST(strlen(payload_text) AS BIGINT) AS n_bytes
+        FROM m
+    """
     # epoch_shuffle: the oracle's naive window over the same md5 key —
     # the Spark side runs the two-phase rank and must produce the
     # identical permutation.

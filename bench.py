@@ -462,6 +462,7 @@ HEADLINE = [
     "lang_segments",
     "temperature_sample",
     "epoch_shuffle",
+    "webdataset_roundtrip",
 ]
 
 

@@ -76,6 +76,7 @@ AUDITED = [
     "lang_segments",          # shuffle-free per-paragraph langid
     "temperature_sample",     # sqrt-mass dim + broadcast verdicts
     "epoch_shuffle",          # two-phase permutation rank
+    "webdataset_roundtrip",   # shard groupBy + file-per-task parse
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -196,3 +196,90 @@ def test_warc_to_wet_pipeline(spark):
         .collect()[0].t
     )
     assert conv[0]["payload"].decode() == expected
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards
+# ---------------------------------------------------------------------------
+
+
+def _members(spark, rows):
+    return spark.createDataFrame(
+        [(s, k, m, bytearray(p)) for s, k, m, p in rows],
+        "shard string, key string, member string, payload binary",
+    )
+
+
+def test_tar_shards_bytes_deterministic_and_wellformed(spark):
+    import io
+    import tarfile
+
+    from xrpl_rich_list_py_crawler_spark.sources.webdataset import (
+        to_tar_shards,
+    )
+
+    rows = [
+        ("s0.tar", f"d{i}", f"d{i}.{ext}", f"p{i}{ext}".encode())
+        for i in range(6)
+        for ext in ("txt", "json")
+    ]
+    df = _members(spark, rows)
+    a = {r.shard: bytes(r.content) for r in to_tar_shards(df.repartition(1)).collect()}
+    b = {
+        r.shard: bytes(r.content)
+        for r in to_tar_shards(df.repartition(7, "member")).collect()
+    }
+    assert a == b  # byte-identical at any partitioning
+    tf = tarfile.open(fileobj=io.BytesIO(a["s0.tar"]))
+    names = [m.name for m in tf.getmembers()]
+    assert names == sorted(names)  # (key, member) total order
+    info = tf.getmembers()[0]
+    assert (info.mtime, info.uid, info.gid, info.mode) == (0, 0, 0, 0o644)
+    assert info.uname == "" and info.gname == ""
+
+
+def test_tar_shards_roundtrip_via_disk(spark, tmp_path):
+    import os
+
+    from xrpl_rich_list_py_crawler_spark.sources.webdataset import (
+        read_tar_shards, to_tar_shards,
+    )
+
+    rows = [
+        ("s0.tar", "a", "a.txt", b"hello"),
+        ("s0.tar", "a", "a.json", b'{"k": 1}'),
+        ("s1.tar", "b.long", "b.long.seg.json", b"[]"),  # first-dot key
+        ("s1.tar", "c", "c.txt", b""),  # empty payload survives
+    ]
+    for r in to_tar_shards(_members(spark, rows)).collect():
+        with open(os.path.join(tmp_path, r.shard), "wb") as f:
+            f.write(bytes(r.content))
+    got = {
+        (r.shard, r.member): (r.key, bytes(r.payload))
+        for r in read_tar_shards(spark, str(tmp_path)).collect()
+    }
+    assert got[("s0.tar", "a.txt")] == ("a", b"hello")
+    assert got[("s1.tar", "b.long.seg.json")] == ("b", b"[]")
+    assert got[("s1.tar", "c.txt")] == ("c", b"")
+    assert len(got) == 4
+
+
+def test_tar_parse_strict_and_lenient(spark):
+    import pytest as _pytest
+
+    from xrpl_rich_list_py_crawler_spark.sources.webdataset import (
+        parse_tar_df, to_tar_shards,
+    )
+
+    good = to_tar_shards(
+        _members(spark, [("g.tar", "x", "x.txt", b"ok")])
+    ).select("shard", "content")
+    junk = spark.createDataFrame(
+        [("junk.tar", bytearray(b"not a tar at all" * 40))],
+        "shard string, content binary",
+    )
+    both = good.unionByName(junk)
+    lenient = parse_tar_df(both, strict=False).collect()
+    assert [(r.shard, r.member) for r in lenient] == [("g.tar", "x.txt")]
+    with _pytest.raises(Exception):
+        parse_tar_df(both, strict=True).collect()
