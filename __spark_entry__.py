@@ -1302,6 +1302,18 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_pmi_phrases(spark, sf):
+    """word2phrase collocation mining (lm.pmi_phrases): top-50 adjacent
+    pairs by discounted corpus-normalized PMI score at min_count=5 —
+    the phrase-vocabulary step before tokenizer training. Scores are
+    four exactly-representable integer-valued doubles combined in a
+    pinned association order, so ranking is engine-identical."""
+    from xrpl_rich_list_py_crawler_spark.operators.lm import pmi_phrases
+
+    d = _t(spark, sf, "documents")
+    return pmi_phrases(d, min_count=5, k=50, delta=2)
+
+
 def _q_webdataset_roundtrip(spark, sf):
     """WebDataset tar-shard sink+source round trip (sources/
     webdataset.py): documents become two-member samples ({key}.json
@@ -2771,7 +2783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact integer sqrt, epoch_shuffle — reproducible per-epoch
     dataloader permutation over the two-phase rank,
     webdataset_roundtrip — deterministic tar-shard sink/source with a
-    reconstruct-from-documents oracle — all oracle-backed
+    reconstruct-from-documents oracle, pmi_phrases — word2phrase
+    collocation mining with pinned-association double scores — all
+    oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2927,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "epoch_shuffle": _q_epoch_shuffle,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
+        "pmi_phrases": _q_pmi_phrases,
     }
 
 
@@ -4827,6 +4842,46 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # pmi_phrases: unigram/bigram counts + the pinned double association
+    # ((pair-δ)·N)/(c1·c2); ORDER BY score DESC with (w1, w2) tiebreak.
+    out["pmi_phrases"] = r"""
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                        '[ \t\n\r\f\x0b]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        ),
+        total AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM uni),
+        pairs AS (
+            SELECT p[1] AS w1, p[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS pair_cnt
+            FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> [t[i], t[i+1]])) AS p
+                FROM toks WHERE len(t) >= 2
+            ) GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        ),
+        scored AS (
+            SELECT p.w1, p.w2, p.pair_cnt, u1.c AS c1, u2.c AS c2,
+                (CAST(p.pair_cnt - 2 AS DOUBLE)
+                 * CAST((SELECT N FROM total) AS DOUBLE))
+                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS score
+            FROM pairs p
+            JOIN uni u1 ON p.w1 = u1.w
+            JOIN uni u2 ON p.w2 = u2.w
+        )
+        SELECT w1, w2, pair_cnt, c1, c2,
+               ROUND(score, 9) AS score,
+               CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS INT)
+                   AS rank
+        FROM scored
+        ORDER BY score DESC, w1, w2 LIMIT 50
+    """
     # webdataset_roundtrip: the oracle reconstructs every parsed member
     # field straight from documents — the tar layer (to_tar_shards →
     # parse_tar_df) must be byte-lossless for values to line up (the

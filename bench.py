@@ -463,6 +463,7 @@ HEADLINE = [
     "temperature_sample",
     "epoch_shuffle",
     "webdataset_roundtrip",
+    "pmi_phrases",
 ]
 
 

@@ -77,6 +77,7 @@ AUDITED = [
     "temperature_sample",     # sqrt-mass dim + broadcast verdicts
     "epoch_shuffle",          # two-phase permutation rank
     "webdataset_roundtrip",   # shard groupBy + file-per-task parse
+    "pmi_phrases",            # dual-count dim joins + top-k
 ]
 
 BAD_NODES = ("CartesianProduct",)

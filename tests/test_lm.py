@@ -311,3 +311,60 @@ def test_ccnet_no_single_partition_window(spark):
     # the only SinglePartition window allowed is the P-row offset dim
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (word2phrase)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_phrases_hand_counts(spark):
+    # corpus: "new york" always together (3x); "the cat"/"the dog" mix
+    docs = [
+        (1, "new york is big the cat runs"),
+        (2, "new york has the dog"),
+        (3, "new york wins the cat naps"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.w1, r.w2): r
+        for r in lm.pmi_phrases(df, min_count=2, k=10, delta=0).collect()
+    }
+    # counts: c(new)=c(york)=3, c(new york)=3, N=7+5+6=18
+    r = got[("new", "york")]
+    assert (r.pair_cnt, r.c1, r.c2) == (3, 3, 3)
+    assert r.score == round((3.0 * 18.0) / (3.0 * 3.0), 9)
+    # "the cat": 2·18/(3·2) = 6.0 — an exact score tie with "new york";
+    # the (w1, w2) tiebreak puts "new york" first deterministically
+    assert got[("the", "cat")].score == r.score
+    assert got[("new", "york")].rank == 1
+    assert got[("the", "cat")].rank == 2
+    # "york is" occurs once: filtered by min_count=2
+    assert ("york", "is") not in got
+
+
+def test_pmi_phrases_delta_discounts_rare_pairs(spark):
+    docs = [(1, "a b " * 3 + "c d")]  # c(ab)=3, c(cd)=1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.w1, r.w2): r.score
+        for r in lm.pmi_phrases(df, min_count=1, k=10, delta=1).collect()
+    }
+    assert got[("c", "d")] == 0.0  # (1-1) kills singleton pairs
+    assert got[("a", "b")] > 0.0
+
+
+def test_pmi_phrases_partitioning_invariance_and_plan(spark):
+    docs = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = lm.pmi_phrases(df.repartition(1), min_count=2, k=20).collect()
+    b = lm.pmi_phrases(df.repartition(9, "doc_id"), min_count=2, k=20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    plan = (
+        lm.pmi_phrases(df, min_count=2, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
