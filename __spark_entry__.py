@@ -1302,6 +1302,34 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_canonical_by_quality(spark, sf):
+    """Quality-keyed canonical selection (dedup.keep_best_per_component):
+    the same verified near-dup components as neardup_components, but the
+    kept member is the LONGEST text (n_chars desc, id tiebreak) instead
+    of the smallest id — the RefinedWeb keep-the-best refinement. The
+    oracle extends the recursive-CTE transitive closure with the same
+    comp-partitioned window."""
+    d = _t(spark, sf, "documents")
+    pairs = (
+        dd.chargram_jaccard_pairs(
+            d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
+            n=9, stride=3,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comps = dd.connected_components(d.select("doc_id"), pairs)
+    quality = d.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    out = dd.keep_best_per_component(
+        comps, quality, order_by=[F.desc("n_chars")]
+    )
+    return out.select(
+        "doc_id", F.col("comp").alias("component"), "n_chars", "is_best"
+    )
+
+
 def _q_pmi_phrases(spark, sf):
     """word2phrase collocation mining (lm.pmi_phrases): top-50 adjacent
     pairs by discounted corpus-normalized PMI score at min_count=5 —
@@ -2784,8 +2812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dataloader permutation over the two-phase rank,
     webdataset_roundtrip — deterministic tar-shard sink/source with a
     reconstruct-from-documents oracle, pmi_phrases — word2phrase
-    collocation mining with pinned-association double scores — all
-    oracle-backed
+    collocation mining with pinned-association double scores,
+    canonical_by_quality — RefinedWeb keep-the-best component
+    canonicalization — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2942,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "pmi_phrases": _q_pmi_phrases,
+        "canonical_by_quality": _q_canonical_by_quality,
     }
 
 
@@ -4842,6 +4872,27 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # canonical_by_quality: the neardup_components transitive closure
+    # extended with the quality window — derived textually from that
+    # oracle so the two can never drift apart.
+    _nc = out["neardup_components"]
+    _head = _nc[: _nc.rindex("SELECT id AS doc_id")]
+    out["canonical_by_quality"] = _head + """
+            , mincomp AS (
+                SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+                FROM reach GROUP BY id
+            ),
+            q AS (
+                SELECT m.doc_id, m.component,
+                       CAST(length(d.text) AS BIGINT) AS n_chars
+                FROM mincomp m JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, component, n_chars,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) = 1
+                       AS is_best
+            FROM q
+        """
     # pmi_phrases: unigram/bigram counts + the pinned double association
     # ((pair-δ)·N)/(c1·c2); ORDER BY score DESC with (w1, w2) tiebreak.
     out["pmi_phrases"] = r"""

@@ -464,6 +464,7 @@ HEADLINE = [
     "epoch_shuffle",
     "webdataset_roundtrip",
     "pmi_phrases",
+    "canonical_by_quality",
 ]
 
 

@@ -78,6 +78,7 @@ AUDITED = [
     "epoch_shuffle",          # two-phase permutation rank
     "webdataset_roundtrip",   # shard groupBy + file-per-task parse
     "pmi_phrases",            # dual-count dim joins + top-k
+    "canonical_by_quality",   # comp-partitioned quality window
 ]
 
 BAD_NODES = ("CartesianProduct",)

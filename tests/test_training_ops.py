@@ -2228,3 +2228,57 @@ def test_temperature_sample_plan_broadcast_only(spark):
     )
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # dim joins must broadcast
+
+
+def test_keep_best_per_component_prefers_quality_over_min_id(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_component,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    # component {0,1,2} (1 is longest), component {4,5} (5 longest), 3 solo
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    comps = connected_components(ids, pairs)
+    # min-id keep-one would pick 0 and 4
+    assert {r.doc_id for r in comps.filter("is_canonical").collect()} == {
+        0, 3, 4,
+    }
+    quality = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 50), (3, 7), (4, 20), (5, 80)],
+        ["doc_id", "n_chars"],
+    )
+    from pyspark.sql import functions as SF
+
+    best = keep_best_per_component(
+        comps, quality, order_by=[SF.desc("n_chars")]
+    )
+    kept = {r.doc_id for r in best.filter("is_best").collect()}
+    assert kept == {1, 3, 5}  # longest per cluster, not min id
+    # law: exactly one best per component
+    per = best.groupBy("comp").agg(
+        SF.sum(SF.col("is_best").cast("int")).alias("n")
+    )
+    assert all(r.n == 1 for r in per.collect())
+
+
+def test_keep_best_tiebreak_is_lowest_id(spark):
+    from pyspark.sql import functions as SF
+
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_component,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(2)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    comps = connected_components(ids, pairs)
+    quality = spark.createDataFrame(
+        [(0, 42), (1, 42)], ["doc_id", "n_chars"]
+    )
+    best = keep_best_per_component(
+        comps, quality, order_by=[SF.desc("n_chars")]
+    )
+    assert {r.doc_id for r in best.filter("is_best").collect()} == {0}

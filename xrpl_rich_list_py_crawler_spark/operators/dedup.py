@@ -31,7 +31,7 @@ import logging
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -960,3 +960,32 @@ def substring_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def keep_best_per_component(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "comp",
+    order_by: list | None = None,
+) -> DataFrame:
+    """Quality-keyed canonical selection within near-dup components —
+    the RefinedWeb refinement of keep-one: min-id keep-one (the
+    :func:`connected_components` default) throws away the most useful
+    copy whenever a dup cluster mixes a full page with truncated or
+    boilerplate-wrapped mirrors; production pipelines keep the LONGEST
+    (or highest-scoring) member instead.
+
+    ``order_by`` ranks members best-first (e.g. ``[F.desc("n_chars")]``);
+    the ascending id is always appended so the choice is total and
+    engine-identical. Output: (id, comp, quality columns…, is_best).
+
+    Scale shape: one id-keyed equi join (components ⋈ quality — both
+    corpus-keyed, co-partitionable) and one ``partitionBy(comp)``
+    window — component sizes are dup-cluster sizes, bounded by the
+    upstream bucket caps, never a global window.
+    """
+    ob = list(order_by or []) + [F.asc(id_col)]
+    j = components.select(id_col, comp_col).join(quality, id_col)
+    w = Window.partitionBy(comp_col).orderBy(*ob)
+    return j.withColumn("is_best", F.row_number().over(w) == F.lit(1))
