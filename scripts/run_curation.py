@@ -9,6 +9,7 @@ the selected text itself), composing the engine's oracle-checked stages:
     + optional Gopher-rules gate          (--gopher)
     + optional SoftDeDup 1/n reweighting  (--soft-dedup)
     + optional leakage-safe splits        (--splits, component-keyed)
+    + optional alpha=1/2 mixture balance  (--temperature-sample)
 
 Cluster:
 
@@ -62,6 +63,11 @@ def main() -> None:
     ap.add_argument("--splits", action="store_true",
                     help="add a leakage-safe train/val/test split keyed "
                          "on near-dup components")
+    ap.add_argument("--temperature-sample", action="store_true",
+                    help="add XLM-R-style alpha=1/2 mixture-balancing "
+                         "columns (temp_w, temp_rate, temp_sampled): "
+                         "per-source keep rates proportional to "
+                         "sqrt(token mass)")
     ap.add_argument("--split-weights", default="0.9,0.05,0.05")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
@@ -147,6 +153,23 @@ def main() -> None:
         sp = leakage_safe_split(comps, weights=names_weights, seed=args.seed)
         verdict = verdict.join(sp.select("doc_id", "split"), "doc_id")
 
+    if args.temperature_sample:
+        from xrpl_rich_list_py_crawler_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        toks = docs.select(
+            "doc_id", "source",
+            ts.token_count_col(F.col("text")).alias("n_tokens"),
+        )
+        tsamp = temperature_sample(toks, seed=args.seed).select(
+            "doc_id",
+            F.col("w").alias("temp_w"),
+            F.col("rate").alias("temp_rate"),
+            F.col("sampled").alias("temp_sampled"),
+        )
+        verdict = verdict.join(tsamp, "doc_id")
+
     verdict.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     stats = {
@@ -159,6 +182,8 @@ def main() -> None:
             r["split"]: r["count"]
             for r in back.groupBy("split").count().collect()
         }
+    if args.temperature_sample:
+        stats["temp_sampled"] = back.filter("temp_sampled").count()
     print(json.dumps(stats))
 
 
