@@ -1302,6 +1302,24 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_badwords_filter(spark, sf):
+    """C4 §2.2 word-blocklist page gate (curation.badwords_filter):
+    distinct letter/digit-run tokens joined against a broadcast word
+    dim — exact word-boundary semantics, never substring. The list is
+    synthesized from two words dense in the fixture vocabulary plus one
+    that never occurs (the no-match path for a listed word)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        badwords_filter,
+    )
+
+    d = _t(spark, sf, "documents")
+    bad = spark.createDataFrame(
+        [("slow",), ("merge",), ("zzznope",)], ["word"]
+    )
+    out = badwords_filter(d, bad)
+    return out.select("doc_id", "n_bad_types", "first_bad", "blocked")
+
+
 def _q_canonical_by_quality(spark, sf):
     """Quality-keyed canonical selection (dedup.keep_best_per_component):
     the same verified near-dup components as neardup_components, but the
@@ -2814,7 +2832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reconstruct-from-documents oracle, pmi_phrases — word2phrase
     collocation mining with pinned-association double scores,
     canonical_by_quality — RefinedWeb keep-the-best component
-    canonicalization — all oracle-backed
+    canonicalization, badwords_filter — the C4 word-blocklist page
+    gate — all oracle-backed
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2972,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "pmi_phrases": _q_pmi_phrases,
         "canonical_by_quality": _q_canonical_by_quality,
+        "badwords_filter": _q_badwords_filter,
     }
 
 
@@ -4872,6 +4892,28 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # badwords_filter: distinct letter/digit-run tokens × the word dim.
+    out["badwords_filter"] = r"""
+        WITH bad AS (
+            SELECT unnest(['slow', 'merge', 'zzznope']) AS w
+        ),
+        toks AS (
+            SELECT doc_id,
+                unnest(list_distinct(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bad_types,
+                   MIN(tok) AS first_bad
+            FROM toks JOIN bad ON tok = w GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_bad_types, 0) AS n_bad_types,
+               h.first_bad,
+               COALESCE(h.n_bad_types, 0) > 0 AS blocked
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
     # canonical_by_quality: the neardup_components transitive closure
     # extended with the quality window — derived textually from that
     # oracle so the two can never drift apart.

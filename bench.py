@@ -465,6 +465,7 @@ HEADLINE = [
     "webdataset_roundtrip",
     "pmi_phrases",
     "canonical_by_quality",
+    "badwords_filter",
 ]
 
 

@@ -79,6 +79,7 @@ AUDITED = [
     "webdataset_roundtrip",   # shard groupBy + file-per-task parse
     "pmi_phrases",            # dual-count dim joins + top-k
     "canonical_by_quality",   # comp-partitioned quality window
+    "badwords_filter",        # distinct-token × broadcast word dim
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -2282,3 +2282,44 @@ def test_keep_best_tiebreak_is_lowest_id(spark):
         comps, quality, order_by=[SF.desc("n_chars")]
     )
     assert {r.doc_id for r in best.filter("is_best").collect()} == {0}
+
+
+def test_badwords_filter_word_boundaries(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        badwords_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean page about classes"),   # 'ass' inside words only
+            (2, "blocked word, with punctuation."),
+            (3, "BLOCKED uppercase too"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    bad = spark.createDataFrame([("ass",), ("blocked",)], ["word"])
+    got = {r.doc_id: r for r in badwords_filter(docs, bad).collect()}
+    assert not got[1].blocked          # substring never matches
+    assert got[2].blocked and got[2].first_bad == "blocked"  # punct stripped
+    assert got[3].blocked              # case-insensitive
+    assert not got[4].blocked and got[4].n_bad_types == 0
+    # distinct types, not occurrences
+    docs2 = spark.createDataFrame(
+        [(1, "blocked blocked blocked ass")], ["doc_id", "text"]
+    )
+    r = badwords_filter(docs2, bad).collect()[0]
+    assert r.n_bad_types == 2 and r.first_bad == "ass"
+
+
+def test_badwords_filter_rejects_phrases(spark):
+    import pytest as _pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        badwords_filter,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    bad = spark.createDataFrame([("two words",)], ["word"])
+    with _pytest.raises(ValueError, match="single words"):
+        badwords_filter(docs, bad)

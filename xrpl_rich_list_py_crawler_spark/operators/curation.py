@@ -1045,3 +1045,66 @@ def temperature_sample(
         u.alias("u"),
         (u < rate).alias("sampled"),
     )
+
+
+def badwords_filter(
+    df: DataFrame,
+    badwords: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_list: bool = True,
+) -> DataFrame:
+    """C4 §2.2's remaining page rule: drop any page containing a word
+    from a blocklist (Raffel et al. use the public "LDNOOBW" list; the
+    engine ships no list — ``badwords`` is a one-column ``word`` dim the
+    deployment supplies, the ``blocklist_filter`` stance).
+
+    Matching is on LETTER/DIGIT RUNS of the lowercased text (so
+    "word," and "Word." both match "word") — exact word-boundary
+    semantics, never substring (a substring scan would block "class"
+    for "ass", the classic blocklist false positive). Multi-word
+    phrase entries are out of scope and rejected loudly rather than
+    silently never matching.
+
+    Scale shape: one distinct-token explode per doc (array_distinct
+    first, so a 1000-repetition page contributes each word once), one
+    equi join against the broadcast word dim, one map-side-combined
+    groupBy(doc); the verdict join back is id-keyed. Output: input
+    columns + ``n_bad_types``, ``first_bad``, ``blocked``.
+    """
+    bad = badwords.select(F.lower(F.col("word")).alias("_bad"))
+    n_phrases = bad.filter(F.col("_bad").rlike("[^a-z0-9]")).count()
+    if n_phrases:
+        raise ValueError(
+            f"badwords_filter matches single words only; {n_phrases} "
+            "entries contain non-alphanumeric chars (phrases?)"
+        )
+    if broadcast_list:
+        bad = F.broadcast(bad)
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    "'[a-z0-9]+', 0)"
+                )
+            )
+        ).alias("_tok"),
+    )
+    hits = (
+        toks.join(bad, toks["_tok"] == bad["_bad"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bad_types"),
+            F.min("_tok").alias("first_bad"),
+        )
+    )
+    return df.join(hits, id_col, "left").select(
+        *df.columns,
+        F.coalesce("n_bad_types", F.lit(0).cast("long")).alias(
+            "n_bad_types"
+        ),
+        "first_bad",
+        (F.coalesce("n_bad_types", F.lit(0)) > 0).alias("blocked"),
+    )
