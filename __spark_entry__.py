@@ -1302,6 +1302,37 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_unigram_lm_train(spark, sf):
+    """Unigram-LM (SentencePiece/Kudo-2018) tokenizer training
+    (operators/unigram.py): substring seed → 2 rounds of Viterbi
+    hard-EM over the distinct pre-token vocabulary → pruned piece
+    table. Each round's piece table parametrizes the next round's DP,
+    so there is NO DuckDB twin (rows-only driver check, the bpe_train
+    stance); semantics are pinned by pytest against py_unigram_train."""
+    from xrpl_rich_list_py_crawler_spark.operators.unigram import (
+        unigram_lm_train,
+    )
+
+    d = _t(spark, sf, "documents")
+    return unigram_lm_train(d, vocab_size=300, n_iter=2, seed_size=1500)
+
+
+def _q_unigram_encode(spark, sf):
+    """Corpus-scale application of the trained unigram-LM vocabulary
+    (unigram.unigram_encode_counts): distinct units Viterbi-segmented
+    once, joined back to the per-doc unit stream — per-doc piece
+    counts. Rows-only (the vocabulary comes from the iterative
+    trainer); pinned by pytest laws (spine completeness, per-unit
+    bounds, twin segmentation)."""
+    from xrpl_rich_list_py_crawler_spark.operators.unigram import (
+        unigram_encode_counts, unigram_lm_train,
+    )
+
+    d = _t(spark, sf, "documents")
+    pieces = unigram_lm_train(d, vocab_size=300, n_iter=1, seed_size=1500)
+    return unigram_encode_counts(d, pieces)
+
+
 def _q_badwords_filter(spark, sf):
     """C4 §2.2 word-blocklist page gate (curation.badwords_filter):
     distinct letter/digit-run tokens joined against a broadcast word
@@ -2833,7 +2864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocation mining with pinned-association double scores,
     canonical_by_quality — RefinedWeb keep-the-best component
     canonicalization, badwords_filter — the C4 word-blocklist page
-    gate — all oracle-backed
+    gate — all oracle-backed; plus unigram_lm_train/unigram_encode —
+    SentencePiece-style Viterbi hard-EM tokenizer training, iterative
+    and rows-only by design like bpe_train, pinned against
+    py_unigram_train in pytest
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
     join that tail.
@@ -2992,6 +3026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_phrases": _q_pmi_phrases,
         "canonical_by_quality": _q_canonical_by_quality,
         "badwords_filter": _q_badwords_filter,
+        "unigram_lm_train": _q_unigram_lm_train,
+        "unigram_encode": _q_unigram_encode,
     }
 
 

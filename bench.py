@@ -466,6 +466,8 @@ HEADLINE = [
     "pmi_phrases",
     "canonical_by_quality",
     "badwords_filter",
+    "unigram_lm_train",
+    "unigram_encode",
 ]
 
 

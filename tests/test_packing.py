@@ -280,3 +280,94 @@ def test_epoch_shuffle_plan_is_two_phase(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece hard-EM)
+# ---------------------------------------------------------------------------
+
+_UNI_TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat",
+    "a catalog of cats",
+    "matting the mat",
+    "dogs and cats and dogs",
+] * 3
+
+
+def _uni_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_UNI_TEXTS)], ["doc_id", "text"]
+    )
+
+
+def test_unigram_train_matches_python_reference(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.unigram import (
+        py_unigram_train,
+        unigram_lm_train,
+    )
+
+    got = [
+        (r.piece, r.cnt)
+        for r in unigram_lm_train(
+            _uni_df(spark), vocab_size=30, n_iter=2, seed_size=100
+        ).collect()
+    ]
+    assert got == py_unigram_train(
+        _UNI_TEXTS, vocab_size=30, n_iter=2, seed_size=100
+    )
+    # the vocabulary learned real subwords, not just chars
+    pieces = {p for p, _ in got}
+    assert "the" in pieces and "cats" in pieces
+
+
+def test_unigram_train_coverage_and_invariance(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.unigram import (
+        unigram_lm_train,
+    )
+
+    df = _uni_df(spark)
+    a = unigram_lm_train(
+        df.repartition(1), vocab_size=25, n_iter=1, seed_size=80
+    ).collect()
+    b = unigram_lm_train(
+        df.repartition(7, "doc_id"), vocab_size=25, n_iter=1, seed_size=80
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # coverage: every char of the corpus units survives pruning
+    import re
+
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import BPE_UNIT
+
+    corpus_chars = {
+        c for t in _UNI_TEXTS for u in re.findall(BPE_UNIT, t) for c in u
+    }
+    assert corpus_chars <= {r.piece for r in a if len(r.piece) == 1}
+
+
+def test_unigram_encode_laws(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.unigram import (
+        _probs,
+        _viterbi,
+        py_unigram_train,
+        unigram_encode_counts,
+    )
+
+    df = _uni_df(spark)
+    pieces = dict(
+        py_unigram_train(_UNI_TEXTS, vocab_size=30, n_iter=1, seed_size=100)
+    )
+    got = {r.doc_id: r for r in unigram_encode_counts(df, pieces).collect()}
+    assert set(got) == set(range(len(_UNI_TEXTS)))  # spine complete
+    # twin check on one doc: per-unit Viterbi lengths sum
+    import re
+
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import BPE_UNIT
+
+    probs = _probs(pieces)
+    units0 = re.findall(BPE_UNIT, _UNI_TEXTS[0])
+    want = sum(len(_viterbi(u, probs, 6)) for u in units0)
+    assert got[0].n_pieces == want and got[0].n_units == len(units0)
+    # bounds: 1 <= pieces per unit <= unit length
+    for r in got.values():
+        assert r.n_units <= r.n_pieces
