@@ -1302,6 +1302,21 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_chunk_documents(spark, sf):
+    """RAG-style chunking (packing.chunk_documents): 64-token windows
+    with 16-token overlap — the fixture's ~100-token docs emit 1-3
+    chunks each, exercising the single-chunk, overlap, and
+    final-partial-window branches. Pure JVM (sequence/slice/array_join
+    in codegen); the oracle mirrors with generate_series + inclusive
+    list slices."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
 def _q_unigram_lm_train(spark, sf):
     """Unigram-LM (SentencePiece/Kudo-2018) tokenizer training
     (operators/unigram.py): substring seed → 2 rounds of Viterbi
@@ -2864,7 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocation mining with pinned-association double scores,
     canonical_by_quality — RefinedWeb keep-the-best component
     canonicalization, badwords_filter — the C4 word-blocklist page
-    gate — all oracle-backed; plus unigram_lm_train/unigram_encode —
+    gate, chunk_documents — RAG fixed-token-window chunking — all
+    oracle-backed; plus unigram_lm_train/unigram_encode —
     SentencePiece-style Viterbi hard-EM tokenizer training, iterative
     and rows-only by design like bpe_train, pinned against
     py_unigram_train in pytest
@@ -3028,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords_filter": _q_badwords_filter,
         "unigram_lm_train": _q_unigram_lm_train,
         "unigram_encode": _q_unigram_encode,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -4928,6 +4945,32 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # chunk_documents: stride arithmetic + inclusive list slices; the
+    # chunk count is 1 + ceil(max(n-64,0)/48) (chunk 64, overlap 16).
+    out["chunk_documents"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            x -> x <> '') AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 0 THEN 0
+                     ELSE 1 + CAST((greatest(len(t) - 64, 0) + 47) // 48
+                                   AS INT)
+                END AS n_chunks
+            FROM toks
+        )
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_ix,
+               array_to_string(t[(i-1)*48 + 1 : (i-1)*48 + 64], ' ')
+                   AS chunk_text,
+               CAST(len(t[(i-1)*48 + 1 : (i-1)*48 + 64]) AS INT)
+                   AS n_tokens
+        FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i)
+        WHERE n_chunks > 0
+    """
     # badwords_filter: distinct letter/digit-run tokens × the word dim.
     out["badwords_filter"] = r"""
         WITH bad AS (

@@ -468,6 +468,7 @@ HEADLINE = [
     "badwords_filter",
     "unigram_lm_train",
     "unigram_encode",
+    "chunk_documents",
 ]
 
 

@@ -80,6 +80,7 @@ AUDITED = [
     "pmi_phrases",            # dual-count dim joins + top-k
     "canonical_by_quality",   # comp-partitioned quality window
     "badwords_filter",        # distinct-token × broadcast word dim
+    "chunk_documents",        # shuffle-free windowed explode
 ]
 
 BAD_NODES = ("CartesianProduct",)

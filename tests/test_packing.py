@@ -371,3 +371,70 @@ def test_unigram_encode_laws(spark):
     # bounds: 1 <= pieces per unit <= unit length
     for r in got.values():
         assert r.n_units <= r.n_pieces
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),        # 10 tokens → chunks at 0,3,6 (c4 o1)
+            (2, "a b c"),               # fits one chunk exactly? 3 < 4 → 1
+            (3, ""),                    # empty: no rows
+            (4, "x"),                   # single token
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.chunk_ix): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3: windows [0:4],[3:7],[6:10] — covers all 10, overlap 1
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == ("a b c", 3)
+    assert not any(d == 3 for d, _ in got)
+    assert got[(4, 0)] == ("x", 1)
+    # every token of doc 1 appears in some chunk (coverage law)
+    covered = set()
+    for (d, _), (text, _) in got.items():
+        if d == 1:
+            covered.update(text.split())
+    assert covered == set(toks)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(df, chunk_tokens=3, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

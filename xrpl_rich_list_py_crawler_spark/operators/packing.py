@@ -324,3 +324,67 @@ def epoch_shuffle(
         order_by=[F.col("_shuffle_key"), F.col(id_col)],
     )
     return ranked.drop("_shuffle_key")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    fixed-token windows with overlap — the retrieval-indexing
+    complement of :func:`pack_sequences` (packing CONCATENATES docs
+    into training sequences; chunking SPLITS docs into index units
+    that preserve local context across boundaries).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens − overlap``; the last chunk is the
+    final partial window, and a chunk fully contained in its
+    predecessor is never emitted (no trailing duplicate when the tail
+    is shorter than the overlap). Tokens are the portable-whitespace
+    split; reassembly is a space join (documented lossy re-whitespacing
+    — the standard chunker trade).
+
+    Scale shape: per-row JVM expressions end-to-end — ONE
+    ``posexplode`` whose fan-out is ``ceil(max(n−overlap,1)/stride)``
+    per doc, no shuffle, no Python; output rows carry (id, chunk_ix,
+    chunk_text, n_tokens) and downstream embedding/indexing groups on
+    keys already present.
+    """
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = int(chunk_tokens) - int(overlap)
+    from ..operators.textstats import WS
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), WS), lambda x: x != ""
+    )
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride), via
+    # integral arithmetic; n == 0 → no chunks
+    extra = F.greatest(n - F.lit(int(chunk_tokens)), F.lit(0))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, int(chunk_tokens)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_chunks > 0, windows).otherwise(
+                F.array().cast("array<array<string>>")
+            )
+        ).alias("chunk_ix", "_toks"),
+    )
+    return out.select(
+        id_col,
+        "chunk_ix",
+        F.array_join("_toks", " ").alias("chunk_text"),
+        F.size("_toks").cast("int").alias("n_tokens"),
+    )
