@@ -1302,6 +1302,38 @@ def _q_script_profile(spark, sf):
     return ts.script_profile(aug)
 
 
+def _q_chunk_retrieval(spark, sf):
+    """End-to-end RAG retrieval (chunk → embed → top-k), all exact:
+    chunk_documents windows → hashed-BOW count vectors
+    (similarity.hashed_bow_vector_col, md5-portable buckets, INTEGER
+    counts) → bow_topk (exact long dot/norms; the single float step is
+    one division per pair). Queries are the chunks of doc_id < 2. The
+    Q·N brute pass is the exactness baseline; LSH/IVF remain the
+    large-Q scale path."""
+    from xrpl_rich_list_py_crawler_spark.operators.packing import (
+        chunk_documents,
+    )
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        bow_topk, hashed_bow_vector_col,
+    )
+
+    d = _t(spark, sf, "documents")
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=16)
+    cid = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("chunk_ix").cast("string"),
+    )
+    vecs = chunks.select(
+        "doc_id",
+        cid.alias("cid"),
+        hashed_bow_vector_col(F.col("chunk_text"), dim=32).alias("vec"),
+    )
+    queries = vecs.filter(F.col("doc_id") < 2).select(
+        F.col("cid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return bow_topk(vecs.select("cid", "vec"), queries, k=5)
+
+
 def _q_chunk_documents(spark, sf):
     """RAG-style chunking (packing.chunk_documents): 64-token windows
     with 16-token overlap — the fixture's ~100-token docs emit 1-3
@@ -2879,7 +2911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocation mining with pinned-association double scores,
     canonical_by_quality — RefinedWeb keep-the-best component
     canonicalization, badwords_filter — the C4 word-blocklist page
-    gate, chunk_documents — RAG fixed-token-window chunking — all
+    gate, chunk_documents — RAG fixed-token-window chunking,
+    chunk_retrieval — the chunk→hashed-BOW-vector→exact-integer-cosine
+    retrieval chain — all
     oracle-backed; plus unigram_lm_train/unigram_encode —
     SentencePiece-style Viterbi hard-EM tokenizer training, iterative
     and rows-only by design like bpe_train, pinned against
@@ -3045,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_train": _q_unigram_lm_train,
         "unigram_encode": _q_unigram_encode,
         "chunk_documents": _q_chunk_documents,
+        "chunk_retrieval": _q_chunk_retrieval,
     }
 
 
@@ -4945,6 +4980,76 @@ def oracle_sql() -> dict[str, str]:
     # lang_segments: split on newline runs with aligned unnest /
     # generate_subscripts (the posexplode twin — subscripts are 1-based),
     # then the shared lang-ID SQL twin per paragraph.
+    # chunk_retrieval: the chunk CTE chain + integer BOW vectors + exact
+    # long dot/norms; the single float op (one division) mirrors bow_topk.
+    out["chunk_retrieval"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            x -> x <> '') AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 0 THEN 0
+                     ELSE 1 + CAST((greatest(len(t) - 64, 0) + 47) // 48
+                                   AS INT)
+                END AS n_chunks
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_ix,
+                   t[(i-1)*48 + 1 : (i-1)*48 + 64] AS ct
+            FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i)
+            WHERE n_chunks > 0
+        ),
+        vecs AS (
+            SELECT doc_id,
+                CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(chunk_ix AS VARCHAR) AS cid,
+                list_transform(generate_series(0, 31),
+                    b -> CAST(len(list_filter(ct,
+                         t -> CAST('0x' || substr(md5(lower(t)), 1, 8)
+                                 AS UBIGINT) % 32 = b)) AS BIGINT)) AS vec
+            FROM chunks
+        ),
+        m AS (
+            SELECT cid, vec,
+                CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT)
+                    AS mm
+            FROM vecs
+        ),
+        q AS (
+            SELECT cid AS qid, vec AS qvec,
+                CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT)
+                    AS qm
+            FROM vecs WHERE doc_id < 2
+        ),
+        sc AS (
+            SELECT q.qid, m.cid,
+                CAST(list_sum(list_transform(generate_series(1, 32),
+                     i -> m.vec[i] * q.qvec[i])) AS BIGINT) AS dot,
+                m.mm, q.qm
+            FROM m CROSS JOIN q WHERE m.cid <> q.qid
+        ),
+        cosd AS (
+            SELECT qid, cid, dot,
+                CASE WHEN mm > 0 AND qm > 0
+                     THEN CAST(dot AS DOUBLE)
+                          / sqrt(CAST(mm * qm AS DOUBLE))
+                     ELSE 0.0 END AS cos
+            FROM sc
+        )
+        SELECT qid, cid, dot, ROUND(cos, 6) AS cosine,
+               CAST(rn AS INT) AS rank
+        FROM (
+            SELECT qid, cid, dot, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM cosd
+        ) WHERE rn <= 5
+    """
     # chunk_documents: stride arithmetic + inclusive list slices; the
     # chunk count is 1 + ceil(max(n-64,0)/48) (chunk 64, overlap 16).
     out["chunk_documents"] = r"""

@@ -469,6 +469,7 @@ HEADLINE = [
     "unigram_lm_train",
     "unigram_encode",
     "chunk_documents",
+    "chunk_retrieval",
 ]
 
 

@@ -81,6 +81,7 @@ AUDITED = [
     "canonical_by_quality",   # comp-partitioned quality window
     "badwords_filter",        # distinct-token × broadcast word dim
     "chunk_documents",        # shuffle-free windowed explode
+    "chunk_retrieval",        # broadcast Q·N exact-integer ranking
 ]
 
 BAD_NODES = ("CartesianProduct",)

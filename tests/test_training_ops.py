@@ -2323,3 +2323,61 @@ def test_badwords_filter_rejects_phrases(spark):
     bad = spark.createDataFrame([("two words",)], ["word"])
     with _pytest.raises(ValueError, match="single words"):
         badwords_filter(docs, bad)
+
+
+def test_hashed_bow_vector_matches_python_md5(spark):
+    import hashlib
+
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        hashed_bow_vector_col,
+    )
+
+    text = "The Quick brown fox jumps over the lazy dog the end"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"]).select(
+        hashed_bow_vector_col(F.col("text"), dim=16).alias("v")
+    )
+    got = list(df.collect()[0].v)
+    want = [0] * 16
+    for tok in text.lower().split():
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+        want[b] += 1
+    assert got == want
+    assert sum(got) == len(text.split())
+
+
+def test_bow_topk_exact_ranking(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        bow_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", [2, 0, 0]),   # parallel to query: cosine 1.0
+            ("b", [1, 1, 0]),   # cos = 1/sqrt(2)
+            ("c", [0, 3, 0]),   # orthogonal
+            ("z", [0, 0, 0]),   # zero vector: scores 0, never NaN
+        ],
+        "cid string, vec array<long>",
+    )
+    q = spark.createDataFrame(
+        [("q1", [1, 0, 0])], "qid string, qvec array<long>"
+    )
+    got = {r.cid: r for r in bow_topk(corpus, q, k=4).collect()}
+    assert got["a"].rank == 1 and got["a"].cosine == 1.0 and got["a"].dot == 2
+    assert got["b"].rank == 2 and abs(got["b"].cosine - 0.707107) < 1e-6
+    # c and z both score 0: id tiebreak orders c before z
+    assert got["c"].rank == 3 and got["z"].rank == 4
+    assert got["z"].cosine == 0.0
+
+
+def test_bow_topk_excludes_self(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        bow_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [("x", [1, 0]), ("y", [0, 1])], "cid string, vec array<long>"
+    )
+    q = corpus.select(F.col("cid").alias("qid"), F.col("vec").alias("qvec"))
+    got = bow_topk(corpus, q, k=5).collect()
+    assert all(r.qid != r.cid for r in got)

@@ -344,3 +344,100 @@ def semdedup(
         "cell",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
     )
+
+
+def hashed_bow_vector_col(text, dim: int = 32):
+    """Deterministic hashed bag-of-words COUNT vector (``array<long>``)
+    — the embedding stand-in for retrieval pipelines that have no model
+    in reach (and the exactness workhorse: integer counts make every
+    downstream dot product and norm EXACT, so ranking can never diverge
+    between engines the way float embeddings can).
+
+    Token bucket = md5-derived (the ``hashed_bow_score`` hash, DuckDB-
+    portable). This form evaluates the hash dim× per token (fine at
+    dim ≤ ~64 in codegen); the big-dim path is the transpose — explode
+    tokens, groupBy (id, bucket), pivot — same math, one shuffle.
+    """
+    from .textstats import WS
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), WS), lambda x: x != ""
+    )
+
+    def bucket(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % F.lit(int(dim))
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda b: F.size(
+            F.filter(toks, lambda t: bucket(t) == b.cast("bigint"))
+        ).cast("long"),
+    )
+
+
+def bow_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "cid",
+    vec_col: str = "vec",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact-integer cosine top-k over hashed-BOW count vectors.
+
+    Dot products and squared norms are LONG sums (order-free, exact);
+    the only float step is the final ``dot / sqrt(m1·m2)`` — one IEEE
+    division per pair, identical on any engine — so the (cosine desc,
+    id) ranking is fully deterministic. Zero-vector rows score 0.
+
+    Same Q·N shape as :func:`brute_force_topk` (queries broadcast,
+    corpus streams through codegen); the LSH/IVF variants remain the
+    large-Q scale path — this is the RETRIEVAL-exactness sibling.
+    """
+    def _sq(v):
+        return F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    c = corpus.select(id_col, vec_col, _sq(F.col(vec_col)).alias("_m"))
+    q = queries.select(
+        q_id_col, q_vec_col, _sq(F.col(q_vec_col)).alias("_qm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(q_vec_col), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(
+            q_id_col,
+            id_col,
+            dot.alias("dot"),
+            F.when(
+                (F.col("_m") > 0) & (F.col("_qm") > 0),
+                dot.cast("double")
+                / F.sqrt((F.col("_m") * F.col("_qm")).cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            q_id_col, id_col, "dot",
+            F.round("_cos", 6).alias("cosine"), "rank",
+        )
+    )
