@@ -1349,6 +1349,23 @@ def _q_chunk_documents(spark, sf):
     return chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
+def _q_phrase_blocklist(spark, sf):
+    """Multi-word blocklist gate (curation.phrase_blocklist_filter):
+    word-boundary phrase matching over the normalized token stream —
+    the phrase half of the C4 blocklist rule (badwords_filter covers
+    single words). Two fixture-dense bigrams + one never-matching
+    phrase; first_phrase reports LIST order."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        phrase_blocklist_filter,
+    )
+
+    d = _t(spark, sf, "documents")
+    out = phrase_blocklist_filter(
+        d, ["slow merge", "table value", "zzz never here"]
+    )
+    return out.select("doc_id", "first_phrase", "blocked")
+
+
 def _q_unigram_lm_train(spark, sf):
     """Unigram-LM (SentencePiece/Kudo-2018) tokenizer training
     (operators/unigram.py): substring seed → 2 rounds of Viterbi
@@ -2911,7 +2928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocation mining with pinned-association double scores,
     canonical_by_quality — RefinedWeb keep-the-best component
     canonicalization, badwords_filter — the C4 word-blocklist page
-    gate, chunk_documents — RAG fixed-token-window chunking,
+    gate, phrase_blocklist — its multi-word companion,
+    chunk_documents — RAG fixed-token-window chunking,
     chunk_retrieval — the chunk→hashed-BOW-vector→exact-integer-cosine
     retrieval chain — all
     oracle-backed; plus unigram_lm_train/unigram_encode —
@@ -3080,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": _q_unigram_encode,
         "chunk_documents": _q_chunk_documents,
         "chunk_retrieval": _q_chunk_retrieval,
+        "phrase_blocklist": _q_phrase_blocklist,
     }
 
 
@@ -5075,6 +5094,35 @@ def oracle_sql() -> dict[str, str]:
                    AS n_tokens
         FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i)
         WHERE n_chunks > 0
+    """
+    # phrase_blocklist: sentinel-space normalized stream + position-of
+    # checks; first_phrase = first LIST-order match (COALESCE of CASEs).
+    out["phrase_blocklist"] = r"""
+        WITH n AS (
+            SELECT doc_id,
+                ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+                    || ' ' AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+            COALESCE(
+                CASE WHEN position(' slow merge ' IN norm) > 0
+                     THEN 'slow merge' END,
+                CASE WHEN position(' table value ' IN norm) > 0
+                     THEN 'table value' END,
+                CASE WHEN position(' zzz never here ' IN norm) > 0
+                     THEN 'zzz never here' END
+            ) AS first_phrase,
+            COALESCE(
+                CASE WHEN position(' slow merge ' IN norm) > 0
+                     THEN 'slow merge' END,
+                CASE WHEN position(' table value ' IN norm) > 0
+                     THEN 'table value' END,
+                CASE WHEN position(' zzz never here ' IN norm) > 0
+                     THEN 'zzz never here' END
+            ) IS NOT NULL AS blocked
+        FROM n
     """
     # badwords_filter: distinct letter/digit-run tokens × the word dim.
     out["badwords_filter"] = r"""

@@ -470,6 +470,7 @@ HEADLINE = [
     "unigram_encode",
     "chunk_documents",
     "chunk_retrieval",
+    "phrase_blocklist",
 ]
 
 

@@ -82,6 +82,7 @@ AUDITED = [
     "badwords_filter",        # distinct-token × broadcast word dim
     "chunk_documents",        # shuffle-free windowed explode
     "chunk_retrieval",        # broadcast Q·N exact-integer ranking
+    "phrase_blocklist",       # codegen sentinel-stream position checks
 ]
 
 BAD_NODES = ("CartesianProduct",)

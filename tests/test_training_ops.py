@@ -2381,3 +2381,48 @@ def test_bow_topk_excludes_self(spark):
     q = corpus.select(F.col("cid").alias("qid"), F.col("vec").alias("qvec"))
     got = bow_topk(corpus, q, k=5).collect()
     assert all(r.qid != r.cid for r in got)
+
+
+def test_phrase_blocklist_boundaries_and_order(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        phrase_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a Bad Phrase, indeed"),          # punct + case fold
+            (2, "notbad phrase here"),            # boundary: no match
+            (3, "bad phrase and worse words"),    # two matches: list order
+            (4, "clean text"),
+            (5, "bad\nphrase across lines"),      # whitespace normalized
+        ],
+        ["doc_id", "text"],
+    )
+    out = phrase_blocklist_filter(
+        docs, ["worse  words", "bad phrase"]  # extra spaces normalized
+    )
+    got = {r.doc_id: (r.blocked, r.first_phrase) for r in out.collect()}
+    assert got[1] == (True, "bad phrase")
+    assert got[2] == (False, None)
+    assert got[3] == (True, "worse words")  # FIRST in list order wins
+    assert got[4] == (False, None)
+    assert got[5] == (True, "bad phrase")
+
+
+def test_phrase_blocklist_rejects_empty_and_is_codegen(spark):
+    import pytest as _pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        phrase_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        phrase_blocklist_filter(docs, ["ok", "  "])
+    plan = (
+        phrase_blocklist_filter(docs, ["a b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -1108,3 +1108,53 @@ def badwords_filter(
         "first_bad",
         (F.coalesce("n_bad_types", F.lit(0)) > 0).alias("blocked"),
     )
+
+
+def phrase_blocklist_filter(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-word companion of :func:`badwords_filter` (which rejects
+    phrase entries by contract): pages containing any listed PHRASE —
+    matched on word boundaries over the normalized token stream — are
+    blocked. C4's public blocklist mixes words and phrases; the two
+    operators together cover it.
+
+    Matching: the text collapses to lowercase letter/digit-run tokens
+    joined by single spaces with sentinel spaces at both ends; phrase
+    ``p`` (normalized the same way) matches iff ``" p "`` occurs —
+    word-boundary-exact for any phrase length, punctuation- and
+    case-insensitive, never substring-of-a-word.
+
+    The phrase list is inlined as codegen literals (the centroid-
+    literal stance — blocklists are ~10^3 entries; beyond expression
+    limits the pivot is a token-n-gram explode joined against a phrase
+    dim). ``first_phrase`` reports the FIRST match in LIST order (the
+    caller's priority order), so audits are deterministic. Scale: one
+    per-row codegen pass, zero shuffle, zero Python.
+    """
+    clean = [" ".join(p.lower().split()) for p in phrases]
+    if any(not p for p in clean):
+        raise ValueError("empty phrase in blocklist")
+    norm = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"),
+            " ",
+        ),
+        F.lit(" "),
+    )
+    first = F.coalesce(
+        *[
+            F.when(F.contains(norm, F.lit(f" {p} ")), F.lit(p))
+            for p in clean
+        ],
+        F.lit(None).cast("string"),
+    )
+    return df.select(
+        *df.columns,
+        first.alias("first_phrase"),
+        first.isNotNull().alias("blocked"),
+    )
