@@ -354,26 +354,28 @@ def hashed_bow_vector_col(text, dim: int = 32):
     between engines the way float embeddings can).
 
     Token bucket = md5-derived (the ``hashed_bow_score`` hash, DuckDB-
-    portable). This form evaluates the hash dim× per token (fine at
-    dim ≤ ~64 in codegen); the big-dim path is the transpose — explode
-    tokens, groupBy (id, bucket), pivot — same math, one shuffle.
+    portable). Each token hashes ONCE into a bucket array; the
+    per-bucket counts are then O(tokens·dim) integer comparisons —
+    cheap next to the hash (the naive transform-inside-transform form
+    re-hashed every token dim×: a measured ~30%-of-line cost at
+    dim=32). The big-dim path is the transpose — explode tokens,
+    groupBy (id, bucket), pivot — same math, one shuffle.
     """
     from .textstats import WS
 
     toks = F.filter(
         F.split(F.lower(F.trim(text)), WS), lambda x: x != ""
     )
-
-    def bucket(t):
-        return (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-            % F.lit(int(dim))
-        )
-
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(int(dim)),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(dim) - 1)),
         lambda b: F.size(
-            F.filter(toks, lambda t: bucket(t) == b.cast("bigint"))
+            F.filter(buckets, lambda x: x == b.cast("bigint"))
         ).cast("long"),
     )
 
