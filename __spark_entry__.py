@@ -2847,6 +2847,84 @@ def _q_corpus_report(spark, sf):
     return corpus_report(v)
 
 
+def _q_heavy_hitters(spark, sf):
+    """Exact corpus heavy hitters (sketches.heavy_hitters): every token
+    with count·k > total_tokens, computed THROUGH the Misra–Gries
+    per-partition candidate prefilter (prefilter=True) so the oracle
+    row value-checks the no-false-negative guarantee — the verify pass
+    shuffles candidate tokens only, never the full web-scale vocabulary
+    long tail."""
+    from xrpl_rich_list_py_crawler_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    d = _t(spark, sf, "documents")
+    return heavy_hitters(d, k=35, prefilter=True)
+
+
+def _q_stratified_sample(spark, sf):
+    """Exact per-stratum quota sampling (curation.stratified_sample):
+    25 docs per language, picked as the quota smallest md5(id:seed)
+    uniforms — stratum-partitioned window (never global), reproducible
+    on any cluster size, rank kept for quota-growth stability."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(d, quota=25, strata_col="lang", seed=42)
+
+
+def _q_threshold_sweep(spark, sf):
+    """Quality-cutoff calibration curve (curation.threshold_sweep over
+    textstats.hashed_bow_score): exact integer-rank deciles of the
+    classifier's raw score (two-phase global_rank — the corpus frame
+    never hits a single-partition window), cumulative docs and token
+    mass retained below each cut."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        threshold_sweep,
+    )
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        hashed_bow_score,
+    )
+
+    scored = hashed_bow_score(_t(spark, sf, "documents"))
+    return threshold_sweep(
+        scored, score_col="raw", weight_col="n_tokens", n_tiles=10
+    )
+
+
+def _q_postings_compact(spark, sf):
+    """LSM compaction of a 2-generation postings delta stack
+    (retrieval.compact_postings_deltas): three synthetic snapshots of
+    the documents corpus (adds, drops, in-place edits), base index built
+    on s0, deltas s0→s1→s2, compacted in ONE (token, doc_id) groupBy.
+    The oracle is the from-scratch index of the FINAL snapshot — the
+    strongest possible check: compaction must reproduce a clean rebuild
+    exactly."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_postings,
+        compact_postings_deltas,
+        postings_delta,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    t1 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" upd1"))
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" upd2"))
+    ).otherwise(t1)
+    s0 = d.filter(F.col("doc_id") % 3 != 0)
+    s1 = d.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id", t1.alias("text")
+    )
+    s2 = d.select("doc_id", t2.alias("text"))
+    base = build_postings(s0)
+    deltas = [postings_delta(s0, s1), postings_delta(s1, s2)]
+    return compact_postings_deltas(base, deltas)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -2938,7 +3016,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     py_unigram_train in pytest
     and local-green; bpe_train and bpe_encode_counts — iterative,
     rows-only by design, pytest-pinned against pure-Python references)
-    join that tail.
+    join that tail, as do the final-session four (heavy_hitters —
+    Misra–Gries candidate prefilter + exact integer verify;
+    stratified_sample — exact per-stratum quotas over the md5 uniform;
+    threshold_sweep — quality-cutoff retention curve on two-phase
+    global_rank deciles; postings_compact — one-shuffle LSM fold of a
+    postings-delta stack, oracled against a from-scratch rebuild of the
+    final snapshot — all four oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3099,6 +3183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "chunk_retrieval": _q_chunk_retrieval,
         "phrase_blocklist": _q_phrase_blocklist,
+        "heavy_hitters": _q_heavy_hitters,
+        "stratified_sample": _q_stratified_sample,
+        "threshold_sweep": _q_threshold_sweep,
+        "postings_compact": _q_postings_compact,
     }
 
 
@@ -6678,5 +6766,99 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM c
+    """
+    # exact heavy hitters: plain HAVING count·k > total — the Spark side
+    # runs THROUGH the Misra–Gries prefilter, so a green row value-checks
+    # the candidate pass's no-false-negative guarantee
+    out["heavy_hitters"] = r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(regexp_split_to_array(
+                lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                x -> x <> '')) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+        HAVING COUNT(*) * 35 > (SELECT COUNT(*) FROM toks)
+    """
+    out["stratified_sample"] = r"""
+        SELECT doc_id, lang, rn FROM (
+            SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY
+                    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':42'), 1, 8) AS UBIGINT) AS BIGINT),
+                    doc_id) AS INT) AS rn
+            FROM documents
+        ) WHERE rn <= 25
+    """
+    # the twin re-derives hashed_bow_score's exact-integer raw score,
+    # ranks with the single-window form (equal by the global_rank law),
+    # and applies the same explicit-floor tile formula
+    out["threshold_sweep"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                    x -> x <> '')) AS term
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    AS BIGINT) % 4096 AS bucket
+            FROM toks
+        ),
+        per AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM((bucket * 2654435761) % 2001 - 1000) AS BIGINT)
+                    AS raw
+            FROM b GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                COALESCE(p.n_tokens, 0) AS n_tokens,
+                COALESCE(p.raw, 0) AS raw
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        ),
+        ranked AS (
+            SELECT raw, n_tokens,
+                ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS rnk,
+                COUNT(*) OVER () AS n,
+                CAST(SUM(n_tokens) OVER () AS BIGINT) AS tw
+            FROM scored
+        ),
+        tiled AS (
+            SELECT CAST(floor((rnk - 1) * 10 / n) + 1 AS BIGINT) AS tile,
+                raw, n_tokens, n, tw
+            FROM ranked
+        ),
+        per_tile AS (
+            SELECT tile, MIN(raw) AS cut_score,
+                CAST(COUNT(*) AS BIGINT) AS tile_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS tile_weight,
+                ANY_VALUE(n) AS n, ANY_VALUE(tw) AS tw
+            FROM tiled GROUP BY tile
+        )
+        SELECT CAST(tile AS INT) AS tile, cut_score,
+            CAST(SUM(tile_docs) OVER w AS BIGINT) AS docs_retained,
+            CAST(SUM(tile_weight) OVER w AS BIGINT) AS weight_retained,
+            ROUND(CAST(SUM(tile_docs) OVER w AS DOUBLE) / n, 6)
+                AS pct_docs,
+            ROUND(CAST(SUM(tile_weight) OVER w AS DOUBLE) / tw, 6)
+                AS pct_weight
+        FROM per_tile
+        WINDOW w AS (ORDER BY tile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    # compaction oracle = a clean from-scratch index of the FINAL
+    # snapshot (s2): the strongest check — the folded delta stack must
+    # reproduce a rebuild exactly, posting row for posting row
+    out["postings_compact"] = r"""
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(
+                CASE WHEN doc_id % 5 = 0 THEN text || ' upd2'
+                     WHEN doc_id % 7 = 0 THEN text || ' upd1'
+                     ELSE text END)), '[ \t\n\r\f\x0b]+')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY 1, 2
     """
     return out

@@ -83,6 +83,10 @@ AUDITED = [
     "chunk_documents",        # shuffle-free windowed explode
     "chunk_retrieval",        # broadcast Q·N exact-integer ranking
     "phrase_blocklist",       # codegen sentinel-stream position checks
+    "heavy_hitters",          # MG candidate prefilter + broadcast verify
+    "stratified_sample",      # stratum-partitioned quota window
+    "threshold_sweep",        # two-phase rank deciles + k-row cum window
+    "postings_compact",       # one-groupBy LSM fold of a delta stack
 ]
 
 BAD_NODES = ("CartesianProduct",)
@@ -124,7 +128,12 @@ def main() -> None:
                 violations.append((name, bad))
         if _bnlj_violations(plan):
             violations.append((name, "non-scalar BroadcastNestedLoopJoin"))
-        n_python = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+        n_python = (
+            plan.count("ArrowEvalPython")
+            + plan.count("BatchEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        )
         sections.append(
             f"## {name}\n\n"
             f"Python-eval nodes: {n_python}\n\n"

@@ -144,3 +144,89 @@ def test_bm25_topk_plan_is_parallel(spark, corpus):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# LSM compaction of delta stacks
+# ---------------------------------------------------------------------------
+
+from xrpl_rich_list_py_crawler_spark.operators.retrieval import (  # noqa: E402
+    apply_postings_delta,
+    compact_postings_deltas,
+    postings_delta,
+)
+
+
+def _snapshots(spark):
+    """Three snapshots with adds, drops, and in-place edits between each
+    pair — every delta op class is exercised."""
+    s0 = spark.createDataFrame(
+        [(0, "spark rows fast"), (1, "rows and columns"),
+         (2, "window rows"), (3, "drop me soon")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(0, "spark rows fast"),            # unchanged
+         (1, "rows and columns edited"),    # edited
+         (4, "a brand new doc")],           # added; 2,3 dropped
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(0, "spark rows fast rewritten"),  # edited again
+         (4, "a brand new doc"),            # unchanged
+         (5, "late arrival")],              # added; 1 dropped
+        "doc_id long, text string",
+    )
+    return s0, s1, s2
+
+
+def test_compact_equals_iterated_apply_and_rebuild(spark):
+    s0, s1, s2 = _snapshots(spark)
+    base = build_postings(s0)
+    d1, d2 = postings_delta(s0, s1), postings_delta(s1, s2)
+    compacted = sorted(compact_postings_deltas(base, [d1, d2]).collect())
+    iterated = sorted(
+        apply_postings_delta(apply_postings_delta(base, d1), d2).collect()
+    )
+    rebuilt = sorted(build_postings(s2).collect())
+    assert compacted == iterated == rebuilt
+
+
+def test_compact_empty_stack_is_identity(spark):
+    s0, _, _ = _snapshots(spark)
+    base = build_postings(s0)
+    assert sorted(compact_postings_deltas(base, []).collect()) \
+        == sorted(base.collect())
+
+
+def test_compact_add_outranks_del_within_generation(spark):
+    """A changed doc emits del+add for shared tokens in ONE generation;
+    the add must win (apply's del-then-append order)."""
+    s0, s1, _ = _snapshots(spark)
+    base = build_postings(s0)
+    out = compact_postings_deltas(base, [postings_delta(s0, s1)])
+    # doc 1 kept 'rows'/'and'/'columns' across the edit: del+add same gen
+    row = out.filter("doc_id = 1 AND token = 'rows'").collect()
+    assert [(r.token, r.doc_id, r.tf) for r in row] == [("rows", 1, 1)]
+
+
+def test_compact_single_shuffle_plan(spark):
+    """Compaction cost must be independent of generation count: exactly
+    one exchange (the (token, doc_id) groupBy), however many deltas are
+    folded — vs one exchange PER generation for iterated apply. The
+    inputs are materialized first so the measured plan is compaction
+    alone, not index construction."""
+    s0, s1, s2 = _snapshots(spark)
+
+    def materialize(df):
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    base = materialize(build_postings(s0))
+    deltas = [
+        materialize(postings_delta(s0, s1)),
+        materialize(postings_delta(s1, s2)),
+    ]
+    plan = compact_postings_deltas(base, deltas)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan

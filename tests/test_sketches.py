@@ -166,3 +166,87 @@ def test_hdr_bins_bounded_and_partition_invariant(spark, latencies):
     assert bins.count() < 800
     redistributed = hdr_bins(latencies.repartition(17), "key", "v")
     assert sorted(bins.collect()) == sorted(redistributed.collect())
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+from xrpl_rich_list_py_crawler_spark.operators.sketches import (  # noqa: E402
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def hh_corpus(spark):
+    # zipf-ish stream: token t_i appears ~600/i times, plus a long tail
+    # of singletons; total ~ 600*H(8) + 500
+    rows = []
+    for i in range(1, 9):
+        rows += [(f"t{i} " * (600 // i)).strip() for _ in range(1)]
+    rows += [f"tail{j}" for j in range(500)]
+    # spread across many partitions to stress per-partition MG
+    return spark.createDataFrame(
+        [(r,) for r in rows], "text string"
+    ).repartition(16)
+
+
+def _py_heavy_hitters(docs, k):
+    from collections import Counter
+
+    c = Counter()
+    for (t,) in docs:
+        for tok in t.strip().lower().split():
+            if tok:
+                c[tok] += 1
+    total = sum(c.values())
+    return {t: n for t, n in c.items() if n * k > total}
+
+
+def test_heavy_hitters_exact_vs_python(spark, hh_corpus):
+    docs = [(r.text,) for r in hh_corpus.collect()]
+    for k in (3, 10, 50):
+        want = _py_heavy_hitters(docs, k)
+        got = {r.token: r.cnt for r in heavy_hitters(
+            hh_corpus, k, prefilter=False).collect()}
+        assert got == want, k
+
+
+def test_heavy_hitters_prefilter_is_lossless(spark, hh_corpus):
+    """The MG candidate pass may only REMOVE work, never answers:
+    prefilter=True == prefilter=False for every k (the no-false-negative
+    guarantee, value-checked under 16-way partitioning)."""
+    for k in (3, 10, 50):
+        naive = sorted(heavy_hitters(
+            hh_corpus, k, prefilter=False).collect())
+        fast = sorted(heavy_hitters(
+            hh_corpus, k, prefilter=True).collect())
+        assert fast == naive, k
+
+
+def test_misra_gries_candidate_bound_and_coverage(spark, hh_corpus):
+    """<= k-1 candidates per partition, and every true heavy hitter is
+    in the union (the pigeonhole guarantee the verify pass relies on)."""
+    k = 10
+    cand = misra_gries_candidates(hh_corpus, k)
+    per_part = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert all(r["count"] <= k - 1 for r in per_part)
+    docs = [(r.text,) for r in hh_corpus.collect()]
+    want = set(_py_heavy_hitters(docs, k))
+    got = {r.token for r in cand.collect()}
+    assert want <= got
+
+
+def test_heavy_hitters_k2_and_bad_k(spark):
+    one = spark.createDataFrame(
+        [("a a a b",)], "text string"
+    )
+    # 'a' has 3 of 4 tokens: 3*2 > 4 -> heavy at k=2
+    assert [(r.token, r.cnt) for r in heavy_hitters(one, 2).collect()] \
+        == [("a", 3)]
+    with pytest.raises(ValueError):
+        misra_gries_candidates(one, 1)

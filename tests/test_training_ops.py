@@ -2426,3 +2426,127 @@ def test_phrase_blocklist_rejects_empty_and_is_codegen(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# stratified quota sampling + quality-threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_quota_and_stability(spark):
+    """Exactly min(quota, |stratum|) rows per stratum; selection is a
+    pure function of (id, seed) so it survives repartitioning; growing
+    the quota only ADDS rows (the reservoir top-up property)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+    ).union(
+        # a tiny stratum smaller than the quota
+        spark.range(900, 904).select(
+            F.col("id").alias("doc_id"), F.lit("rare").alias("lang")
+        )
+    )
+    out = stratified_sample(df, quota=50, strata_col="lang", seed=1)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"L0": 50, "L1": 50, "L2": 50, "rare": 4}
+    picked = sorted(
+        (r["lang"], r["doc_id"]) for r in out.collect()
+    )
+    repart = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(
+            df.repartition(17), quota=50, strata_col="lang", seed=1
+        ).collect()
+    )
+    assert picked == repart
+    bigger = stratified_sample(df, quota=80, strata_col="lang", seed=1)
+    prefix = sorted(
+        (r["lang"], r["doc_id"]) for r in bigger.filter("rn <= 50").collect()
+    )
+    assert prefix == picked
+    # a different seed draws a different sample
+    other = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(
+            df, quota=50, strata_col="lang", seed=2
+        ).collect()
+    )
+    assert other != picked
+
+
+def test_stratified_sample_plan_is_stratum_partitioned(spark):
+    """The ranking window must shuffle BY THE STRATUM, never collapse to
+    a single-partition global window."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+    )
+    plan = stratified_sample(df, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning(lang" in plan, plan
+
+
+def _py_threshold_sweep(rows, n_tiles):
+    """(id, score, weight) -> the expected sweep, row-at-a-time."""
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n = len(ordered)
+    tw = sum(r[2] for r in ordered)
+    tiles = {}
+    for rank, (_, score, weight) in enumerate(ordered, start=1):
+        t = (rank - 1) * n_tiles // n + 1
+        d = tiles.setdefault(t, [None, 0, 0])
+        d[0] = score if d[0] is None else min(d[0], score)
+        d[1] += 1
+        d[2] += weight
+    out, cd, cw = [], 0, 0
+    for t in sorted(tiles):
+        cut, docs, w = tiles[t]
+        cd, cw = cd + docs, cw + w
+        out.append((t, cut, cd, cw, round(cd / n, 6), round(cw / tw, 6)))
+    return out
+
+
+def test_threshold_sweep_matches_python(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        threshold_sweep,
+    )
+
+    rows = [(i, (i * 37) % 101 - 50, 10 + (i * 13) % 90)
+            for i in range(517)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, raw long, n_tokens long"
+    ).repartition(9)
+    got = sorted(
+        (r.tile, r.cut_score, r.docs_retained, r.weight_retained,
+         r.pct_docs, r.pct_weight)
+        for r in threshold_sweep(df, "raw", "n_tokens").collect()
+    )
+    assert got == sorted(_py_threshold_sweep(rows, 10))
+    # the full corpus survives the last cut, exactly
+    assert got[-1][2] == 517 and got[-1][4] == 1.0
+
+
+def test_threshold_sweep_plan_uses_two_phase_rank(spark):
+    """The corpus-sized frame must be ranked by global_rank's
+    range-repartition, never a single-partition row_number window."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        threshold_sweep,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("raw"),
+        F.lit(3).alias("n_tokens"),
+    )
+    plan = threshold_sweep(df, "raw", "n_tokens")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in plan, plan

@@ -1158,3 +1158,123 @@ def phrase_blocklist_filter(
         first.alias("first_phrase"),
         first.isNotNull().alias("blocked"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exact per-stratum QUOTA sampling (vs :func:`hash_sample`'s
+    per-row Bernoulli): keep exactly ``min(quota, |stratum|)`` rows per
+    stratum, selected as the quota smallest values of the same
+    engine-portable md5 uniform that hash_sample draws — the way a
+    balanced eval set ("10k docs per language") or a per-source audit
+    sample is actually specified. Bernoulli cannot hit an exact count;
+    ORDER BY random() is neither reproducible nor stratified.
+
+    Scale shape: the ranking window is PARTITIONED BY the stratum — the
+    stratum-keyed shuffle is the plan's only exchange and each stratum
+    ranks independently in parallel (never the single-partition global
+    window). Skew bound: a stratum's rank state is one partition's rows;
+    for web-scale strata (e.g. "en" = half the corpus) compose with a
+    pre-cut — ``hash_sample`` at a fraction that overshoots the quota by
+    a safe margin, then this exact cut — so the window only ever sees
+    quota·(1+margin) rows per stratum. Selection is a pure function of
+    (id, seed), so re-runs, retries, and engines agree row-for-row.
+
+    Output: the input columns plus the 1-based ``rn`` within-stratum
+    pick order (callers keep it for reservoir-style top-ups: growing the
+    quota later ADDS rows without changing earlier picks).
+    """
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= int(quota))
+    )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Quality-threshold calibration curve: what fraction of documents
+    and of token mass survives each candidate cutoff? The pipeline
+    decision this serves is the classic one — a quality classifier
+    (:func:`..textstats.hashed_bow_score`) emits scores, and someone
+    must pick the threshold; this computes the whole retention curve in
+    one pass instead of re-running the filter per candidate value.
+
+    Each document is assigned an exact score-order tile
+    ``floor((rank-1)·n_tiles/n) + 1`` (integer arithmetic — NOT the
+    engine-private NTILE remainder rule) where rank comes from the
+    engine's two-phase :func:`..frontier.global_rank` (score desc, id
+    tiebreak) — the corpus-sized frame never collapses into a
+    single-partition window. Per tile: the cutoff (min score in tile),
+    cumulative docs and cumulative weight retained if one kept tiles
+    1..t, and their fractions of the corpus.
+
+    Scale shape: one range-repartition (global_rank) + one n_tiles-row
+    groupBy; the cumulative window runs over the n_tiles-row aggregate
+    only (the bounded-frame window pattern, like the HDR quantile cut).
+    Fractions are exact-integer ratios divided once at the end, rounded
+    to 6 — portable across engines.
+    """
+    from .frontier import global_rank
+
+    ranked = global_rank(
+        scored.select(
+            F.col(id_col),
+            F.col(score_col).alias("_score"),
+            F.col(weight_col).alias("_weight"),
+        ),
+        rank_col="_rank",
+        order_by=[F.col("_score").desc(), F.col(id_col).asc()],
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_weight").alias("_total_weight"),
+    )
+    # floor() on BOTH engines (CAST of a double rounds in DuckDB but
+    # truncates in Spark — an engine margin); the double quotient is
+    # exact while (rank-1)·n_tiles < 2^53, i.e. far past any corpus.
+    tiled = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "tile",
+        F.floor(
+            (F.col("_rank") - 1) * F.lit(int(n_tiles)) / F.col("_n")
+        )
+        + 1,
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.min("_score").alias("cut_score"),
+        F.count(F.lit(1)).alias("tile_docs"),
+        F.sum("_weight").alias("tile_weight"),
+        F.first("_n").alias("_n"),
+        F.first("_total_weight").alias("_total_weight"),
+    )
+    cum = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_tile.select(
+        F.col("tile").cast("int").alias("tile"),
+        "cut_score",
+        F.sum("tile_docs").over(cum).alias("docs_retained"),
+        F.sum("tile_weight").over(cum).alias("weight_retained"),
+        F.round(
+            F.sum("tile_docs").over(cum) / F.col("_n"), 6
+        ).alias("pct_docs"),
+        F.round(
+            F.sum("tile_weight").over(cum) / F.col("_total_weight"), 6
+        ).alias("pct_weight"),
+    )

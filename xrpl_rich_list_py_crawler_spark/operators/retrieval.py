@@ -192,3 +192,53 @@ def apply_postings_delta(
     )
     survived = postings.join(dels, ["token", "doc_id"], "left_anti")
     return survived.unionByName(adds)
+
+
+def compact_postings_deltas(
+    base: DataFrame, deltas: Sequence[DataFrame]
+) -> DataFrame:
+    """LSM-style compaction: fold a whole STACK of
+    :func:`postings_delta` generations into the base index with ONE
+    shuffle, instead of the N anti-join+union rounds that iterating
+    :func:`apply_postings_delta` would cost.
+
+    Every row is tagged with its generation (base = 0, deltas 1..N in
+    application order) and the winner per (token, doc_id) is selected by
+    ``max_by`` over the priority ``gen·2 + (op = 'add')`` — within one
+    generation an ``add`` outranks the ``del`` for the same posting,
+    exactly reproducing apply's del-then-append order for a changed
+    document. Rows whose final op is ``del`` drop out. Law (pinned in
+    tests, and value-checked by the oracle against a from-scratch index
+    of the FINAL snapshot): ``compact(build(s0), [delta(s0,s1), ...,
+    delta(s_{n-1}, s_n)]) == build(s_n)``.
+
+    Scale shape: one union (no shuffle) + one map-side-combined groupBy
+    keyed by (token, doc_id) — the postings table's natural bucketing,
+    so on a bucketed index store the exchange disappears entirely.
+    Compaction cost is proportional to base + delta mass, independent of
+    the number of generations; the iterative alternative re-shuffles the
+    whole surviving index once PER generation.
+    """
+    tagged = [
+        base.select(
+            "token",
+            "doc_id",
+            "tf",
+            F.lit("add").alias("op"),
+            F.lit(0).alias("gen"),
+        )
+    ]
+    for i, d in enumerate(deltas, start=1):
+        tagged.append(
+            d.select("token", "doc_id", "tf", "op", F.lit(i).alias("gen"))
+        )
+    allrows = tagged[0]
+    for t in tagged[1:]:
+        allrows = allrows.unionByName(t)
+    prio = F.col("gen") * 2 + F.when(F.col("op") == "add", 1).otherwise(0)
+    latest = allrows.groupBy("token", "doc_id").agg(
+        F.max_by(F.struct("op", "tf"), prio).alias("last")
+    )
+    return latest.filter(F.col("last.op") == "add").select(
+        "token", "doc_id", F.col("last.tf").alias("tf")
+    )

@@ -337,3 +337,112 @@ def hdr_quantiles(
             (F.min(hit) / F.lit(float(HDR_SCALE))).alias(f"q{int(q * 100)}")
         )
     return cum.groupBy("key").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic heavy hitters (Misra & Gries 1982 candidate prefilter)
+# ---------------------------------------------------------------------------
+
+def misra_gries_candidates(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Per-partition Misra–Gries frequent-item summaries over the token
+    stream: at most ``k - 1`` candidate tokens PER PARTITION, with the
+    classic guarantee that every token whose partition frequency exceeds
+    ``n_p / k`` survives the decrement process. Since a GLOBAL heavy
+    hitter (count·k > total) must exceed ``n_p / k`` in at least one
+    partition (pigeonhole over the partition sum), the union of the
+    per-partition candidate sets contains every global heavy hitter —
+    no false negatives, ever; false positives are removed by the exact
+    verify pass in :func:`heavy_hitters`.
+
+    This is the module's one Python-side operator, and deliberately so:
+    bounded-state stream summaries are not expressible in DataFrame ops
+    (an aggregate may not drop state), while ``mapInPandas`` gives each
+    partition exactly the sequential access MG needs. The Python cost is
+    bounded: a dict of < k counters per task, Arrow-batched input, and
+    the output is ≤ (k-1)·P tiny rows — the corpus itself never leaves
+    the JVM for the verify pass.
+
+    Tokenization matches the engine's portable whitespace class
+    (textstats.WS — the explicit ``[ \\t\\n\\r\\f\\x0b]+`` set, NOT
+    ``\\s``) so the candidate guarantee holds for the exact same token
+    stream the JVM verify pass counts.
+    """
+    import re
+
+    if k < 2:
+        raise ValueError("heavy-hitter k must be >= 2")
+    pat = re.compile("[ \t\n\r\f\x0b]+")
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in pat.split(str(text).strip().lower()):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k - 1:
+                        counters[tok] = 1
+                    else:
+                        for t in list(counters):
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                del counters[t]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return df.select(F.col(text_col).alias(text_col)).mapInPandas(
+        mg, "token string"
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exact heavy hitters over the corpus token stream: every token
+    whose count satisfies ``count * k > total_tokens`` (the classic
+    strict ``> n/k`` definition), with exact counts — integer-only
+    comparisons, so the result is engine-portable with no float margin.
+
+    Scale shape: the naive plan shuffles the FULL token vocabulary
+    (billions of distinct tokens on a web corpus — typo/boilerplate long
+    tail) just to keep < k of them. With ``prefilter=True`` the
+    Misra–Gries pass (:func:`misra_gries_candidates`) first reduces the
+    candidate set to ≤ (k-1)·P tokens with zero false negatives; the
+    JVM verify pass then broadcast-semi-joins the exploded token stream
+    against that candidate set BEFORE the groupBy, so the only wide
+    shuffle carries candidate tokens only. Total-token count is a 1-row
+    aggregate → broadcast crossJoin (the engine's A1 pattern). Two
+    corpus scans, both linear; no full-vocabulary shuffle anywhere.
+
+    ``prefilter=False`` runs the naive single-scan plan (fine at test
+    scale; the oracle-checked query runs prefilter=True so the
+    no-false-negative guarantee is value-checked, not just asserted).
+    """
+    from .textstats import WS
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), WS)
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    counted = toks
+    if prefilter:
+        cand = misra_gries_candidates(docs, k, text_col).distinct()
+        counted = toks.join(F.broadcast(cand), "token", "left_semi")
+    counts = counted.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(int(k)) > F.col("total_tokens"))
+        .select("token", "cnt")
+    )
