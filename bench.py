@@ -471,6 +471,12 @@ HEADLINE = [
     "chunk_documents",
     "chunk_retrieval",
     "phrase_blocklist",
+    # post-run-M additions: MG-prefiltered heavy hitters, exact-quota
+    # stratified sampling, one-pass threshold sweep, postings compaction
+    "heavy_hitters",
+    "stratified_sample",
+    "threshold_sweep",
+    "postings_compact",
 ]
 
 
