@@ -477,6 +477,8 @@ HEADLINE = [
     "stratified_sample",
     "threshold_sweep",
     "postings_compact",
+    "weighted_sample",
+    "snm_pairs",
 ]
 
 
