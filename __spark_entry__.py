@@ -2925,6 +2925,38 @@ def _q_postings_compact(spark, sf):
     return compact_postings_deltas(base, deltas)
 
 
+def _q_weighted_sample(spark, sf):
+    """Efraimidis–Spiliopoulos weighted sampling without replacement
+    (curation.weighted_sample): 20 docs per language with inclusion odds
+    proportional to n_chars — md5 exact uniform, ln(u)/w A-ES keys, the
+    stratum-partitioned ranking window (never global)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        d, k=20, weight_col="n_chars", strata_col="lang", seed=42
+    )
+
+
+def _q_snm_pairs(spark, sf):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs):
+    candidate pairs within a 5-position window of the corpus sorted by
+    lowercase 40-char text prefix — two-phase global_rank positions +
+    the skew-free rank-block equi join, all-integer output."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return sorted_neighborhood_pairs(
+        d,
+        sort_key=F.lower(F.substring("text", 1, 40)),
+        window=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3022,7 +3054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     threshold_sweep — quality-cutoff retention curve on two-phase
     global_rank deciles; postings_compact — one-shuffle LSM fold of a
     postings-delta stack, oracled against a from-scratch rebuild of the
-    final snapshot — all four oracle-backed and local-green).
+    final snapshot — all four oracle-backed and local-green) and the
+    close-out pair (weighted_sample — Efraimidis–Spiliopoulos A-ES
+    weighted-without-replacement over the md5 uniform; snm_pairs —
+    sorted-neighborhood blocking on two-phase ranks with the skew-free
+    block equi join — both oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3187,6 +3223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "threshold_sweep": _q_threshold_sweep,
         "postings_compact": _q_postings_compact,
+        "weighted_sample": _q_weighted_sample,
+        "snm_pairs": _q_snm_pairs,
     }
 
 
@@ -6860,5 +6898,40 @@ def oracle_sql() -> dict[str, str]:
                      ELSE text END)), '[ \t\n\r\f\x0b]+')) AS token
             FROM documents
         ) WHERE token <> '' GROUP BY 1, 2
+    """
+    # same md5 power-of-two uniform as hash/stratified_sample; the A-ES
+    # key ln(u)/w is IEEE-double on identical inputs in both engines and
+    # is emitted ROUNDed to 9 (the bm25/HLL ln precedent)
+    out["weighted_sample"] = r"""
+        SELECT doc_id, lang, n_chars, rn, aes_key FROM (
+            SELECT doc_id, lang, n_chars,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY aes DESC, doc_id
+                ) AS INT) AS rn,
+                ROUND(aes, 9) AS aes_key
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                    ln((CAST(CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+                        AS UBIGINT) AS BIGINT) + 1.0) / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) AS aes
+                FROM documents WHERE n_chars > 0
+            )
+        ) WHERE rn <= 20
+    """
+    # the single-window rank form (equal to the engine's two-phase
+    # global_rank by the pinned law) + the naive rank-distance self join
+    out["snm_pairs"] = r"""
+        WITH ranked AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY lower(substr(text, 1, 40)), doc_id
+            ) AS rnk
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(a.rnk AS BIGINT) AS rank_a,
+               CAST(b.rnk AS BIGINT) AS rank_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
     """
     return out

@@ -87,6 +87,8 @@ AUDITED = [
     "stratified_sample",      # stratum-partitioned quota window
     "threshold_sweep",        # two-phase rank deciles + k-row cum window
     "postings_compact",       # one-groupBy LSM fold of a delta stack
+    "weighted_sample",        # A-ES stratum-partitioned quota window
+    "snm_pairs",              # two-phase rank + skew-free block equi join
 ]
 
 BAD_NODES = ("CartesianProduct",)

@@ -2550,3 +2550,136 @@ def test_threshold_sweep_plan_uses_two_phase_rank(spark):
     plan = threshold_sweep(df, "raw", "n_tokens")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "rangepartitioning" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spiliopoulos A-ES) + sorted-neighborhood pairs
+# ---------------------------------------------------------------------------
+
+
+def _py_aes_pick(rows, k, seed):
+    """(id, stratum, w) -> {(stratum, id)} picked, pure-Python A-ES twin."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, s, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 2**32
+        keyed.append((s, math.log(u) / w, i))
+    out = set()
+    for s in {t[0] for t in keyed}:
+        grp = sorted(
+            [t for t in keyed if t[0] == s], key=lambda t: (-t[1], t[2])
+        )
+        out |= {(s, t[2]) for t in grp[:k]}
+    return out
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    """The selected set equals a row-at-a-time A-ES reference, survives
+    repartitioning, excludes non-positive weights, and tops up."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [
+        (i, f"L{i % 3}", (i * 37) % 50 - 2)  # weights include <= 0
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, w: long")
+    out = weighted_sample(df, k=15, weight_col="w",
+                          strata_col="lang", seed=7)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert got == _py_aes_pick(rows, 15, 7)
+    repart = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample(
+            df.repartition(13), k=15, weight_col="w",
+            strata_col="lang", seed=7,
+        ).collect()
+    }
+    assert repart == got
+    bigger = weighted_sample(df, k=30, weight_col="w",
+                             strata_col="lang", seed=7)
+    prefix = {
+        (r["lang"], r["doc_id"])
+        for r in bigger.filter("rn <= 15").collect()
+    }
+    assert prefix == got
+
+
+def test_weighted_sample_weights_bias_selection(spark):
+    """Heavier rows must be picked much more often: with half the corpus
+    at weight 100 and half at weight 1, the heavy half should dominate
+    the sample (binomially certain margin)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    out = weighted_sample(df, k=50, weight_col="w", seed=3)
+    heavy = out.filter("doc_id < 100").count()
+    assert heavy >= 40, heavy
+    assert out.count() == 50
+
+
+def test_weighted_sample_unstratified_plan_is_takeordered(spark):
+    """The global cut must compile to TakeOrderedAndProject — never a
+    single-partition row_number window (the unigram_vocab lesson)."""
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("w")
+    )
+    plan = weighted_sample(df, k=10, weight_col="w")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_snm_pairs_match_bruteforce_and_find_prefix_neardups(spark):
+    """Pair set == the brute-force rank-distance definition; a truncated
+    copy (no shared LSH bucket needed) is adjacent in sort order and
+    therefore paired; output is <= window*N and repartition-invariant."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    texts = [(i, f"document body number {i:04d} with shared tail")
+             for i in range(60)]
+    texts.append((1000, texts[7][1][:30]))  # truncated mirror of doc 7
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    w = 4
+    out = sorted_neighborhood_pairs(
+        df, sort_key=F.lower(F.substring("text", 1, 40)), window=w
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    ranked = sorted(
+        (t[1][:40].lower(), t[0]) for t in texts
+    )
+    # id_a is the lower RANK (not the lower id): read pairs off the
+    # sorted order directly
+    want = {
+        (ranked[i][1], ranked[j][1])
+        for i in range(len(ranked))
+        for j in range(i + 1, min(i + w + 1, len(ranked)))
+    }
+    assert got == want
+    assert (1000, 7) in got or (7, 1000) in got
+    assert out.count() <= w * len(texts)
+    repart = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(11),
+            sort_key=F.lower(F.substring("text", 1, 40)),
+            window=w,
+        ).collect()
+    }
+    assert repart == got

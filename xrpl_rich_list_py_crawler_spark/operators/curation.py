@@ -1278,3 +1278,80 @@ def threshold_sweep(
             F.sum("tile_weight").over(cum) / F.col("_total_weight"), 6
         ).alias("pct_weight"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spiliopoulos
+    A-ES): keep ``k`` rows where each row's inclusion odds are
+    proportional to ``weight_col`` — the curation primitive behind
+    "sample eval docs proportional to token count" and importance-
+    weighted corpus draws (the selection step :func:`..textstats.
+    dsir_weights` needs once weights exist). :func:`hash_sample` can't
+    express per-row weights and ``ORDER BY random()`` is neither
+    reproducible nor weighted; A-ES is the one-pass, merge-friendly
+    answer: key each row with ``ln(u) / w`` (u uniform, w weight) and
+    keep the k LARGEST keys — provably the exact weighted-without-
+    replacement distribution over the randomness of u.
+
+    Determinism and portability: u is the same engine-portable md5
+    uniform every sampler here draws (exact power-of-two division, so u
+    is bit-identical across engines); ``ln`` follows the BM25/HLL
+    precedent — both engines evaluate IEEE-double ``ln`` on identical
+    inputs, the emitted key is rounded to 9, and a last-ulp rank flip
+    would need two keys within 1e-15 of each other (u is cryptographic:
+    that is a measure-zero tie, and the id tiebreak pins exact ties).
+    Rows with weight <= 0 are excluded up front — A-ES keys are
+    undefined there, and silently keeping them would over-sample.
+
+    Scale shape: when ``strata_col`` is given the ranking window is
+    PARTITIONED BY the stratum (one stratum-keyed shuffle, parallel
+    across strata); un-stratified, the cut is the k smallest of a pure
+    per-row key — expressed as ``orderBy(...).limit(k)`` which compiles
+    to TakeOrderedAndProject (parallel partial top-k on every partition,
+    a k-row driver merge, NO global sort and NO single-partition
+    window — the unigram_vocab lesson from the r04 verdict). Selection
+    is a pure function of (id, seed, weight), so re-runs, retries,
+    cluster sizes, and engines agree row-for-row; growing ``k`` later
+    only ADDS rows (reservoir top-up property, same as
+    :func:`stratified_sample`).
+
+    Output: the input columns plus ``aes_key`` (rounded, descending
+    pick order) and the 1-based ``rn`` pick index.
+    """
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    aes = F.log(u) / w
+    pos = df.filter(w > 0).withColumn("_aes", aes)
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("_aes").desc(), F.col(id_col).asc()
+        )
+        picked = (
+            pos.withColumn("rn", F.row_number().over(win).cast("int"))
+            .filter(F.col("rn") <= int(k))
+        )
+    else:
+        topk = (
+            pos.orderBy(F.col("_aes").desc(), F.col(id_col).asc())
+            .limit(int(k))
+        )
+        win = Window.orderBy(F.col("_aes").desc(), F.col(id_col).asc())
+        picked = topk.withColumn(
+            "rn", F.row_number().over(win).cast("int")
+        )
+    return picked.withColumn(
+        "aes_key", F.round(F.col("_aes"), 9)
+    ).drop("_aes")

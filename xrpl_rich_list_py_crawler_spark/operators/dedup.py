@@ -989,3 +989,76 @@ def keep_best_per_component(
     j = components.select(id_col, comp_col).join(quality, id_col)
     w = Window.partitionBy(comp_col).orderBy(*ob)
     return j.withColumn("is_best", F.row_number().over(w) == F.lit(1))
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key,
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort the
+    corpus by a fuzzy key and emit every pair within ``window``
+    positions — the classic entity-resolution candidate generator for
+    near-dups that hashing CAN'T block (truncated mirrors, prefix edits:
+    a doc cut mid-sentence shares no LSH bucket with its source but
+    sorts adjacent to it on a text-prefix key). Complements the
+    MinHash/SimHash family: SNM recall comes from sort locality, theirs
+    from signature collision; production ER runs both and unions the
+    candidate sets.
+
+    ``sort_key`` is any deterministic Column (e.g.
+    ``F.lower(F.substring("text", 1, 40))``); the ascending id is
+    appended so the order is total and engine-identical. Output:
+    ``(id_a, id_b, rank_a, rank_b)`` with ``rank_a < rank_b <=
+    rank_a + window`` — all integers, exact on any engine.
+
+    Scale shape: positions come from the engine's two-phase
+    :func:`..frontier.global_rank` (range repartition + broadcast
+    offsets — never a single-partition window), then neighbors meet
+    through an equi join on the rank BLOCK ``floor((rank-1)/window)``:
+    each row probes its own block and its predecessor block, so every
+    within-``window`` pair shares a join key, the join fan-in per key is
+    <= 2·window rows, and — because ranks are a permutation — the block
+    key is perfectly uniform: the one shuffle in the plan is skew-free
+    by construction (the rare blocking key whose duplicates would
+    hot-spot a sort-merge join never becomes a join key here). Output
+    size is <= window·N rows, linear in the corpus.
+    """
+    from .frontier import global_rank
+
+    w = int(window)
+    ranked = global_rank(
+        df.select(sort_key.alias("_snm_key"), F.col(id_col)),
+        rank_col="_rank",
+        order_by=[F.col("_snm_key").asc(), F.col(id_col).asc()],
+    ).select(
+        F.col(id_col),
+        F.col("_rank"),
+        F.floor((F.col("_rank") - 1) / F.lit(w)).alias("_blk"),
+    )
+    probe = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_rank").alias("rank_b"),
+        F.explode(
+            F.array(F.col("_blk"), F.col("_blk") - 1)
+        ).alias("_blk"),
+    )
+    return (
+        ranked.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_rank").alias("rank_a"),
+            "_blk",
+        )
+        .join(probe, "_blk")
+        .filter(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") <= F.col("rank_a") + w)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rank_a").cast("bigint").alias("rank_a"),
+            F.col("rank_b").cast("bigint").alias("rank_b"),
+        )
+    )
