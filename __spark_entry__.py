@@ -2957,6 +2957,33 @@ def _q_snm_pairs(spark, sf):
     )
 
 
+def _q_template_fingerprint(spark, sf):
+    """Structural template clustering (textstats.template_fingerprint):
+    md5 of the ordered opening-tag sequence per page (one codegen
+    regexp_extract_all over the decoded blob), rolled up to template
+    clusters with a boilerplate flag — runs on the committed sf0.01
+    crawl pages fixture (the input_hint table shape), like the crawl
+    queries themselves."""
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        template_fingerprint,
+    )
+
+    return template_fingerprint(_fix(spark, sf, "pages"), min_pages=2)
+
+
+def _q_margin_pairs(spark, sf):
+    """Margin-based pair mining (similarity.margin_topk): CCMatrix
+    neighborhood-normalized cosine over the embeddings table split into
+    even/odd sides; running-sum top-4 denominators make the margins
+    bit-identical across engines."""
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        margin_topk,
+    )
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return margin_topk(e, k=4, threshold=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3058,7 +3085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     close-out pair (weighted_sample — Efraimidis–Spiliopoulos A-ES
     weighted-without-replacement over the md5 uniform; snm_pairs —
     sorted-neighborhood blocking on two-phase ranks with the skew-free
-    block equi join — both oracle-backed and local-green).
+    block equi join; template_fingerprint — structural tag-sequence
+    clustering over the raw pages fixture; margin_pairs — CCMatrix
+    margin scoring with bit-identical running-sum denominators — all
+    four oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3225,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_compact": _q_postings_compact,
         "weighted_sample": _q_weighted_sample,
         "snm_pairs": _q_snm_pairs,
+        "template_fingerprint": _q_template_fingerprint,
+        "margin_pairs": _q_margin_pairs,
     }
 
 
@@ -6933,5 +6965,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.rnk AS BIGINT) AS rank_b
         FROM ranked a JOIN ranked b
           ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+    """
+    # one codegen regexp_extract_all per page; RE2 (DuckDB) and Java
+    # agree on this tag grammar — the robots/sitemap/PII fuzz precedent
+    out["template_fingerprint"] = f"""
+        WITH per_page AS (
+            SELECT url,
+                md5(array_to_string(regexp_extract_all(
+                    lower(CAST(html AS VARCHAR)),
+                    '<([a-z][a-z0-9]*)', 1), ' ')) AS template_md5,
+                CAST(len(regexp_extract_all(
+                    lower(CAST(html AS VARCHAR)),
+                    '<([a-z][a-z0-9]*)', 1)) AS BIGINT) AS n_tags
+            FROM {PAGES}
+        )
+        SELECT template_md5, COUNT(*) AS n_pages, MIN(n_tags) AS n_tags,
+               MIN(url) AS sample_url, COUNT(*) >= 2 AS is_boilerplate
+        FROM per_page GROUP BY 1
+    """
+    # margins are bit-identical: cosines are rounded to 6 BEFORE any
+    # margin math and the top-k mean is a RUNNING sum over the
+    # (cos desc, id) window — both engines add the same doubles in the
+    # same order
+    out["margin_pairs"] = r"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        a AS (SELECT vec_id AS id_a, v AS va FROM emb WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS id_b, v AS vb FROM emb WHERE vec_id % 2 <> 0),
+        pairs AS (
+            SELECT id_a, id_b,
+                ROUND(list_cosine_similarity(va, vb), 6) AS cos
+            FROM a CROSS JOIN b
+        ),
+        ra AS (
+            SELECT id_a, id_b, cos,
+                ROW_NUMBER() OVER (
+                    PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk,
+                SUM(cos) OVER (
+                    PARTITION BY id_a ORDER BY cos DESC, id_b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                COUNT(*) OVER (PARTITION BY id_a) AS n
+            FROM pairs
+        ),
+        dena AS (SELECT id_a, cum / rk AS avg_a FROM ra
+                 WHERE rk = LEAST(4, n)),
+        rb AS (
+            SELECT id_b, id_a, cos,
+                ROW_NUMBER() OVER (
+                    PARTITION BY id_b ORDER BY cos DESC, id_a) AS rk,
+                SUM(cos) OVER (
+                    PARTITION BY id_b ORDER BY cos DESC, id_a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                COUNT(*) OVER (PARTITION BY id_b) AS n
+            FROM pairs
+        ),
+        denb AS (SELECT id_b, cum / rk AS avg_b FROM rb
+                 WHERE rk = LEAST(4, n)),
+        best AS (SELECT id_a, id_b, cos FROM ra WHERE rk = 1)
+        SELECT best.id_a, best.id_b, cos AS cosine,
+               ROUND(2.0 * cos / (avg_a + avg_b), 6) AS margin,
+               2.0 * cos / (avg_a + avg_b) >= 1.0 AS is_aligned
+        FROM best
+        JOIN dena USING (id_a) JOIN denb USING (id_b)
     """
     return out

@@ -479,6 +479,8 @@ HEADLINE = [
     "postings_compact",
     "weighted_sample",
     "snm_pairs",
+    "template_fingerprint",
+    "margin_pairs",
 ]
 
 

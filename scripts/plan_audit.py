@@ -89,6 +89,8 @@ AUDITED = [
     "postings_compact",       # one-groupBy LSM fold of a delta stack
     "weighted_sample",        # A-ES stratum-partitioned quota window
     "snm_pairs",              # two-phase rank + skew-free block equi join
+    "template_fingerprint",   # codegen tag grammar + one md5-key groupBy
+    "margin_pairs",           # query-keyed rank/cum windows over candidates
 ]
 
 BAD_NODES = ("CartesianProduct",)

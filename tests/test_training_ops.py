@@ -2683,3 +2683,109 @@ def test_snm_pairs_match_bruteforce_and_find_prefix_neardups(spark):
         ).collect()
     }
     assert repart == got
+
+
+def test_template_fingerprint_clusters_by_skeleton(spark):
+    """Same tag skeleton w/ different prose & attributes -> one cluster;
+    different tag ORDER -> different cluster; counts + flag correct."""
+    from xrpl_rich_list_py_crawler_spark.operators.textstats import (
+        template_fingerprint,
+    )
+
+    rows = [
+        ("u1", b"<html><head><title>A</title></head><body><p>x</p></body>"),
+        ("u2", b'<html class="z"><head><title>Bee</title></head>'
+               b"<body><p>totally other words</p></body>"),
+        ("u3", b"<html><body><p>y</p><head><title>C</title></head></body>"),
+        ("u4", b"<div><span>solo</span></div>"),
+    ]
+    df = spark.createDataFrame(rows, "url: string, html: binary")
+    out = template_fingerprint(df, min_pages=2)
+    got = {r["sample_url"]: (r["n_pages"], r["n_tags"], r["is_boilerplate"])
+           for r in out.collect()}
+    assert got == {
+        "u1": (2, 5, True),   # u1+u2 share the skeleton (5 opening tags)
+        "u3": (1, 5, False),  # same tags, different order
+        "u4": (1, 2, False),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def _py_margin(vecs, k):
+    """numpy twin of margin_topk (even ids = queries)."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    A = [i for i in ids if i % 2 == 0]
+    B = [i for i in ids if i % 2 == 1]
+
+    def cos(x, y):
+        x, y = np.asarray(vecs[x], float), np.asarray(vecs[y], float)
+        return round(float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))), 6)
+
+    out = {}
+    for qa in A:
+        ranked_b = sorted(B, key=lambda b: (-cos(qa, b), b))
+        best = ranked_b[0]
+        den_a = float(np.mean([cos(qa, b) for b in ranked_b[:k]]))
+        ranked_a = sorted(A, key=lambda a: (-cos(a, best), a))
+        den_b = float(np.mean([cos(a, best) for a in ranked_a[:k]]))
+        out[qa] = (best, round(2 * cos(qa, best) / (den_a + den_b), 6))
+    return out
+
+
+def test_margin_topk_matches_numpy_twin(spark):
+    """Best counterpart + margin equal the row-at-a-time reference; one
+    row per query; repartition-invariant."""
+    import numpy as np
+
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        margin_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = {i: rng.normal(size=8).tolist() for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = margin_topk(df, k=4)
+    rows = out.collect()
+    assert len(rows) == 15 and len({r["id_a"] for r in rows}) == 15
+    got = {r["id_a"]: (r["id_b"], round(r["margin"], 6)) for r in rows}
+    assert got == _py_margin(vecs, 4)
+    repart = {
+        r["id_a"]: (r["id_b"], round(r["margin"], 6))
+        for r in margin_topk(df.repartition(7), k=4).collect()
+    }
+    assert repart == got
+
+
+def test_margin_topk_penalizes_hubs(spark):
+    """A hub (near everything) must score a LOWER margin than an
+    isolated mutual pair with the same raw cosine — the whole point of
+    the CCMatrix criterion."""
+    import numpy as np
+
+    from xrpl_rich_list_py_crawler_spark.operators.similarity import (
+        margin_topk,
+    )
+
+    # query 0: isolated mutual pair with 1 (orthogonal to the cluster);
+    # query 2: a hub inside a dense region (3,5,7 all look alike)
+    vecs = {
+        0: [0.0, 1.0, 0.0, 0.0],
+        1: [0.0, 0.95, 0.05, 0.0],
+        2: [0.9, 0.0, 0.1, 0.0],
+        3: [0.9, 0.0, 0.11, 0.0],
+        5: [0.9, 0.0, 0.09, 0.0],
+        7: [0.9, 0.0, 0.105, 0.0],
+        9: [0.0, 0.0, 0.0, 1.0],   # far filler so side B has spread
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<double>",
+    )
+    m = {r["id_a"]: r["margin"] for r in margin_topk(df, k=3).collect()}
+    assert m[0] > m[2], m

@@ -9,7 +9,7 @@ its bucket — the shuffle is (bucket, vector), never the full cross join.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -441,5 +441,99 @@ def bow_topk(
         .select(
             q_id_col, id_col, "dot",
             F.round("_cos", 6).alias("cosine"), "rank",
+        )
+    )
+
+
+def margin_topk(
+    embeddings: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    side_col: Column | None = None,
+) -> DataFrame:
+    """Margin-based pair mining (the CCMatrix/LASER bitext criterion):
+    raw cosine is a bad alignment score because some vectors are "hubs"
+    — close to everything — so production parallel-data mining ranks a
+    candidate pair by its cosine RELATIVE to each side's neighborhood
+    density: ``margin(x,y) = cos(x,y) / ((avgtop_k(x) + avgtop_k(y))/2)``
+    and keeps each query's best counterpart when the margin clears the
+    threshold. Same trick filters embedding near-dup FALSE POSITIVES in
+    dense regions of a monolingual corpus.
+
+    ``side_col`` (boolean; default ``id % 2 = 0``) splits the corpus
+    into query/counterpart sides. Determinism: the top-k mean is a
+    RUNNING sum over the (cos desc, id) ordered window read off at rank
+    ``min(k, n)`` — both engines add the same doubles in the same
+    order, so margins are bit-identical, not merely close; emitted
+    cosine/margin are rounded to 6 (the embedding-family precedent) and
+    the threshold compares the unrounded value.
+
+    Scale shape: candidates here are the exhaustive A×B join — the
+    test-scale baseline, exactly like :func:`brute_force_topk`. At
+    corpus scale feed the SAME windows/joins from LSH- or IVF-blocked
+    candidates (:func:`lsh_topk` buckets / :func:`ivf_topk` probes):
+    margins only need each side's top-k list, which blocked retrieval
+    already produces. The rank/sum windows are keyed BY the query id —
+    per-key state is the candidate list, never a global window.
+
+    Output: one row per query-side vector — ``id_a``, its best
+    counterpart ``id_b``, ``cosine``, ``margin``, ``is_aligned``.
+    """
+    side = side_col if side_col is not None else (F.col(id_col) % 2 == 0)
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        side.alias("_qside"),
+    )
+    a = base.filter("_qside").select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = base.filter(~F.col("_qside")).select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    # round the cosine ONCE, up front: every downstream double (running
+    # sums, margins, the threshold compare) is then derived from inputs
+    # that are bit-identical across engines — an unrounded cosine differs
+    # in the last ulp between kernels and a margin landing on a 6-dp
+    # rounding boundary would flip (observed once at sf0.01)
+    pairs = a.crossJoin(b).select(
+        "id_a",
+        "id_b",
+        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("_cos"),
+    )
+
+    def _den(key_id: str, other_id: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key_id).orderBy(
+            F.col("_cos").desc(), F.col(other_id).asc()
+        )
+        ranked = pairs.select(key_id, other_id, "_cos").withColumn(
+            "_rk", F.row_number().over(w)
+        ).withColumn(
+            "_cum",
+            F.sum("_cos").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(key_id)))
+        return ranked.filter(
+            F.col("_rk") == F.least(F.lit(int(k)), F.col("_n"))
+        ).select(F.col(key_id), (F.col("_cum") / F.col("_rk")).alias(out))
+
+    best_w = Window.partitionBy("id_a").orderBy(
+        F.col("_cos").desc(), F.col("id_b").asc()
+    )
+    best = pairs.withColumn("_rk", F.row_number().over(best_w)).filter(
+        F.col("_rk") == 1
+    ).select("id_a", "id_b", "_cos")
+    margin = F.lit(2.0) * F.col("_cos") / (F.col("avg_a") + F.col("avg_b"))
+    return (
+        best.join(_den("id_a", "id_b", "avg_a"), "id_a")
+        .join(_den("id_b", "id_a", "avg_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_cos").alias("cosine"),
+            F.round(margin, 6).alias("margin"),
+            (margin >= float(threshold)).alias("is_aligned"),
         )
     )
