@@ -2984,6 +2984,26 @@ def _q_margin_pairs(spark, sf):
     return margin_topk(e, k=4, threshold=1.0)
 
 
+def _q_trust_rank(spark, sf):
+    """Spam-resistant host scoring (graph.trust_rank): 5 iterations of
+    integer-exact TrustRank over the same synthetic host graph as
+    host_pagerank, with hosts divisible by 10 as the trusted whitelist —
+    teleport and dangling mass flow to seeds only, so seed-unreachable
+    farms score exactly 0. The oracle unrolls all 5 iterations as plain
+    CTEs (an independent DuckDB TrustRank, not a golden file)."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import trust_rank
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    edges = (
+        d.select((did % 57).alias("src"), ((did * 7 + 3) % 60).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = spark.range(0, 60, 10).select(F.col("id").alias("host"))
+    return trust_rank(edges, seeds, n_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3087,8 +3107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sorted-neighborhood blocking on two-phase ranks with the skew-free
     block equi join; template_fingerprint — structural tag-sequence
     clustering over the raw pages fixture; margin_pairs — CCMatrix
-    margin scoring with bit-identical running-sum denominators — all
-    four oracle-backed and local-green).
+    margin scoring with bit-identical running-sum denominators;
+    trust_rank — integer-exact seed-whitelist TrustRank, oracled by 5
+    unrolled DuckDB iterations — all five oracle-backed and
+    local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3257,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "template_fingerprint": _q_template_fingerprint,
         "margin_pairs": _q_margin_pairs,
+        "trust_rank": _q_trust_rank,
     }
 
 
@@ -5095,6 +5118,54 @@ def oracle_sql() -> dict[str, str]:
         )"""
     _pr += "\n        SELECT host, rank FROM r5"
     out["host_pagerank"] = _pr
+    # trust_rank: same unrolled-CTE strategy — an independent DuckDB
+    # TrustRank (teleport + dangling mass to the seed whitelist only)
+    _tr = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+        edges AS (
+            SELECT DISTINCT doc_id % 57 AS src, (doc_id*7+3) % 60 AS dst
+            FROM ids WHERE doc_id % 57 <> (doc_id*7+3) % 60
+        ),
+        hosts AS (SELECT DISTINCT h AS host FROM
+            (SELECT src AS h FROM edges UNION SELECT dst AS h FROM edges)),
+        flagged AS (SELECT host, host % 10 = 0 AS is_seed FROM hosts),
+        ns AS (SELECT COUNT(*) AS n FROM flagged WHERE is_seed),
+        bb AS (SELECT CAST(1000000000000 // n AS BIGINT) AS b FROM ns),
+        outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY 1),
+        t0 AS (SELECT host, is_seed,
+                   CAST(CASE WHEN is_seed THEN (SELECT b FROM bb)
+                        ELSE 0 END AS BIGINT) AS rank
+               FROM flagged)"""
+    for _i in range(1, 6):
+        _p = f"t{_i - 1}"
+        _tr += f""",
+        tc{_i} AS (
+            SELECT e.dst AS host,
+                CAST(SUM(r.rank // o.odeg) AS BIGINT) AS insum
+            FROM edges e
+            JOIN {_p} r ON e.src = r.host
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY 1
+        ),
+        td{_i} AS (
+            SELECT CAST(COALESCE(SUM(r.rank), 0) // (SELECT n FROM ns)
+                AS BIGINT) AS dshare
+            FROM {_p} r LEFT JOIN outdeg o ON r.host = o.src
+            WHERE o.src IS NULL
+        ),
+        t{_i} AS (
+            SELECT r.host, r.is_seed,
+                CAST(((CASE WHEN r.is_seed
+                            THEN 15 * (SELECT b FROM bb) ELSE 0 END)
+                      + 85 * (COALESCE(c.insum, 0)
+                              + CASE WHEN r.is_seed
+                                     THEN (SELECT dshare FROM td{_i})
+                                     ELSE 0 END)) // 100
+                    AS BIGINT) AS rank
+            FROM {_p} r LEFT JOIN tc{_i} c USING (host)
+        )"""
+    _tr += "\n        SELECT host, is_seed, rank FROM t5"
+    out["trust_rank"] = _tr
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral
     # normalization (graph.py host_hits contract), not a golden file.

@@ -91,6 +91,10 @@ AUDITED = [
     "snm_pairs",              # two-phase rank + skew-free block equi join
     "template_fingerprint",   # codegen tag grammar + one md5-key groupBy
     "margin_pairs",           # query-keyed rank/cum windows over candidates
+    # trust_rank excluded like kmeans/bpe_train: construction executes
+    # the seed count + per-iteration localCheckpoints, so an explain-only
+    # audit cannot hold it; its plan shape is host_pagerank's (audited
+    # via the same per-iteration keyed-join kernel)
 ]
 
 BAD_NODES = ("CartesianProduct",)

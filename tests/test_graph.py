@@ -203,3 +203,77 @@ def test_hits_empty_graph(spark):
 
     out = host_hits(_edges(spark, [("a", "b")]).filter("1=0"), n_iter=2)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# trust_rank
+# ---------------------------------------------------------------------------
+
+
+def test_trust_rank_all_seeds_equals_pagerank(spark):
+    """With every host seeded, TrustRank IS PageRank — the reduction law
+    the docstring promises, exact to the integer."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import (
+        host_pagerank,
+        trust_rank,
+    )
+
+    pairs = [(f"h{i}", f"h{(i * 3 + 1) % 8}") for i in range(20)]
+    e = _edges(spark, pairs)
+    hosts = e.select(F.col("src").alias("host")).union(
+        e.select(F.col("dst").alias("host"))
+    ).distinct()
+    tr = {r.host: r.rank
+          for r in trust_rank(e, hosts, n_iter=4).collect()}
+    pr = {r.host: r.rank
+          for r in host_pagerank(e, n_iter=4).collect()}
+    assert tr == pr
+
+
+def test_trust_rank_unreachable_farm_scores_zero(spark):
+    """A link farm with no path from any seed gets EXACTLY zero rank —
+    integral arithmetic, not epsilon — while seed-reachable hosts score
+    positive. Farm linking INTO the trusted region gains nothing."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import trust_rank
+
+    pairs = [
+        ("seed", "good"), ("good", "seed"),
+        # spam farm: dense internal links + a link INTO the good region
+        ("spam1", "spam2"), ("spam2", "spam3"), ("spam3", "spam1"),
+        ("spam1", "good"),
+    ]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("seed",)], "host: string")
+    got = {r.host: (r.is_seed, r.rank)
+           for r in trust_rank(e, seeds, n_iter=5).collect()}
+    assert got["spam1"][1] == 0
+    assert got["spam2"][1] == 0
+    assert got["spam3"][1] == 0
+    assert got["seed"][0] is True and got["seed"][1] > 0
+    assert got["good"][0] is False and got["good"][1] > 0
+
+
+def test_trust_rank_partitioning_invariance(spark):
+    from xrpl_rich_list_py_crawler_spark.operators.graph import trust_rank
+
+    pairs = [(f"h{i % 9}", f"h{(i * 5 + 2) % 11}") for i in range(30)]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("h0",), ("h3",)], "host: string")
+    a = {r.host: r.rank
+         for r in trust_rank(e.repartition(1), seeds, n_iter=3).collect()}
+    b = {r.host: r.rank
+         for r in trust_rank(
+             e.repartition(13, "dst"), seeds, n_iter=3
+         ).collect()}
+    assert a == b
+
+
+def test_trust_rank_requires_a_seed_in_graph(spark):
+    import pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators.graph import trust_rank
+
+    e = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("zzz",)], "host: string")
+    with pytest.raises(ValueError, match="no seed host"):
+        trust_rank(e, seeds, n_iter=2)

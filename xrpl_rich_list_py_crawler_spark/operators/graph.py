@@ -314,3 +314,103 @@ def host_hits(
     e.unpersist()
     spine.unpersist()
     return out
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi et al.): PageRank whose teleport
+    mass goes ONLY to a trusted seed whitelist — the spam-resistant host
+    score. Plain PageRank is gameable (a link farm manufactures rank
+    from nothing because every host receives teleport mass); TrustRank
+    starts all mass on hand-verified seeds and lets it flow along links,
+    so a farm unreachable from any seed scores EXACTLY zero (integral
+    arithmetic, not epsilon) and the frontier never prioritizes it.
+    Drop-in for :func:`host_pagerank` as the crawl's ``host_rank``
+    input; the standard deployment combines both (spam gap = pagerank
+    high, trustrank low).
+
+    Update rule, all integral (same bit-identical-across-engines
+    contract as :func:`host_pagerank` — see module docstring):
+    ``base = scale div n_seeds``; rank0 = base on seeds else 0;
+    ``rank' = (keep·base·[seed] + damping·(insum + dshare·[seed]))
+    div 100`` with dangling mass ``dshare = dangling_sum div n_seeds``
+    re-teleported to seeds only. With seeds = ALL hosts this is
+    exactly :func:`host_pagerank` (pinned in tests/test_graph.py).
+
+    Scale shape: identical to host_pagerank — the (edge, out-degree)
+    join and dangling set are hoisted once; each iteration is one keyed
+    join + one groupBy over the edge list plus two 1-row aggregates;
+    lineage bounded per iteration with localCheckpoint. ``seeds`` is a
+    whitelist (10^2-10^4 hosts): the flag join broadcasts.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    seed_flag = F.broadcast(
+        seeds.select(F.col("host")).distinct().withColumn("_seed", F.lit(True))
+    )
+    flagged = hosts.join(seed_flag, "host", "left").select(
+        "host", F.coalesce("_seed", F.lit(False)).alias("is_seed")
+    ).persist()
+    n_s = flagged.filter("is_seed").count()  # bounded driver scalar
+    if n_s == 0:
+        raise ValueError("trust_rank: no seed host appears in the graph")
+    base = scale // n_s
+    keep = 100 - damping_pct
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    edges_deg = edges.join(outdeg, "src").persist()
+    dangling_hosts = flagged.select("host").join(
+        outdeg.withColumnRenamed("src", "host"), "host", "left_anti"
+    ).persist()
+    ranks = flagged.select(
+        "host",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+        .cast("long").alias("rank"),
+    )
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(
+                ranks.select(F.col("host").alias("src"), "rank"), "src"
+            )
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank div odeg").alias("_c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("_c").alias("insum"))
+        )
+        dangling = (
+            ranks.join(dangling_hosts, "host", "leftsemi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dsum"))
+            .select(F.expr(f"_dsum div {n_s}").alias("dshare"))
+        )
+        ranks = (
+            flagged.join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                "is_seed",
+                F.expr(
+                    f"CAST(((CASE WHEN is_seed THEN {keep} * {base} "
+                    f"ELSE 0 END) + {damping_pct} * "
+                    f"(coalesce(insum, CAST(0 AS LONG)) + "
+                    f"(CASE WHEN is_seed THEN dshare ELSE 0 END))) "
+                    f"div 100 AS LONG)"
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    dangling_hosts.unpersist()
+    flagged.unpersist()
+    return ranks.select("host", "is_seed", "rank")
