@@ -3004,6 +3004,21 @@ def _q_trust_rank(spark, sf):
     return trust_rank(edges, seeds, n_iter=5)
 
 
+def _q_phrase_search(spark, sf):
+    """Positional-index phrase retrieval (retrieval.phrase_search): the
+    query-time complement of the scan-time phrase blocklist — docs
+    containing the exact consecutive phrase 'table hash', with match
+    counts, answered from (token, doc_id, pos) postings via the
+    anchor-group trick (anchor = pos − offset; all m offsets present)."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return phrase_search(build_positional_postings(d), "table hash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3109,8 +3124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clustering over the raw pages fixture; margin_pairs — CCMatrix
     margin scoring with bit-identical running-sum denominators;
     trust_rank — integer-exact seed-whitelist TrustRank, oracled by 5
-    unrolled DuckDB iterations — all five oracle-backed and
-    local-green).
+    unrolled DuckDB iterations; phrase_search — positional-index exact
+    phrase retrieval via the anchor-group trick — all six oracle-backed
+    and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3280,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_fingerprint": _q_template_fingerprint,
         "margin_pairs": _q_margin_pairs,
         "trust_rank": _q_trust_rank,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -5166,6 +5183,36 @@ def oracle_sql() -> dict[str, str]:
         )"""
     _tr += "\n        SELECT host, is_seed, rank FROM t5"
     out["trust_rank"] = _tr
+    # positions via the UNNEST(generate_series) idiom (chunk_documents
+    # precedent — this DuckDB lacks WITH ORDINALITY); anchor-group match
+    out["phrase_search"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            t -> t <> '') AS a
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, a[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+            FROM toks, UNNEST(generate_series(1, len(a))) AS u(i)
+        ),
+        dim AS (SELECT 'table' AS token, CAST(0 AS BIGINT) AS off
+                UNION ALL
+                SELECT 'hash', 1),
+        anchored AS (
+            SELECT p.doc_id, p.pos - d.off AS anchor, d.off
+            FROM pos p JOIN dim d USING (token)
+            WHERE p.pos - d.off >= 0
+        ),
+        starts AS (
+            SELECT doc_id, anchor
+            FROM anchored GROUP BY doc_id, anchor
+            HAVING COUNT(DISTINCT off) = 2
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM starts GROUP BY doc_id
+    """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral
     # normalization (graph.py host_hits contract), not a golden file.

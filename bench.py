@@ -481,6 +481,7 @@ HEADLINE = [
     "snm_pairs",
     "template_fingerprint",
     "margin_pairs",
+    "phrase_search",
     # trust_rank: fixed-60-host graph — not benched, same rationale as
     # host_pagerank/host_hits (iteration cost is checkpoint-dominated
     # at fixture scale and says nothing about corpus throughput)

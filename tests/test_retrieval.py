@@ -230,3 +230,72 @@ def test_compact_single_shuffle_plan(spark):
         .executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# positional postings + phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_counts_and_edges(spark):
+    """Exact consecutive matches only; overlapping occurrences counted;
+    repeated-token phrases need BOTH offsets (no double-credit); phrase
+    absent -> no row; m=3 works; case/whitespace normalized."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the, sat"),            # 'the cat' absent (order)
+            (3, "THE  CAT\tsat the cat"),   # 2 hits, case+ws normalized
+            (4, "the the the"),             # repeated-token phrase test
+            (5, "a b a b a"),               # overlapping 'a b a' x2
+        ],
+        "doc_id: long, text: string",
+    )
+    idx = build_positional_postings(docs)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_search(idx, "the cat").collect()}
+    assert got == {1: 2, 3: 2}
+    # repeated token: 'the the' occurs at anchors 0 and 1 in doc 4
+    got2 = {r["doc_id"]: r["n_hits"]
+            for r in phrase_search(idx, "the the").collect()}
+    assert got2 == {4: 2}
+    got3 = {r["doc_id"]: r["n_hits"]
+            for r in phrase_search(idx, "a b a").collect()}
+    assert got3 == {5: 2}
+    assert phrase_search(idx, "cat sat on the").count() == 1
+    assert phrase_search(idx, "dog house").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(idx, "   ")
+
+
+def test_positional_postings_positions_skip_empties(spark):
+    """Offsets are over the FILTERED token sequence (leading/multiple
+    whitespace never shifts positions) and match the tf postings'
+    token set exactly."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_positional_postings,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "  alpha   beta\n\ngamma ")], "doc_id: long, text: string"
+    )
+    pos = build_positional_postings(docs)
+    assert {(r["token"], r["pos"]) for r in pos.collect()} == {
+        ("alpha", 0), ("beta", 1), ("gamma", 2),
+    }
+    # tf view == positional view collapsed
+    tf = build_postings(docs)
+    agg = pos.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    assert sorted(map(tuple, tf.collect())) == sorted(map(tuple, agg.collect()))

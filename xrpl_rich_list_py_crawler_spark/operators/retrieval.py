@@ -42,6 +42,7 @@ reproducible under any partitioning and in the DuckDB twin.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -241,4 +242,76 @@ def compact_postings_deltas(
     )
     return latest.filter(F.col("last.op") == "add").select(
         "token", "doc_id", F.col("last.tf").alias("tf")
+    )
+
+
+def build_positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting rows (token, doc_id, pos) — the index layout
+    phrase and proximity queries need, which the tf-only
+    :func:`build_postings` cannot answer. Same portable tokenization
+    (lower, trim, textstats.WS split, empties dropped BEFORE
+    positions so offsets are over the real token sequence); ``pos`` is
+    0-based. Storage is one row per token occurrence — the classic
+    positional-index ~2-3× size premium over tf postings, paid only
+    when phrase search is part of the product.
+
+    Scale shape: shuffle-free posexplode (one codegen pass per doc);
+    persist/bucket by ``token`` downstream exactly like tf postings.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS),
+        lambda t: t != "",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos", "token")
+    ).select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_search(
+    positional: DataFrame, phrase: str
+) -> DataFrame:
+    """Exact phrase retrieval over a positional index: docs where the
+    phrase's tokens occur CONSECUTIVELY, with the match count — the
+    query-time complement of the scan-time
+    :func:`..curation.phrase_blocklist_filter` gate (index once, then
+    answer many phrase queries without touching the corpus).
+
+    The classic anchor trick: occurrence of phrase token #o at position
+    p can only belong to a match starting at ``anchor = p − o``; group
+    by (doc, anchor) and demand ALL m offsets present
+    (count(DISTINCT offset) = m — exact even when the phrase repeats a
+    token, where a plain count would double-credit one offset).
+
+    Scale shape: the m-row phrase dim broadcasts; the semi-ish join
+    keeps only postings of the phrase's tokens (predicate-pushable on a
+    token-bucketed index — the scan never reads other tokens' rows),
+    then ONE groupBy on (doc_id, anchor). Linear in matching postings;
+    never touches documents.
+
+    Output: (doc_id, n_hits), n_hits = number of distinct start
+    positions of the full phrase.
+    """
+    toks = [
+        t
+        for t in re.split("[ \t\n\r\f\x0b]+", phrase.lower().strip())
+        if t
+    ]
+    if not toks:
+        raise ValueError("phrase_search: empty phrase")
+    m = len(toks)
+    spark = positional.sparkSession
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "token: string, off: long"
+    )
+    anchored = positional.join(F.broadcast(dim), "token").select(
+        "doc_id", (F.col("pos") - F.col("off")).alias("anchor"), "off"
+    ).filter(F.col("anchor") >= 0)
+    return (
+        anchored.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("off").alias("_k"))
+        .filter(F.col("_k") == m)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
