@@ -3019,6 +3019,24 @@ def _q_phrase_search(spark, sf):
     return phrase_search(build_positional_postings(d), "table hash")
 
 
+def _q_dsir_select(spark, sf):
+    """The DSIR SELECTION step (Xie et al. 2023 §3): importance
+    resampling WITHOUT replacement ∝ the dsir_weights importance — the
+    composition lm.dsir_weights → curation.weighted_sample (A-ES keys
+    over the rounded importance, global TakeOrderedAndProject cut).
+    Completes the DSIR pipeline the r05 dsir_weights query started."""
+    from xrpl_rich_list_py_crawler_spark.operators import lm
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 < 2).alias("is_target")
+    )
+    w = lm.dsir_weights(d).select("doc_id", "importance")
+    return weighted_sample(w, k=50, weight_col="importance", seed=11)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3125,8 +3143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     margin scoring with bit-identical running-sum denominators;
     trust_rank — integer-exact seed-whitelist TrustRank, oracled by 5
     unrolled DuckDB iterations; phrase_search — positional-index exact
-    phrase retrieval via the anchor-group trick — all six oracle-backed
-    and local-green).
+    phrase retrieval via the anchor-group trick; dsir_select — the DSIR
+    selection step, dsir_weights composed into the A-ES resampler — all
+    seven oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3297,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": _q_margin_pairs,
         "trust_rank": _q_trust_rank,
         "phrase_search": _q_phrase_search,
+        "dsir_select": _q_dsir_select,
     }
 
 
@@ -5212,6 +5232,70 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         FROM starts GROUP BY doc_id
+    """
+    # the dsir_weights pipeline (verbatim CTEs) feeding the A-ES cut —
+    # the DSIR selection step; same md5 uniform, seed 11, global top-50
+    out["dsir_select"] = r"""
+        WITH d AS (
+            SELECT doc_id, text, (doc_id % 10) < 2 AS is_target
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, is_target,
+                unnest(list_filter(regexp_split_to_array(
+                    lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                    x -> x <> '')) AS term
+            FROM d
+        ),
+        b AS (
+            SELECT doc_id, is_target,
+                CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    AS BIGINT) % 4096 AS bucket
+            FROM toks
+        ),
+        model AS (
+            SELECT bucket,
+                CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_cnt,
+                CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END)
+                    AS BIGINT) AS s_cnt
+            FROM b GROUP BY 1
+        ),
+        totals AS (
+            SELECT CAST(SUM(t_cnt) AS BIGINT) AS tt,
+                CAST(SUM(s_cnt) AS BIGINT) AS st
+            FROM model
+        ),
+        per AS (
+            SELECT t.doc_id, CAST(SUM(m.t_cnt) AS BIGINT) AS t_mass,
+                CAST(SUM(m.s_cnt) AS BIGINT) AS s_mass
+            FROM b t JOIN model m USING (bucket) GROUP BY 1
+        ),
+        imp AS (
+            SELECT d.doc_id,
+                ROUND((CAST(COALESCE(p.t_mass, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(p.s_mass, 0) + 1 AS DOUBLE))
+                      * (CAST((SELECT st FROM totals) + 1 AS DOUBLE)
+                         / CAST((SELECT tt FROM totals) + 1 AS DOUBLE)),
+                      6) AS importance
+            FROM d LEFT JOIN per p USING (doc_id)
+        ),
+        keyed AS (
+            SELECT doc_id, importance,
+                ln((CAST(CAST('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8)
+                    AS UBIGINT) AS BIGINT) + 1.0) / 4294967296.0)
+                / importance AS aes
+            FROM imp WHERE importance > 0
+        ),
+        ranked AS (
+            SELECT doc_id, importance, aes,
+                CAST(ROW_NUMBER() OVER (ORDER BY aes DESC, doc_id)
+                    AS INT) AS rn
+            FROM keyed
+        )
+        SELECT doc_id, importance, rn, ROUND(aes, 9) AS aes_key
+        FROM ranked WHERE rn <= 50
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

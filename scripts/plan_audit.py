@@ -92,6 +92,7 @@ AUDITED = [
     "template_fingerprint",   # codegen tag grammar + one md5-key groupBy
     "margin_pairs",           # query-keyed rank/cum windows over candidates
     "phrase_search",          # broadcast phrase dim + (doc,anchor) groupBy
+    "dsir_select",            # dsir dim joins + A-ES TakeOrderedAndProject
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

@@ -2789,3 +2789,35 @@ def test_margin_topk_penalizes_hubs(spark):
     )
     m = {r["id_a"]: r["margin"] for r in margin_topk(df, k=3).collect()}
     assert m[0] > m[2], m
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """The composed DSIR pipeline (weights -> A-ES resampling) must pull
+    the sample toward target-distribution docs: with a clean vocabulary
+    split, near-all selected docs are target-like."""
+    from xrpl_rich_list_py_crawler_spark.operators import lm
+    from xrpl_rich_list_py_crawler_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = []
+    for i in range(100):
+        if i < 10:
+            rows.append((i, "wiki facts cited sources", True))
+        elif i < 55:
+            rows.append((i, "wiki facts cited sources", False))
+        else:
+            rows.append((i, "buy spam pills casino junk", False))
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, is_target: boolean"
+    )
+    w = lm.dsir_weights(df).select("doc_id", "importance")
+    picked = [
+        r["doc_id"]
+        for r in weighted_sample(
+            w, k=20, weight_col="importance", seed=3
+        ).collect()
+    ]
+    assert len(picked) == 20
+    target_like = sum(1 for i in picked if i < 55)
+    assert target_like >= 17, (target_like, sorted(picked))
