@@ -3037,6 +3037,23 @@ def _q_dsir_select(spark, sf):
     return weighted_sample(w, k=50, weight_col="importance", seed=11)
 
 
+def _q_proximity_search(spark, sf):
+    """Unordered proximity retrieval (retrieval.proximity_search): docs
+    where 'table', 'hash', and 'join' all occur within a 10-token span,
+    counted by anchor occurrences — one bit per term, a bit_or RANGE
+    window over the positional postings, integer-exact in both
+    engines."""
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_positional_postings,
+        proximity_search,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return proximity_search(
+        build_positional_postings(d), ["table", "hash", "join"], window=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3144,8 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trust_rank — integer-exact seed-whitelist TrustRank, oracled by 5
     unrolled DuckDB iterations; phrase_search — positional-index exact
     phrase retrieval via the anchor-group trick; dsir_select — the DSIR
-    selection step, dsir_weights composed into the A-ES resampler — all
-    seven oracle-backed and local-green).
+    selection step, dsir_weights composed into the A-ES resampler;
+    proximity_search — bitmask bit_or RANGE-window within-span
+    retrieval — all eight oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3317,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": _q_trust_rank,
         "phrase_search": _q_phrase_search,
         "dsir_select": _q_dsir_select,
+        "proximity_search": _q_proximity_search,
     }
 
 
@@ -5296,6 +5315,36 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, importance, rn, ROUND(aes, 9) AS aes_key
         FROM ranked WHERE rn <= 50
+    """
+    # bitmask bit_or RANGE window — integer-exact in both engines
+    out["proximity_search"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '[ \t\n\r\f\x0b]+'),
+                            t -> t <> '') AS a
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, a[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+            FROM toks, UNNEST(generate_series(1, len(a))) AS u(i)
+        ),
+        dim AS (SELECT 'table' AS token, CAST(1 AS BIGINT) AS bit
+                UNION ALL SELECT 'hash', 2
+                UNION ALL SELECT 'join', 4),
+        j AS (
+            SELECT p.doc_id, p.pos, d.bit
+            FROM pos p JOIN dim d USING (token)
+        ),
+        anch AS (
+            SELECT doc_id, pos,
+                BIT_OR(bit) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS m
+            FROM j
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM anch WHERE m = 7 GROUP BY doc_id
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

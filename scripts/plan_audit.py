@@ -93,6 +93,7 @@ AUDITED = [
     "margin_pairs",           # query-keyed rank/cum windows over candidates
     "phrase_search",          # broadcast phrase dim + (doc,anchor) groupBy
     "dsir_select",            # dsir dim joins + A-ES TakeOrderedAndProject
+    "proximity_search",       # bitmask bit_or RANGE window, doc-keyed
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

@@ -299,3 +299,40 @@ def test_positional_postings_positions_skip_empties(spark):
         F.count(F.lit(1)).alias("tf")
     )
     assert sorted(map(tuple, tf.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_proximity_search_window_semantics(spark):
+    """All terms inside the forward window from some term occurrence;
+    repeats absorbed by the OR; window too small -> no hit; term order
+    inside the span irrelevant; >62 terms and dup terms rejected."""
+    import pytest
+
+    from xrpl_rich_list_py_crawler_spark.operators.retrieval import (
+        build_positional_postings,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta"),          # span 4: hit at w=4, not w=3
+            (2, "beta junk alpha"),         # unordered hit at w=3
+            (3, "alpha alpha x beta"),      # repeat absorbed; 2 anchors@w=4
+            (4, "alpha x x x x beta"),      # gap 5: no hit at w=4
+        ],
+        "doc_id: long, text: string",
+    )
+    idx = build_positional_postings(docs)
+    got = {r["doc_id"]: r["n_anchors"]
+           for r in proximity_search(idx, ["alpha", "beta"], window=4)
+           .collect()}
+    # doc1: anchor@alpha(0). doc2: anchor@beta(0). doc3: anchors@both
+    # alphas (pos 0 covers beta@3? window [0,3] yes; pos 1 [1,4] yes).
+    assert got == {1: 1, 2: 1, 3: 2}
+    got3 = {r["doc_id"]: r["n_anchors"]
+            for r in proximity_search(idx, ["alpha", "beta"], window=3)
+            .collect()}
+    assert got3 == {2: 1, 3: 1}
+    with pytest.raises(ValueError, match="unique"):
+        proximity_search(idx, ["a", "a"])
+    with pytest.raises(ValueError, match="62"):
+        proximity_search(idx, [f"t{i}" for i in range(63)])

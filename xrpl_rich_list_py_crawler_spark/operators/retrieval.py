@@ -45,7 +45,7 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import WS
@@ -314,4 +314,54 @@ def phrase_search(
         .filter(F.col("_k") == m)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def proximity_search(
+    positional: DataFrame, terms: Sequence[str], window: int = 8
+) -> DataFrame:
+    """Unordered proximity retrieval: docs where ALL ``terms`` co-occur
+    inside a ``window``-token span — the relevance signal between bag-
+    of-words BM25 (any distance) and :func:`phrase_search` (distance
+    exactly 1). An anchor is a term occurrence whose forward window
+    ``[pos, pos+window-1]`` contains every query term; the doc's
+    ``n_anchors`` counts them (deterministic, engine-portable — no
+    "minimal cover" ambiguity).
+
+    The trick is a BITMASK range frame: term #i maps to bit ``1<<i``
+    (broadcast dim, ≤ 62 terms), and one ``bit_or`` window aggregate
+    over ``RANGE [0, window-1]`` ordered by position tells whether the
+    span covers the full mask — integer-exact, identical in Spark and
+    DuckDB, and repeats of a term inside the span are absorbed by the
+    OR instead of miscounting (the count-distinct pitfall).
+
+    Scale shape: same as :func:`phrase_search` — only the query terms'
+    postings survive the broadcast join (partition-pruned on a
+    token-bucketed index); the range window is keyed BY doc over those
+    few rows, never global.
+    """
+    toks = [t.lower() for t in terms]
+    if not toks or len(set(toks)) != len(toks):
+        raise ValueError("proximity_search: terms must be non-empty and unique")
+    if len(toks) > 62:
+        raise ValueError("proximity_search: more than 62 terms")
+    m = len(toks)
+    spark = positional.sparkSession
+    dim = spark.createDataFrame(
+        [(t, 1 << i) for i, t in enumerate(toks)], "token: string, bit: long"
+    )
+    joined = positional.join(F.broadcast(dim), "token").select(
+        "doc_id", "pos", "bit"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(0, int(window) - 1)
+    )
+    full = (1 << m) - 1
+    anchors = joined.withColumn("_m", F.bit_or("bit").over(w)).filter(
+        F.col("_m") == full
+    )
+    return anchors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_anchors")
     )
