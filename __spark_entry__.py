@@ -3054,6 +3054,34 @@ def _q_proximity_search(spark, sf):
     )
 
 
+def _q_containment_pairs(spark, sf):
+    """Asymmetric excerpt detection (dedup.chargram_containment_pairs):
+    containment |A∩B|/|A| over sorted-neighborhood candidates (w=5 on
+    the lowercase 40-char prefix — the blocking that CATCHES truncation
+    pairs LSH misses), char-9-grams stride 3, keep pairs where either
+    side is ≥ 0.2 contained. Directional: tells which doc is the
+    excerpt, which Jaccard cannot."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        chargram_containment_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cands = sorted_neighborhood_pairs(
+        d, sort_key=F.lower(F.substring("text", 1, 40)), window=5
+    ).select("id_a", "id_b")
+    scored = chargram_containment_pairs(d, cands, n=9, stride=3)
+    return scored.filter(
+        (F.col("containment_a") >= 0.2) | (F.col("containment_b") >= 0.2)
+    ).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3163,7 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     phrase retrieval via the anchor-group trick; dsir_select — the DSIR
     selection step, dsir_weights composed into the A-ES resampler;
     proximity_search — bitmask bit_or RANGE-window within-span
-    retrieval — all eight oracle-backed and local-green).
+    retrieval; containment_pairs — asymmetric excerpt detection over
+    SNM candidates — all nine oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3336,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "dsir_select": _q_dsir_select,
         "proximity_search": _q_proximity_search,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -5345,6 +5375,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
         FROM anch WHERE m = 7 GROUP BY doc_id
+    """
+    # SNM candidates (naive rank window) + the identical distinct-gram
+    # set math; integer sizes divided once, rounded at emission
+    out["containment_pairs"] = r"""
+        WITH ranked AS (
+            SELECT doc_id, text, ROW_NUMBER() OVER (
+                ORDER BY lower(substr(text, 1, 40)), doc_id) AS rnk
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.text AS ta, b.text AS tb
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+        ),
+        g AS (
+            SELECT id_a, id_b,
+                list_distinct(list_transform(
+                    range(1, greatest(len(ta) - 8, 1) + 1, 3),
+                    i -> substr(ta, i, 9))) AS ga,
+                list_distinct(list_transform(
+                    range(1, greatest(len(tb) - 8, 1) + 1, 3),
+                    i -> substr(tb, i, 9))) AS gb
+            FROM pairs
+        ),
+        sc AS (
+            SELECT id_a, id_b,
+                len(list_intersect(ga, gb)) AS inter,
+                len(ga) AS na, len(gb) AS nb,
+                len(ga) + len(gb) - len(list_intersect(ga, gb)) AS uni
+            FROM g
+        )
+        SELECT id_a, id_b,
+            ROUND(CASE WHEN uni = 0 THEN 0.0
+                       ELSE inter * 1.0 / uni END, 6) AS jaccard,
+            ROUND(CASE WHEN na = 0 THEN 0.0
+                       ELSE inter * 1.0 / na END, 6) AS containment_a,
+            ROUND(CASE WHEN nb = 0 THEN 0.0
+                       ELSE inter * 1.0 / nb END, 6) AS containment_b
+        FROM sc
+        WHERE inter * 1.0 / na >= 0.2 OR inter * 1.0 / nb >= 0.2
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

@@ -484,6 +484,7 @@ HEADLINE = [
     "phrase_search",
     "dsir_select",
     "proximity_search",
+    "containment_pairs",
     # trust_rank: fixed-60-host graph — not benched, same rationale as
     # host_pagerank/host_hits (iteration cost is checkpoint-dominated
     # at fixture scale and says nothing about corpus throughput)

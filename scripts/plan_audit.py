@@ -94,6 +94,7 @@ AUDITED = [
     "phrase_search",          # broadcast phrase dim + (doc,anchor) groupBy
     "dsir_select",            # dsir dim joins + A-ES TakeOrderedAndProject
     "proximity_search",       # bitmask bit_or RANGE window, doc-keyed
+    "containment_pairs",      # SNM block join + candidate-only gram sets
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

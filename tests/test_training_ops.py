@@ -2821,3 +2821,42 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert len(picked) == 20
     target_like = sum(1 for i in picked if i < 55)
     assert target_like >= 17, (target_like, sorted(picked))
+
+
+def test_containment_detects_excerpt_direction(spark):
+    """A prefix excerpt of a long doc scores containment_a ~= 1 while
+    Jaccard stays low — the directional signal Jaccard can't give; a
+    near-identical pair scores high on all three."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        chargram_containment_pairs,
+    )
+
+    long_text = " ".join(f"sentence number {i} about crawling" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, long_text),
+            (2, long_text[:120]),            # excerpt of 1
+            (3, long_text + " tail edit"),   # near-identical to 1
+            (4, "completely different words here entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    cands = spark.createDataFrame(
+        [(2, 1), (1, 3), (1, 4)], "id_a: long, id_b: long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["jaccard"], r["containment_a"], r["containment_b"]
+        )
+        for r in chargram_containment_pairs(
+            docs, cands, n=9, stride=1
+        ).collect()
+    }
+    j, ca, cb = got[(2, 1)]
+    assert ca > 0.9 and cb < 0.2 and j < 0.2, got[(2, 1)]
+    j13, ca13, cb13 = got[(1, 3)]
+    assert j13 > 0.8 and ca13 > 0.9 and cb13 > 0.9
+    j14, ca14, _ = got[(1, 4)]
+    assert j14 < 0.05 and ca14 < 0.05

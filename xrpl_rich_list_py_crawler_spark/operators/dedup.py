@@ -652,6 +652,57 @@ def chargram_jaccard_pairs(
     )
 
 
+def chargram_containment_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 9, stride: int = 1,
+) -> DataFrame:
+    """Exact char-n-gram CONTAINMENT for candidate pairs — the
+    asymmetric complement of :func:`chargram_jaccard_pairs`:
+    ``containment_a = |A∩B| / |A|`` says "doc a is an excerpt of b"
+    even when Jaccard is tiny because b is much longer (a quoted
+    paragraph inside a full article scores J ≈ |A|/|B| ≈ 0 but
+    c_a ≈ 1). Production dedup keeps the superset and drops the
+    excerpt; Jaccard alone cannot see the direction.
+
+    Candidate sourcing matters for recall: LSH bands are Jaccard-biased
+    and MISS low-J/high-containment pairs, so feed this from
+    :func:`sorted_neighborhood_pairs` (prefix-truncation locality) or a
+    one-sided blocking, optionally unioned with LSH candidates — the
+    multi-pass ER recipe. Same candidate-only gram economics and
+    persist discipline as the Jaccard scorer; integer set sizes divided
+    once in double (bit-identical across engines).
+
+    Output: (id_a, id_b, jaccard, containment_a, containment_b).
+    """
+    pairs = pairs.persist()
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = df.join(ids, id_col, "left_semi").select(
+        id_col, char_ngrams_col(F.col(text_col), n, stride).alias("g")
+    ).persist()
+    ga = grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("g", "ga")
+    gb = grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("g", "gb")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    na, nb = F.size("ga"), F.size("gb")
+    uni = F.size(F.array_union("ga", "gb"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(uni == 0, 0.0).otherwise(inter / uni).alias("jaccard"),
+            F.when(na == 0, 0.0).otherwise(inter / na)
+            .alias("containment_a"),
+            F.when(nb == 0, 0.0).otherwise(inter / nb)
+            .alias("containment_b"),
+        )
+    )
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     threshold: float,
