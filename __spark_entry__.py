@@ -3082,6 +3082,20 @@ def _q_containment_pairs(spark, sf):
     )
 
 
+def _q_url_templates(spark, sf):
+    """URL path-template mining (frontier.url_path_templates): hex/digit
+    runs collapsed to {hex}/{n}, rolled up per (host, template) over the
+    crawl pages fixture — the aggregate URL-space-explosion view behind
+    per-template frontier budget caps."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        url_path_templates,
+    )
+
+    return url_path_templates(
+        _fix(spark, sf, "pages").select("url"), min_urls=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3192,7 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     selection step, dsir_weights composed into the A-ES resampler;
     proximity_search — bitmask bit_or RANGE-window within-span
     retrieval; containment_pairs — asymmetric excerpt detection over
-    SNM candidates — all nine oracle-backed and local-green).
+    SNM candidates; url_templates — per-(host, template) URL-space
+    rollup — all ten oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3366,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "proximity_search": _q_proximity_search,
         "containment_pairs": _q_containment_pairs,
+        "url_templates": _q_url_templates,
     }
 
 
@@ -5416,6 +5432,27 @@ def oracle_sql() -> dict[str, str]:
                        ELSE inter * 1.0 / nb END, 6) AS containment_b
         FROM sc
         WHERE inter * 1.0 / na >= 0.2 OR inter * 1.0 / nb >= 0.2
+    """
+    # same path grammar as the url_traps twin; DuckDB regexp_replace
+    # needs the 'g' flag to match Spark's replace-all semantics
+    out["url_templates"] = f"""
+        WITH per AS (
+            SELECT
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1),
+                    ':[0-9]+$', '') AS host,
+                regexp_replace(regexp_replace(
+                    split_part(regexp_replace(url,
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', ''),
+                        '?', 1),
+                    '[0-9a-fA-F]{{16,}}', '{{hex}}', 'g'),
+                    '[0-9]+', '{{n}}', 'g') AS template,
+                url
+            FROM {PAGES}
+        )
+        SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               MIN(url) AS sample_url, COUNT(*) >= 10 AS is_explosive
+        FROM per GROUP BY host, template
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

@@ -95,6 +95,7 @@ AUDITED = [
     "dsir_select",            # dsir dim joins + A-ES TakeOrderedAndProject
     "proximity_search",       # bitmask bit_or RANGE window, doc-keyed
     "containment_pairs",      # SNM block join + candidate-only gram sets
+    "url_templates",          # codegen path grammar + one (host,tmpl) groupBy
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

@@ -315,3 +315,28 @@ def test_snapshot_diff_is_single_join_no_window(spark):
     )
     assert "Window" not in plan
     assert plan.count("Join") <= 2  # one join node (+ AQE echo at most)
+
+
+def test_url_path_templates_collapse_and_flag(spark):
+    """Digit/hex runs collapse in the right ORDER (hex ids don't
+    half-collapse into {n}), query strings are excluded, ports are
+    stripped from the host, and the explosion flag counts instances."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        url_path_templates,
+    )
+
+    urls = [f"https://a.com/item/{i}" for i in range(12)]
+    urls += [
+        "https://a.com:8443/item/99?page=3",     # port + query stripped
+        "https://a.com/session/deadbeefdeadbeef01",  # 18 hex chars
+        "https://b.com/about",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    out = {(r["host"], r["template"]): (r["n_urls"], r["is_explosive"])
+           for r in url_path_templates(df, min_urls=10).collect()}
+    assert out[("a.com", "/item/{n}")] == (13, True)
+    assert out[("a.com", "/session/{hex}")] == (1, False)
+    assert out[("b.com", "/about")] == (1, False)
+    assert len(out) == 3

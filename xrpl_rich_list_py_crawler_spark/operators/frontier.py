@@ -283,3 +283,53 @@ def snapshot_diff(
         "cur_digest",
         change.alias("change"),
     )
+
+
+def url_path_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 10,
+) -> DataFrame:
+    """URL path-template mining: collapse every URL to
+    ``host + templated path`` (hex runs ≥16 → ``{hex}``, then digit
+    runs → ``{n}``) and roll up per template — the aggregate view of
+    URL-space explosion that :func:`trap_features`' per-URL heuristics
+    can't see. A template with 10^6 instances under one host is a
+    faceted search / calendar / session-id space even when each
+    individual URL looks innocent; the crawl move is to budget-cap the
+    TEMPLATE (the frontier analog of :func:`..curation.cap_per_key`),
+    and the curation move is to sample within it.
+
+    All whole-stage-codegen Column ops (same path extraction as
+    trap_features, two chained regexp_replace passes — hex before
+    digits so ids don't half-collapse) + ONE groupBy on
+    (host, template). Template skew concentrates VALUES on one key and
+    map-side partial agg absorbs it, exactly like template_fingerprint.
+
+    Output: (host, template, n_urls, sample_url,
+    is_explosive = n_urls >= min_urls).
+    """
+    url = F.col(url_col)
+    host = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1),
+        r":\d+$",
+        "",
+    )
+    pq = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "")
+    path = F.split_part(pq, F.lit("?"), F.lit(1))
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-fA-F]{16,}", "{hex}"),
+        r"[0-9]+",
+        "{n}",
+    )
+    per_url = df.select(
+        host.alias("host"), tmpl.alias("template"), url.alias("_u")
+    )
+    return (
+        per_url.groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("_u").alias("sample_url"),
+        )
+        .withColumn("is_explosive", F.col("n_urls") >= int(min_urls))
+    )
