@@ -3096,6 +3096,24 @@ def _q_url_templates(spark, sf):
     )
 
 
+def _q_winnow_clones(spark, sf):
+    """Cross-corpus MOSS clone pairs (dedup.winnow_clone_pairs): docs
+    sharing ≥3 distinct winnowing fingerprints over the doc_id<300
+    slice (same k=9/window=4 grammar as the winnow_fingerprints query)
+    AFTER dropping fingerprints present in >5 docs (the MOSS
+    too-common rule — without it the lorem fixture's shared vocabulary
+    makes 75% of all pairs 'clones'), with directional coverage
+    ratios — the verbatim-run blocking MinHash and SNM both miss."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        winnow_clone_pairs,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    return winnow_clone_pairs(d, min_shared=3, max_fp_freq=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3207,7 +3225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     proximity_search — bitmask bit_or RANGE-window within-span
     retrieval; containment_pairs — asymmetric excerpt detection over
     SNM candidates; url_templates — per-(host, template) URL-space
-    rollup — all ten oracle-backed and local-green).
+    rollup; winnow_clones — MOSS fingerprint clone-pair blocking with
+    the too-common rule — all eleven oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3382,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": _q_proximity_search,
         "containment_pairs": _q_containment_pairs,
         "url_templates": _q_url_templates,
+        "winnow_clones": _q_winnow_clones,
     }
 
 
@@ -5453,6 +5473,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
                MIN(url) AS sample_url, COUNT(*) >= 10 AS is_explosive
         FROM per GROUP BY host, template
+    """
+    # the winnow_fingerprints CTE chain verbatim (doc_id<300), then the
+    # fp-keyed self join + distinct-shared counts and coverage ratios
+    out["winnow_clones"] = r"""
+        WITH g AS (
+            SELECT doc_id,
+                list_transform(
+                    range(1, greatest(length(text) - 8, 0) + 1),
+                    i -> CAST(CAST('0x' || substr(md5(
+                        substr(text, CAST(i AS INT), 9)), 1, 8)
+                        AS UBIGINT) AS BIGINT)
+                ) AS hs
+            FROM documents WHERE doc_id < 300
+        ),
+        sel AS (
+            SELECT doc_id, list_transform(
+                range(1, greatest(len(hs) - 3, 0) + 1),
+                s -> list_aggregate(hs[s:s+3], 'min')) AS sels
+            FROM g
+        ),
+        allfps AS (
+            SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(sels) AS fp FROM sel)
+        ),
+        freq AS (SELECT fp, COUNT(*) AS c FROM allfps GROUP BY 1),
+        fps AS (
+            SELECT f.doc_id, f.fp
+            FROM allfps f JOIN freq q USING (fp) WHERE q.c <= 5
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+            FROM fps GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT s.id_a, s.id_b, s.n_shared,
+            ROUND(s.n_shared * 1.0 / sa.nfp, 6) AS share_a,
+            ROUND(s.n_shared * 1.0 / sb.nfp, 6) AS share_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

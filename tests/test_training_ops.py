@@ -2860,3 +2860,42 @@ def test_containment_detects_excerpt_direction(spark):
     assert j13 > 0.8 and ca13 > 0.9 and cb13 > 0.9
     j14, ca14, _ = got[(1, 4)]
     assert j14 < 0.05 and ca14 < 0.05
+
+
+def test_winnow_clones_catch_verbatim_run_minhash_misses(spark):
+    """Two docs sharing ONE long verbatim run inside otherwise disjoint
+    text: low token-Jaccard, different prefixes — but winnowing
+    guarantees shared fingerprints for any match >= k+window-1, so the
+    pair surfaces; unrelated docs don't; max_fp_freq drops boilerplate
+    fingerprints shared by everyone."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        winnow_clone_pairs,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = " copyright footer all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " * 20 + run + " omega " * 20 + boiler),
+            (2, "zeta " * 25 + run + " beta " * 15 + boiler),
+            (3, "gamma " * 30 + "unrelated entirely" + boiler),
+            (4, "delta " * 30 + "different again too" + boiler),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_clone_pairs(docs, min_shared=3).collect()}
+    # every pair legitimately shares the verbatim footer run (winnowing
+    # flags ANY long common substring) — but the genuine clone pair
+    # shares the long run TOO, so it dominates the counts
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert got[(1, 2)] > got.get((3, 4), 0)
+    # boilerplate-only overlap: every doc shares the footer grams; the
+    # too-common rule (fp in >2 docs dropped) must erase those pairs
+    # while keeping the genuine (1,2) verbatim-run clone
+    capped = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in winnow_clone_pairs(
+                  docs, min_shared=3, max_fp_freq=2
+              ).collect()}
+    assert (1, 2) in capped
+    assert all(p == (1, 2) for p in capped), capped

@@ -1113,3 +1113,77 @@ def sorted_neighborhood_pairs(
             F.col("rank_b").cast("bigint").alias("rank_b"),
         )
     )
+
+
+def winnow_clone_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """MOSS-style clone detection ACROSS the corpus: block on shared
+    winnowing fingerprints (:func:`..textstats.winnow_fingerprints`) —
+    the third blocking geometry next to MinHash (set overlap) and SNM
+    (sort locality). Winnowing GUARANTEES any common substring of
+    length ≥ k + window − 1 shares a selected fingerprint, so clone
+    pairs with one long verbatim run are caught even when the rest of
+    both docs differs completely (low Jaccard, different prefixes —
+    both other blockings miss it).
+
+    Per pair: ``n_shared`` distinct shared fingerprints and the
+    coverage ratios ``share_a = n_shared/|fp(a)|`` (directional, like
+    containment). ``min_shared ≥ 2`` suppresses single-hash
+    coincidences; ``max_fp_freq`` drops fingerprints present in more
+    than that many docs BEFORE pairing — the MOSS "too common to be
+    interesting" rule: boilerplate fingerprints otherwise create
+    quadratic hot buckets, and dropping them is a documented recall
+    tradeoff on boilerplate-only overlap, not on real clone runs.
+
+    Scale shape: fingerprint rows are corpus-linear (~2/(window+1) of
+    k-gram count); the self-join is keyed BY fingerprint (bounded
+    buckets under ``max_fp_freq``), then one (id_a, id_b) groupBy.
+    Verify survivors with :func:`chargram_containment_pairs` — the
+    standard two-stage block-then-verify recipe.
+    """
+    from .textstats import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+        .select(id_col, "fp")
+        .distinct()
+        .persist()
+    )
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        kept = freq.filter(F.col("_df") <= int(max_fp_freq)).select("fp")
+        fps = fps.join(kept, "fp", "left_semi")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nfp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+        "_nfp", "_na"
+    )
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+        "_nfp", "_nb"
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("_na"), 6).alias("share_a"),
+            F.round(F.col("n_shared") / F.col("_nb"), 6).alias("share_b"),
+        )
+    )
