@@ -3114,6 +3114,18 @@ def _q_winnow_clones(spark, sf):
     return winnow_clone_pairs(d, min_shared=3, max_fp_freq=5)
 
 
+def _q_host_quality_rank(spark, sf):
+    """Quality-feedback host ranking (frontier.host_quality_rank): the
+    crawl→curation→crawl loop — per-host keep-rate (integer
+    cross-multiplied text gates) → quality_ppm → two-phase global rank,
+    the next round's host_rank input."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        host_quality_rank,
+    )
+
+    return host_quality_rank(_fix(spark, sf, "pages"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3226,7 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retrieval; containment_pairs — asymmetric excerpt detection over
     SNM candidates; url_templates — per-(host, template) URL-space
     rollup; winnow_clones — MOSS fingerprint clone-pair blocking with
-    the too-common rule — all eleven oracle-backed and local-green).
+    the too-common rule; host_quality_rank — the crawl→curation→crawl
+    quality-feedback loop — all twelve oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3402,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "url_templates": _q_url_templates,
         "winnow_clones": _q_winnow_clones,
+        "host_quality_rank": _q_host_quality_rank,
     }
 
 
@@ -5520,6 +5534,35 @@ def oracle_sql() -> dict[str, str]:
         FROM shared s
         JOIN sizes sa ON s.id_a = sa.doc_id
         JOIN sizes sb ON s.id_b = sb.doc_id
+    """
+    # integer cross-multiplied gates; naive rank window == global_rank
+    out["host_quality_rank"] = f"""
+        WITH per AS (
+            SELECT
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1),
+                    ':[0-9]+$', '') AS host,
+                CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text),
+                                                    '[ \\t\\n\\r\\f\\x0b]+'))
+                     END) >= 10
+                 AND length(regexp_replace(text,
+                        '[A-Za-z0-9 \\t\\n\\r\\f\\x0b]', '', 'g')) * 100
+                     <= length(text) * 30
+                THEN 1 ELSE 0 END AS k
+            FROM {PAGES}
+        ),
+        hosts AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(k) AS BIGINT) AS n_keep
+            FROM per GROUP BY host
+        )
+        SELECT host, n_pages, n_keep,
+            CAST((n_keep * 1000000) // n_pages AS BIGINT) AS quality_ppm,
+            CAST(ROW_NUMBER() OVER (
+                ORDER BY (n_keep * 1000000) // n_pages DESC, host)
+                AS BIGINT) AS rank
+        FROM hosts
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

@@ -340,3 +340,37 @@ def test_url_path_templates_collapse_and_flag(spark):
     assert out[("a.com", "/session/{hex}")] == (1, False)
     assert out[("b.com", "/about")] == (1, False)
     assert len(out) == 3
+
+
+def test_host_quality_rank_feedback_order(spark):
+    """Hosts whose pages fail the gates sink; counts are per-host; the
+    verdict is integer-exact (a page at exactly the 30% punctuation
+    boundary is kept, just above it is dropped)."""
+    from xrpl_rich_list_py_crawler_spark.operators.frontier import (
+        host_quality_rank,
+    )
+
+    good = "clean readable prose with many plain words " * 3
+    docs = [
+        ("https://good.com/1", good),
+        ("https://good.com/2", good),
+        ("https://bad.com/1", "!!! ??? *** ### $$$"),
+        ("https://bad.com/2", "tiny"),
+        ("https://mid.com/1", good),
+        ("https://mid.com/2", "@@@@ %%%% ^^^^ &&&& ((((("),
+    ]
+    df = spark.createDataFrame(docs, "url: string, text: string")
+    got = {r["host"]: (r["n_pages"], r["n_keep"], r["rank"])
+           for r in host_quality_rank(df).collect()}
+    assert got["good.com"][:2] == (2, 2)
+    assert got["bad.com"][:2] == (2, 0)
+    assert got["mid.com"][:2] == (2, 1)
+    assert got["good.com"][2] < got["mid.com"][2] < got["bad.com"][2]
+    # boundary exactness: punct*100 <= len*30 keeps the = case
+    b = spark.createDataFrame(
+        [("https://edge.com/x", "word " * 14 + "!" * 30)],
+        "url: string, text: string",
+    )
+    row = host_quality_rank(b).collect()[0]
+    # 14 words, len=100, punct=30 -> 30*100 <= 100*30 holds -> kept
+    assert (row["n_pages"], row["n_keep"]) == (1, 1)

@@ -333,3 +333,63 @@ def url_path_templates(
         )
         .withColumn("is_explosive", F.col("n_urls") >= int(min_urls))
     )
+
+
+def host_quality_rank(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    punct_pct_max: int = 30,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Quality-feedback host ranking — the loop a production crawler
+    closes every round: what the CURATION side learned about a host's
+    pages (how many survive the quality gates) feeds back into the
+    FRONTIER side's ``host_rank`` for the next round, so fetch budget
+    drains away from hosts that produce garbage. The reference re-ranks
+    its closed account list per round (validator.py re-rank); this is
+    that idea generalized to an open host space.
+
+    Per host: ``n_pages``, ``n_keep`` (token count ≥ ``min_tokens`` AND
+    punctuation ≤ ``punct_pct_max``% — the curate_corpus text gates,
+    compared by INTEGER cross-multiplication ``punct·100 ≤ len·pct`` so
+    no float ever enters the verdict), ``quality_ppm = n_keep·scale div
+    n_pages`` (integral), and the dense ``rank`` from the engine's
+    two-phase :func:`global_rank` on (quality_ppm desc, host) — ready
+    to join onto seeds as the next round's host_rank input.
+
+    Scale shape: per-row codegen gates + ONE groupBy(host) with
+    map-side combine + the two-phase rank (range exchange on the
+    host-level frame, which is corpus-hosts-sized, not pages-sized).
+    """
+    from ..functions.udfs import host_col
+    from .textstats import ALNUM_WS, token_count_col
+
+    t = F.col(text_col)
+    punct = F.length(F.regexp_replace(t, ALNUM_WS, ""))
+    keep = (token_count_col(t) >= int(min_tokens)) & (
+        punct * 100 <= F.length(t) * int(punct_pct_max)
+    )
+    per_host = (
+        pages.select(host_col(F.col(url_col)).alias("host"),
+                     keep.cast("long").alias("_k"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("_k").alias("n_keep"),
+        )
+        .withColumn(
+            "quality_ppm",
+            F.expr(f"(n_keep * {int(scale)}) div n_pages").cast("long"),
+        )
+    )
+    ranked = global_rank(
+        per_host,
+        rank_col="rank",
+        order_by=[F.col("quality_ppm").desc(), F.col("host").asc()],
+    )
+    return ranked.select(
+        "host", "n_pages", "n_keep", "quality_ppm",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
