@@ -3126,6 +3126,23 @@ def _q_host_quality_rank(spark, sf):
     return host_quality_rank(_fix(spark, sf, "pages"))
 
 
+def _q_multi_block_dedup(spark, sf):
+    """Multi-pass ER capstone (dedup.multi_block_dedup): exact-hash ∪
+    sorted-neighborhood ∪ winnow-fingerprint candidates over the
+    doc_id<300 slice, each pair verified by exact char-gram similarity,
+    with per-source provenance flags and the final is_dup verdict —
+    three blocking geometries whose blind spots are disjoint, one
+    oracle-checked composition."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        multi_block_dedup,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    return multi_block_dedup(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3239,7 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SNM candidates; url_templates — per-(host, template) URL-space
     rollup; winnow_clones — MOSS fingerprint clone-pair blocking with
     the too-common rule; host_quality_rank — the crawl→curation→crawl
-    quality-feedback loop — all twelve oracle-backed and local-green).
+    quality-feedback loop; multi_block_dedup — the three-geometry ER
+    capstone with per-source provenance — all thirteen oracle-backed
+    and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3416,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,
         "winnow_clones": _q_winnow_clones,
         "host_quality_rank": _q_host_quality_rank,
+        "multi_block_dedup": _q_multi_block_dedup,
     }
 
 
@@ -5563,6 +5583,103 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (n_keep * 1000000) // n_pages DESC, host)
                 AS BIGINT) AS rank
         FROM hosts
+    """
+    # the three candidate chains verbatim (exact star / SNM rank window /
+    # winnow fp join), bool_or'd per pair, then the stride-3 gram verify
+    out["multi_block_dedup"] = r"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ),
+        exact AS (
+            SELECT id_a, id_b, 'exact' AS src FROM (
+                SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
+                       doc_id AS id_b
+                FROM d
+            ) WHERE id_a < id_b
+        ),
+        ranked AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY lower(substr(text, 1, 40)), doc_id) AS rnk
+            FROM d
+        ),
+        snm AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'snm' AS src
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+        ),
+        g0 AS (
+            SELECT doc_id,
+                list_transform(
+                    range(1, greatest(length(text) - 8, 0) + 1),
+                    i -> CAST(CAST('0x' || substr(md5(
+                        substr(text, CAST(i AS INT), 9)), 1, 8)
+                        AS UBIGINT) AS BIGINT)
+                ) AS hs
+            FROM d
+        ),
+        sel AS (
+            SELECT doc_id, list_transform(
+                range(1, greatest(len(hs) - 3, 0) + 1),
+                s -> list_aggregate(hs[s:s+3], 'min')) AS sels
+            FROM g0
+        ),
+        allfps AS (
+            SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(sels) AS fp FROM sel)
+        ),
+        freq AS (SELECT fp, COUNT(*) AS c FROM allfps GROUP BY 1),
+        fps AS (
+            SELECT f.doc_id, f.fp
+            FROM allfps f JOIN freq q USING (fp) WHERE q.c <= 5
+        ),
+        winnow AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'winnow' AS src
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        cands AS (
+            SELECT id_a, id_b,
+                bool_or(src = 'exact') AS src_exact,
+                bool_or(src = 'snm') AS src_snm,
+                bool_or(src = 'winnow') AS src_winnow
+            FROM (SELECT * FROM exact UNION ALL
+                  SELECT * FROM snm UNION ALL
+                  SELECT * FROM winnow)
+            GROUP BY 1, 2
+        ),
+        grams AS (
+            SELECT doc_id,
+                list_distinct(list_transform(
+                    range(1, greatest(length(text) - 8, 1) + 1, 3),
+                    i -> substr(text, CAST(i AS INT), 9))) AS g
+            FROM d
+        ),
+        sc AS (
+            SELECT c.*, len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS na, len(gb.g) AS nb,
+                   len(ga.g) + len(gb.g)
+                       - len(list_intersect(ga.g, gb.g)) AS uni
+            FROM cands c
+            JOIN grams ga ON c.id_a = ga.doc_id
+            JOIN grams gb ON c.id_b = gb.doc_id
+        )
+        SELECT id_a, id_b, src_exact, src_snm, src_winnow,
+            ROUND(CASE WHEN uni = 0 THEN 0.0
+                       ELSE inter * 1.0 / uni END, 6) AS jaccard,
+            ROUND(CASE WHEN na = 0 THEN 0.0
+                       ELSE inter * 1.0 / na END, 6) AS containment_a,
+            ROUND(CASE WHEN nb = 0 THEN 0.0
+                       ELSE inter * 1.0 / nb END, 6) AS containment_b,
+            (src_exact
+             OR (CASE WHEN uni = 0 THEN 0.0
+                      ELSE inter * 1.0 / uni END) >= 0.5
+             OR (CASE WHEN na = 0 THEN 0.0
+                      ELSE inter * 1.0 / na END) >= 0.8
+             OR (CASE WHEN nb = 0 THEN 0.0
+                      ELSE inter * 1.0 / nb END) >= 0.8) AS is_dup
+        FROM sc
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

@@ -98,6 +98,7 @@ AUDITED = [
     "url_templates",          # codegen path grammar + one (host,tmpl) groupBy
     "winnow_clones",          # fp-keyed self join + (id_a,id_b) groupBy
     "host_quality_rank",      # codegen gates + host groupBy + two-phase rank
+    "multi_block_dedup",      # 3-geometry candidate union + gram verify
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

@@ -2899,3 +2899,45 @@ def test_winnow_clones_catch_verbatim_run_minhash_misses(spark):
               ).collect()}
     assert (1, 2) in capped
     assert all(p == (1, 2) for p in capped), capped
+
+
+def test_multi_block_dedup_provenance_and_verdicts(spark):
+    """Each geometry contributes its blind-spot pair: exact hash for
+    identical docs, SNM for a truncation (sorts adjacent), winnow for a
+    long verbatim run behind DIFFERENT prefixes (SNM sorts them apart,
+    hashes differ); provenance flags say who found what and the verify
+    stage kills coincidental candidates."""
+    from xrpl_rich_list_py_crawler_spark.operators.dedup import (
+        multi_block_dedup,
+    )
+
+    base = "shared verbatim run of text that is long enough to fingerprint"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa identical document body with plenty of words"),
+            (2, "aaa identical document body with plenty of words"),
+            (3, "bbb truncated mirror candidate with a long tail here"),
+            (4, "bbb truncated mirror candidate with a long"),
+            (5, "prefix one " * 5 + base),
+            (6, "zz totally other start " * 5 + base),
+            (7, "ccc unrelated words entirely different content"),
+            # fillers sorting BETWEEN docs 5 ('prefix…') and 6 ('zz…')
+            # so the winnow pair is farther apart than the SNM window
+            (8, "qqq filler document with its own words"),
+            (9, "rrr another filler document body here"),
+            (10, "sss third filler text to separate them"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in multi_block_dedup(
+        docs, snm_window=1, winnow_min_shared=2, winnow_max_fp_freq=None
+    ).collect()}
+    assert out[(1, 2)]["src_exact"] and out[(1, 2)]["is_dup"]
+    p34 = out[(3, 4)]
+    assert p34["src_snm"] and p34["is_dup"] and p34["containment_b"] > 0.8
+    p56 = out[(5, 6)]
+    assert p56["src_winnow"] and not p56["src_snm"] and not p56["src_exact"]
+    # any doc-7 candidate from sort adjacency must be verified AWAY
+    for (a, b), r in out.items():
+        if 7 in (a, b):
+            assert not r["is_dup"], (a, b, r)

@@ -1187,3 +1187,103 @@ def winnow_clone_pairs(
             F.round(F.col("n_shared") / F.col("_nb"), 6).alias("share_b"),
         )
     )
+
+
+def multi_block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snm_window: int = 5,
+    winnow_min_shared: int = 3,
+    winnow_max_fp_freq: int = 5,
+    jaccard_min: float = 0.5,
+    containment_min: float = 0.8,
+) -> DataFrame:
+    """The multi-pass ER recipe as ONE operator: union three blocking
+    geometries with DISJOINT blind spots — exact content hash (md5
+    identity), sorted-neighborhood locality (prefix edits/truncations),
+    and winnowing fingerprints (one long verbatim run inside otherwise
+    different docs) — then verify every candidate with exact char-gram
+    similarity and issue the final duplicate verdict:
+
+        ``is_dup = exact OR jaccard ≥ jaccard_min OR
+                   max(containment) ≥ containment_min``
+
+    Each source column survives to the output (``src_exact``,
+    ``src_snm``, ``src_winnow``), so the corpus report can answer
+    "which geometry found what" — the measurement that justifies
+    running all three at 100 TB.
+
+    Scale shape: a union of the three generators' own audited shapes
+    (md5-key groupBy; rank-block equi join; capped fp self-join), one
+    distinct on the union (pair-keyed), then the candidate-only gram
+    verify. No stage is new; the composition adds one pair-keyed
+    shuffle for the union-distinct.
+    """
+    t = F.col(text_col)
+    # exact: same md5 → pair each doc with the group's min id (star,
+    # not quadratic — the curate_corpus exact-dup convention)
+    w = Window.partitionBy(F.md5(t))
+    exact = (
+        df.select(
+            F.min(F.col(id_col)).over(w).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_src", F.lit("exact"))
+    )
+    snm = (
+        sorted_neighborhood_pairs(
+            df,
+            sort_key=F.lower(F.substring(text_col, 1, 40)),
+            window=snm_window,
+            id_col=id_col,
+        )
+        .select("id_a", "id_b")
+        .withColumn("_src", F.lit("snm"))
+    )
+    winnow = (
+        winnow_clone_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared=winnow_min_shared,
+            max_fp_freq=winnow_max_fp_freq,
+        )
+        .select("id_a", "id_b")
+        .withColumn("_src", F.lit("winnow"))
+    )
+    cands = (
+        exact.unionByName(snm)
+        .unionByName(winnow)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.col("_src") == "exact").alias("src_exact"),
+            F.max(F.col("_src") == "snm").alias("src_snm"),
+            F.max(F.col("_src") == "winnow").alias("src_winnow"),
+        )
+        .persist()
+    )
+    scored = chargram_containment_pairs(
+        df, cands.select("id_a", "id_b"), text_col=text_col,
+        id_col=id_col, n=9, stride=3,
+    )
+    return (
+        cands.join(scored, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "src_exact",
+            "src_snm",
+            "src_winnow",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+            (
+                F.col("src_exact")
+                | (F.col("jaccard") >= float(jaccard_min))
+                | (F.col("containment_a") >= float(containment_min))
+                | (F.col("containment_b") >= float(containment_min))
+            ).alias("is_dup"),
+        )
+    )
