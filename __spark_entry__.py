@@ -3143,6 +3143,33 @@ def _q_multi_block_dedup(spark, sf):
     return multi_block_dedup(d)
 
 
+def _q_mirror_hosts(spark, sf):
+    """Mirror-site detection (graph.mirror_hosts): the fixture corpus
+    plus two deterministic synthetic mirrors — h1.* fully copied under
+    m1.*, h2.* half-copied (even doc parity via md5 low bit) under
+    m2.* — must surface exactly those host pairs with the right shared
+    counts and coverage ratios (the partial mirror shows share ≈ 0.5
+    on the original side, 1.0 on the mirror side)."""
+    from xrpl_rich_list_py_crawler_spark.operators.graph import mirror_hosts
+
+    pages = _fix(spark, sf, "pages").select("url", "text")
+    m1 = pages.filter(F.col("url").startswith("https://h1.")).select(
+        F.regexp_replace("url", r"^https://h1\.", "https://m1.").alias("url"),
+        "text",
+    )
+    m2 = (
+        pages.filter(F.col("url").startswith("https://h2."))
+        .filter(F.conv(F.substring(F.md5("text"), 1, 2), 16, 10)
+                .cast("int") % 2 == 0)
+        .select(
+            F.regexp_replace("url", r"^https://h2\.", "https://m2.")
+            .alias("url"),
+            "text",
+        )
+    )
+    return mirror_hosts(pages.unionByName(m1).unionByName(m2), min_shared=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, one per SURVEY.md §2 operator.
 
@@ -3257,8 +3284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup; winnow_clones — MOSS fingerprint clone-pair blocking with
     the too-common rule; host_quality_rank — the crawl→curation→crawl
     quality-feedback loop; multi_block_dedup — the three-geometry ER
-    capstone with per-source provenance — all thirteen oracle-backed
-    and local-green).
+    capstone with per-source provenance; mirror_hosts — host-level
+    mirror-site detection with synthetic-mirror oracle — all fourteen
+    oracle-backed and local-green).
     """
     return {
         # --- (a) the r04 demoted tail, promoted for fresh driver rows ---
@@ -3436,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clones": _q_winnow_clones,
         "host_quality_rank": _q_host_quality_rank,
         "multi_block_dedup": _q_multi_block_dedup,
+        "mirror_hosts": _q_mirror_hosts,
     }
 
 
@@ -5680,6 +5709,51 @@ def oracle_sql() -> dict[str, str]:
              OR (CASE WHEN nb = 0 THEN 0.0
                       ELSE inter * 1.0 / nb END) >= 0.8) AS is_dup
         FROM sc
+    """
+    # synthetic mirrors (full h1→m1, md5-parity half h2→m2) + the
+    # content-hash self-join with the too-common rule
+    out["mirror_hosts"] = f"""
+        WITH base AS (SELECT url, text FROM {PAGES}),
+        aug AS (
+            SELECT url, text FROM base
+            UNION ALL
+            SELECT regexp_replace(url, '^https://h1\\.', 'https://m1.'),
+                   text
+            FROM base WHERE url LIKE 'https://h1.%'
+            UNION ALL
+            SELECT regexp_replace(url, '^https://h2\\.', 'https://m2.'),
+                   text
+            FROM base
+            WHERE url LIKE 'https://h2.%'
+              AND CAST(CAST('0x' || substr(md5(text), 1, 2) AS UBIGINT)
+                       AS BIGINT) % 2 = 0
+        ),
+        hp AS (
+            SELECT DISTINCT
+                regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1),
+                    ':[0-9]+$', '') AS host,
+                md5(text) AS h
+            FROM aug
+        ),
+        freq AS (SELECT h, COUNT(*) AS c FROM hp GROUP BY 1),
+        kept AS (SELECT hp.host, hp.h FROM hp
+                 JOIN freq USING (h) WHERE c <= 20),
+        sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS nh
+                  FROM kept GROUP BY host),
+        shared AS (
+            SELECT a.host AS host_a, b.host AS host_b,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.h = b.h AND a.host < b.host
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT s.host_a, s.host_b, s.n_shared,
+            ROUND(s.n_shared * 1.0 / sa.nh, 6) AS share_a,
+            ROUND(s.n_shared * 1.0 / sb.nh, 6) AS share_b
+        FROM shared s
+        JOIN sizes sa ON s.host_a = sa.host
+        JOIN sizes sb ON s.host_b = sb.host
     """
     # host_hits: all 4 HITS iterations (8 half-steps) unrolled as CTEs —
     # an independent DuckDB HITS with the same unit-divide integral

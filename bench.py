@@ -489,6 +489,7 @@ HEADLINE = [
     "winnow_clones",
     "host_quality_rank",
     "multi_block_dedup",
+    "mirror_hosts",
     # trust_rank: fixed-60-host graph — not benched, same rationale as
     # host_pagerank/host_hits (iteration cost is checkpoint-dominated
     # at fixture scale and says nothing about corpus throughput)

@@ -99,6 +99,7 @@ AUDITED = [
     "winnow_clones",          # fp-keyed self join + (id_a,id_b) groupBy
     "host_quality_rank",      # codegen gates + host groupBy + two-phase rank
     "multi_block_dedup",      # 3-geometry candidate union + gram verify
+    "mirror_hosts",           # content-hash self-join, too-common capped
     # trust_rank excluded like kmeans/bpe_train: construction executes
     # the seed count + per-iteration localCheckpoints, so an explain-only
     # audit cannot hold it; its plan shape is host_pagerank's (audited

@@ -277,3 +277,35 @@ def test_trust_rank_requires_a_seed_in_graph(spark):
     seeds = spark.createDataFrame([("zzz",)], "host: string")
     with pytest.raises(ValueError, match="no seed host"):
         trust_rank(e, seeds, n_iter=2)
+
+
+def test_mirror_hosts_full_and_partial(spark):
+    """A full mirror scores share 1.0 both sides; a strict-subset
+    mirror scores 1.0 on the subset side and the fraction on the
+    original; the too-common rule erases pairs built ONLY from bodies
+    served everywhere (error boilerplate)."""
+    from pyspark.sql import functions as F
+
+    from xrpl_rich_list_py_crawler_spark.operators.graph import mirror_hosts
+
+    err = "404 not found"
+    rows = []
+    for i in range(10):
+        rows.append((f"https://a.com/p/{i}", f"unique body {i}"))
+        rows.append((f"https://amir.com/p/{i}", f"unique body {i}"))
+    for i in range(8):
+        rows.append((f"https://b.com/p/{i}", f"b body {i}"))
+        if i < 4:
+            rows.append((f"https://bsub.com/p/{i}", f"b body {i}"))
+    for h in ("a.com", "amir.com", "b.com", "bsub.com", "c.com", "d.com"):
+        rows.append((f"https://{h}/404", err))
+    df = spark.createDataFrame(rows, "url: string, text: string")
+    got = {(r["host_a"], r["host_b"]): (r["n_shared"], r["share_a"],
+                                        r["share_b"])
+           for r in mirror_hosts(df, min_shared=3,
+                                 max_hash_freq=5).collect()}
+    assert got[("a.com", "amir.com")] == (10, 1.0, 1.0)
+    n, sa, sb = got[("b.com", "bsub.com")]
+    assert n == 4 and sa == 0.5 and sb == 1.0
+    # the 404 body is on 6 hosts > max_hash_freq=5: no pair from it
+    assert len(got) == 2, got

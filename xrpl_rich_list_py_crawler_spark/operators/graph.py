@@ -414,3 +414,73 @@ def trust_rank(
     dangling_hosts.unpersist()
     flagged.unpersist()
     return ranks.select("host", "is_seed", "rank")
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_hash_freq: int | None = 20,
+) -> DataFrame:
+    """Mirror-site detection: host pairs serving many IDENTICAL page
+    bodies — the web-corpus reality (mirrors, CDNs, parked duplicates)
+    that doc-level dedup pays for one page at a time but a crawler
+    should solve once at the HOST level: detect the mirror, crawl one
+    side, map the other. Page identity is ``md5(text)``; a pair's
+    ``n_shared`` counts distinct shared bodies, with coverage ratios
+    per side (a strict-subset mirror has share ≈ 1 on the smaller
+    host). ``max_hash_freq`` drops bodies served by more than that
+    many hosts first — empty pages and boilerplate error bodies are
+    the web's most-mirrored content and carry no mirror signal (the
+    same too-common rule as winnow clone blocking).
+
+    Scale shape: one (host, md5) distinct; the self-join is keyed by
+    content hash with bucket sizes ≤ ``max_hash_freq``; one
+    (host_a, host_b) groupBy. All counts integral; ratios divided once
+    and rounded — engine-portable.
+    """
+    from ..functions.udfs import host_col
+
+    hp = (
+        pages.select(
+            host_col(F.col(url_col)).alias("host"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    if max_hash_freq is not None:
+        freq = hp.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        hp = hp.join(
+            freq.filter(F.col("_n") <= int(max_hash_freq)).select("h"),
+            "h",
+            "left_semi",
+        )
+    sizes = hp.groupBy("host").agg(F.count(F.lit(1)).alias("_nh"))
+    a = hp.select(F.col("host").alias("host_a"), "h")
+    b = hp.select(F.col("host").alias("host_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.withColumnRenamed("host", "host_a").withColumnRenamed(
+        "_nh", "_na"
+    )
+    sb = sizes.withColumnRenamed("host", "host_b").withColumnRenamed(
+        "_nh", "_nb"
+    )
+    return (
+        shared.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("_na"), 6).alias("share_a"),
+            F.round(F.col("n_shared") / F.col("_nb"), 6).alias("share_b"),
+        )
+    )
