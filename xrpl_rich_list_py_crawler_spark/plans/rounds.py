@@ -422,6 +422,11 @@ class CrawlRun:
             .unionByName(_tag(parsed.filter(~F.col("fetch_ok")), "fetch_missing"))
             .unionByName(_tag(parsed, "links_extracted", F.col("n_links").cast("long")))
             .unionByName(_tag(next_frontier, "new_frontier"))
+            # merged (pre-seen-filter candidate set) minus new_frontier =
+            # discovered urls dropped because already crawled — the
+            # reference's UNIQUE-conflict dup count, measured where this
+            # engine actually dedups (the ingest anti-join, step 8)
+            .unionByName(_tag(merged, "merged_candidates"))
         )
 
         def _m(name: str):
@@ -438,10 +443,12 @@ class CrawlRun:
             _m("fetch_missing").alias("fetch_missing"),
             _m("links_extracted").alias("links_extracted"),
             _m("new_frontier").alias("new_frontier"),
+            (_m("merged_candidates") - _m("new_frontier"))
+            .alias("links_seen_dropped"),
         ).select(
             F.lit(round_n).alias("round"), "host", "candidates", "seen_dups",
             "robots_denied", "budget_deferred", "fetched", "fetch_missing",
-            "links_extracted", "new_frontier",
+            "links_extracted", "new_frontier", "links_seen_dropped",
         )
 
         out = {

@@ -112,6 +112,14 @@ METRICS = StructType(
         StructField("fetch_missing", LongType(), False),
         StructField("links_extracted", LongType(), False),
         StructField("new_frontier", LongType(), False),
+        # discovered candidates dropped at frontier ingest because the
+        # target was already crawled — the engine's analog of the
+        # reference's UNIQUE-conflict dup count (table.sql:13): dedup
+        # happens at INSERT time there, at the ingest anti-join here.
+        # (``seen_dups`` above guards the other boundary — candidates
+        # already in the round's frontier — which is 0 by construction
+        # on every current path and stays as the invariant sentinel.)
+        StructField("links_seen_dropped", LongType(), False),
     ]
 )
 
