@@ -324,13 +324,16 @@ class CrawlRun:
             F.lit(self.job_id).alias("job_id"),
         )
 
-        # 6. seen increment: attempted fetches + robots-denied
+        # 6. seen increment: attempted fetches + robots-denied. Persisted:
+        # four consumers (the seen table write, the increment bloom build,
+        # the step-8 seen_now union, and the clean-slice anti-join) would
+        # otherwise each replay the distinct shuffle (r06).
         new_seen = (
             parsed.select("url_hash")
             .unionByName(denied.select("url_hash"))
             .distinct()
             .select("url_hash", F.lit(round_n).alias("round"))
-        )
+        ).persist()
 
         # 7. link discovery → candidate frontier rows. Canonicalization
         # via the split-union JVM fast path: the already-canonical link
@@ -369,37 +372,41 @@ class CrawlRun:
         candidates = deferred.select(*[c for c in FRONTIER_COLS if c != "round"]).unionByName(
             links.select(*[c for c in FRONTIER_COLS if c != "round"])
         )
+        # merged is persisted: both the next-frontier branch and the
+        # metrics union's merged_candidates tag consume it, and its
+        # upstream (link explode + Arrow canonicalization) is the single
+        # most expensive recompute of the round (r06 profile: the metrics
+        # write replayed it in full, gating every commit at ~5.5s).
         merged = candidates.groupBy("url_hash").agg(
             F.min("depth").alias("depth"),
             F.min("discovery_ts").alias("discovery_ts"),
             F.first("url").alias("url"),
             F.first("host").alias("host"),
             F.first("host_rank").alias("host_rank"),
-        )
+        ).persist()
         seen_now = (seen.select("url_hash") if seen is not None else
                     self.spark.createDataFrame([], "url_hash long")).unionByName(
             new_seen.select("url_hash")
         )
         if self.use_bloom and self._bloom is not None:
-            from ..operators.seen import build_bloom_shards
-
-            # increment shards are built executor-side with the SAME
-            # geometry, then OR-merged blob-wise: only n_shards bitsets
-            # reach the driver — never row data (a round's increment is
-            # per-host-budget × host-count, which at 10^10-frontier scale
-            # is millions of longs; collecting it would OOM the driver)
-            inc_shards = build_bloom_shards(
+            # r06: prefilter with the PREVIOUS rounds' bloom (this round's
+            # increment is NOT in it), then repair exactly: rows the old
+            # bloom cannot clear get the full seen_now anti-join as
+            # before, and rows it does clear — definitely unseen in prior
+            # rounds — still get an exact anti-join against new_seen (the
+            # per-round increment, politeness-budget-bounded, so AQE
+            # broadcasts it). Result set is identical to prefiltering
+            # with the OR-merged bloom (both compute merged − seen_now),
+            # but the increment shards no longer need to exist before
+            # commit — their build is overlapped with the commit writes
+            # below instead of serializing ~2s/round in front of them.
+            unseen_merged = anti_join_seen(
+                anti_join_seen_bloom(
+                    self.spark, merged, seen_now, self._bloom
+                ),
                 new_seen,
-                n_shards=self._bloom.n_shards,
-                n_hashes=self._bloom.n_hashes,
-                n_bits_override=self._bloom.n_bits,
-            )
-            bloom_now = self._bloom.or_merge(inc_shards)
-            unseen_merged = anti_join_seen_bloom(
-                self.spark, merged, seen_now, bloom_now
             )
         else:
-            bloom_now = None
             unseen_merged = anti_join_seen(merged, seen_now)
         next_frontier = unseen_merged.select(
             "url", "url_hash", "host", "depth", "host_rank", "discovery_ts",
@@ -457,14 +464,40 @@ class CrawlRun:
             "seen": new_seen,
             "frontier": next_frontier,
         }
-        self.catalog.commit_round(round_n, out)
-        # commit succeeded → advance the in-memory bloom to this round
-        if self.use_bloom and bloom_now is not None:
-            self._bloom = bloom_now
+        if self.use_bloom and self._bloom is not None:
+            # increment shards are built executor-side with the SAME
+            # geometry, then OR-merged blob-wise: only n_shards bitsets
+            # reach the driver — never row data (a round's increment is
+            # per-host-budget × host-count, which at 10^10-frontier scale
+            # is millions of longs; collecting it would OOM the driver).
+            # r06: the build runs CONCURRENTLY with the commit writes
+            # (independent jobs over the persisted new_seen — the same
+            # fair-scheduling overlap commit_round already uses), hiding
+            # its ~2s/round behind the slowest table write.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..operators.seen import build_bloom_shards
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_bloom = ex.submit(
+                    build_bloom_shards,
+                    new_seen,
+                    n_shards=self._bloom.n_shards,
+                    n_hashes=self._bloom.n_hashes,
+                    n_bits_override=self._bloom.n_bits,
+                )
+                ex.submit(self.catalog.commit_round, round_n, out).result()
+                inc_shards = fut_bloom.result()
+            # commit succeeded → advance the in-memory bloom to this round
+            self._bloom = self._bloom.or_merge(inc_shards)
             self._bloom_round = round_n
+        else:
+            self.catalog.commit_round(round_n, out)
         gated.unpersist()
         parsed.unpersist()
         next_frontier.unpersist()
+        merged.unpersist()
+        new_seen.unpersist()
         for c in _caches:
             c.unpersist()
         return out
