@@ -213,11 +213,18 @@ def token_ngrams_col(text, n: int = 13):
     twin, so the sets match exactly)."""
     t = text if not isinstance(text, str) else F.col(text)
     toks = F.split(F.lower(F.trim(t)), ts.WS)
-    start = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    )
-    return F.array_distinct(
-        F.transform(start, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # bind_once: the gram lambda slices back into the token array —
+    # without the binding the split re-ran once per gram position (r06)
+    return ts.bind_once(
+        toks,
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
+        ),
     )
 
 

@@ -557,21 +557,22 @@ def ngram_jaccard_pairs(
     reference them."""
     from .textstats import WS  # portable whitespace class (no bare \s)
 
+    from .textstats import bind_once
+
+    # bind_once: the gram lambda slices back into the token array —
+    # without the binding the split re-ran once per gram position (r06)
     grams = df.select(
         id_col,
-        F.array_distinct(
-            F.transform(
-                F.slice(
-                    F.split(F.col(text_col), WS),
-                    1,
-                    F.greatest(
-                        F.size(F.split(F.col(text_col), WS)) - (n - 1), F.lit(0)
+        bind_once(
+            F.split(F.col(text_col), WS),
+            lambda tk: F.array_distinct(
+                F.transform(
+                    F.slice(
+                        tk, 1, F.greatest(F.size(tk) - (n - 1), F.lit(0))
                     ),
-                ),
-                lambda _, i: F.concat_ws(
-                    " ", F.slice(F.split(F.col(text_col), WS), i + 1, n)
-                ),
-            )
+                    lambda _, i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                )
+            ),
         ).alias("grams"),
     ).persist()
     return (

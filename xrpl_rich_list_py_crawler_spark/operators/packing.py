@@ -363,24 +363,32 @@ def chunk_documents(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), WS), lambda x: x != ""
     )
-    n = F.size(toks)
-    # number of windows: 1 + ceil(max(n - chunk, 0) / stride), via
-    # integral arithmetic; n == 0 → no chunks
-    extra = F.greatest(n - F.lit(int(chunk_tokens)), F.lit(0))
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
-    )
-    windows = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * stride + 1, int(chunk_tokens)),
-    )
+
+    def _windows(tk):
+        # number of windows: 1 + ceil(max(n - chunk, 0) / stride), via
+        # integral arithmetic; n == 0 → no chunks
+        n = F.size(tk)
+        extra = F.greatest(n - F.lit(int(chunk_tokens)), F.lit(0))
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.lit(1)
+            + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        )
+        return F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(tk, i * stride + 1, int(chunk_tokens)),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+
+    from ..operators.textstats import bind_once
+
+    # bind_once: every window slices back into the token array — without
+    # the binding the split re-ran once per window and once per size
+    # reference (r06)
     out = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.when(n_chunks > 0, windows).otherwise(
-                F.array().cast("array<array<string>>")
-            )
-        ).alias("chunk_ix", "_toks"),
+        F.posexplode(bind_once(toks, _windows)).alias("chunk_ix", "_toks"),
     )
     return out.select(
         id_col,

@@ -30,6 +30,25 @@ _STOPWORDS_EN = (
 ).split()
 
 
+def bind_once(arr, f):
+    """Evaluate ``arr`` exactly once per row and pass the result to ``f``
+    as a higher-order-function lambda variable.
+
+    Referencing a COMPUTED array expression (a split, an md5 fan-out)
+    inside a ``transform``/``filter`` lambda duplicates the whole subtree
+    into every lambda evaluation — Catalyst inlines it and interpreted
+    HOFs perform no common-subexpression elimination — so building
+    bigrams by indexing back into the token-split array re-ran the split
+    once per position, O(len²) per document (r06 measurements:
+    repetition_stats 5.0s, hashed-BOW vectors 9s, both dominated by this).
+    A lambda variable is bound once per row and cannot be re-inlined, so
+    ``transform(array(arr), f)[0]`` makes any fan-out over ``arr``
+    single-evaluation at the cost of a 1-element array wrapper. Results
+    are identical — the same expression tree runs, just once.
+    """
+    return F.transform(F.array(arr), f).getItem(0)
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count (the cheap proxy)."""
     t = F.trim(text)
@@ -353,15 +372,16 @@ def repetition_stats(
         F.explode(F.split(F.lower(F.trim(t)), WS)).alias("term"),
     ).filter(F.col("term") != "")
     arr = F.filter(F.split(F.lower(F.trim(t)), WS), lambda x: x != "")
-    bigrams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
-                lambda w, i: F.concat_ws(" ", w, F.get(arr, i + 1)),
-            )
-        ).alias("term"),
+    # bind_once: the pairing lambda indexes back into the token array —
+    # without the binding the split re-ran once per bigram position (r06)
+    bigram_arr = bind_once(
+        arr,
+        lambda a: F.transform(
+            F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))),
+            lambda w, i: F.concat_ws(" ", w, F.get(a, i + 1)),
+        ),
     )
+    bigrams = df.select(F.col(id_col), F.explode(bigram_arr).alias("term"))
 
     def _top(term_df, out_cnt: str, out_n: str):
         per_term = term_df.groupBy(id_col, "term").agg(
