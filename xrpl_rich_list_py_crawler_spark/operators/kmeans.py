@@ -95,11 +95,22 @@ def _dist2_col(qvec, centroid: list[int]):
 
 def assign_cells_col(qvec, centroids: list[list[int]]):
     """(cell, dist2) struct column: argmin over centroid literals with
-    lowest-index tiebreak (``array_position`` finds the first min)."""
+    lowest-index tiebreak (``array_position`` finds the first min).
+
+    The k-distance array is bound once as a lambda variable
+    (textstats.bind_once rationale): referencing the raw ``dists``
+    expression from both the argmin and the min would inline the k×dim
+    integer folds three times per row."""
+    from .textstats import bind_once
+
     dists = F.array(*[_dist2_col(qvec, c) for c in centroids])
-    best = F.array_min(dists)
-    cell = (F.array_position(dists, best) - F.lit(1)).cast("int")
-    return F.struct(cell.alias("cell"), best.alias("dist2"))
+
+    def _pick(ds):
+        best = F.array_min(ds)
+        cell = (F.array_position(ds, best) - F.lit(1)).cast("int")
+        return F.struct(cell.alias("cell"), best.alias("dist2"))
+
+    return bind_once(dists, _pick)
 
 
 def kmeans_train(

@@ -48,11 +48,25 @@ def brute_force_topk(
     queries is small (broadcast); corpus side streams through codegen.
     Per-query top-k via window rank — with Q queries and N vectors the
     shuffle carries Q·N scored rows; use the LSH variant when Q is large.
+
+    Norms are precomputed per ROW on each side before the pair fan-out
+    (r06): cosine = dot/(‖a‖·‖b‖) evaluates the identical IEEE
+    expression tree, but the two norm folds run N+Q times instead of
+    N·Q times.
     """
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+    emb_n = embeddings.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("_na")
+    )
+    q_n = queries.select(
+        q_id_col, q_vec_col, _norm(F.col(q_vec_col)).alias("_nb")
+    )
+    scored = emb_n.crossJoin(F.broadcast(q_n)).select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("cosine"),
     ).filter(F.col(id_col) != F.col(q_id_col))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -115,12 +129,21 @@ def lsh_topk(
     Bucketing is pure JVM (``bucket_col``) — no Python in the hot path.
     """
     planes = hyperplanes(dim, n_planes)
-    emb_b = embeddings.withColumn("_bkt", bucket_col(F.col(vec_col), planes))
-    q_b = queries.withColumn("_bkt", bucket_col(F.col(q_vec_col), planes))
+    emb_b = embeddings.withColumn(
+        "_bkt", bucket_col(F.col(vec_col), planes)
+    ).withColumn("_na", _norm(F.col(vec_col)))
+    q_b = queries.withColumn(
+        "_bkt", bucket_col(F.col(q_vec_col), planes)
+    ).withColumn("_nb", _norm(F.col(q_vec_col)))
+    # per-row norms precomputed before the pair fan-out (r06, same IEEE
+    # expression tree as cosine_col — identical doubles)
     scored = emb_b.join(F.broadcast(q_b), "_bkt").select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("cosine"),
     ).filter(F.col(id_col) != F.col(q_id_col))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -194,13 +217,20 @@ def ivf_topk(
     coarse centroids — e.g. ``operators.kmeans.kmeans_train`` output
     de-quantized by its scale — instead of the deterministic stand-ins;
     ``n_cells`` is then taken from the array."""
+    from .textstats import bind_once
+
     if centroids is not None:
         cents = np.asarray(centroids, dtype=float)
     else:
         cents = ivf_centroids(dim, n_cells)
     scores = centroid_scores_col(F.col(vec_col), cents)
+    # bind the n_cells-fold score array once: argmax references it twice
+    # and would otherwise inline the whole dot-product fan twice (r06)
     emb_cell = embeddings.withColumn(
-        "_cell", F.array_position(scores, F.array_max(scores)).cast("int")
+        "_cell",
+        bind_once(
+            scores, lambda s: F.array_position(s, F.array_max(s))
+        ).cast("int"),
     )
     q_scores = queries.withColumn(
         "_s", centroid_scores_col(F.col(q_vec_col), cents)
@@ -216,11 +246,21 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(q_id_col, q_vec_col, "_cell")
     )
-    scored = emb_cell.join(F.broadcast(q_cells), "_cell").select(
-        F.col(q_id_col),
-        F.col(id_col),
-        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
-    ).filter(F.col(id_col) != F.col(q_id_col))
+    # per-row norms precomputed before the pair fan-out (r06, same IEEE
+    # expression tree as cosine_col — identical doubles)
+    scored = (
+        emb_cell.withColumn("_na", _norm(F.col(vec_col)))
+        .join(F.broadcast(q_cells.withColumn("_nb", _norm(F.col(q_vec_col)))), "_cell")
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            (
+                _dot(F.col(vec_col), F.col(q_vec_col))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col(id_col) != F.col(q_id_col))
+    )
     rw = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -270,17 +310,25 @@ def cosine_near_dup_pairs(
             lambda n: F.pmod(F.xxhash64(F.col("_id")), n),
             max_block_size, "cosine near-dup",
         )
+    # per-row norms precomputed before the pair fan-out (r06): cosine =
+    # dot/(‖a‖·‖b‖) evaluates the identical IEEE expression tree, but the
+    # two norm folds run N times each instead of once per PAIR
     left = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), *on
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        _norm(F.col("_v")).alias("_na"), *on,
     )
     right = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), *on
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        _norm(F.col("_v")).alias("_nb"), *on,
     )
     cond = F.col("id_a") < F.col("id_b")
     joined = left.join(right, on=on) if on else left.crossJoin(right)
     return (
         joined.filter(cond)
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -321,10 +369,17 @@ def semdedup(
     identical either way, and the literals make the operator exactly
     DuckDB-oracle-checkable.
     """
+    from .textstats import bind_once
+
     cents = ivf_centroids(dim, n_cells)
     scores = centroid_scores_col(F.col(vec_col), cents)
+    # bind the n_cells-fold score array once: argmax references it twice
+    # and would otherwise inline the whole dot-product fan twice (r06)
     celled = embeddings.select(id_col, vec_col).withColumn(
-        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+        "cell",
+        bind_once(
+            scores, lambda s: F.array_position(s, F.array_max(s))
+        ).cast("int"),
     )
     pairs = cosine_near_dup_pairs(
         celled,
@@ -497,20 +552,27 @@ def margin_topk(
         side.alias("_qside"),
     )
     a = base.filter("_qside").select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va")
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        _norm(F.col("_v")).alias("_na"),
     )
     b = base.filter(~F.col("_qside")).select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        _norm(F.col("_v")).alias("_nb"),
     )
     # round the cosine ONCE, up front: every downstream double (running
     # sums, margins, the threshold compare) is then derived from inputs
     # that are bit-identical across engines — an unrounded cosine differs
     # in the last ulp between kernels and a margin landing on a 6-dp
-    # rounding boundary would flip (observed once at sf0.01)
+    # rounding boundary would flip (observed once at sf0.01). Norms are
+    # precomputed per row before the pair fan-out (r06) — the identical
+    # IEEE expression tree, evaluated N+M times instead of N·M.
     pairs = a.crossJoin(b).select(
         "id_a",
         "id_b",
-        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("_cos"),
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+            6,
+        ).alias("_cos"),
     )
 
     def _den(key_id: str, other_id: str, out: str) -> DataFrame:
