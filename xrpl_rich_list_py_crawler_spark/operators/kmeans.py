@@ -97,20 +97,48 @@ def assign_cells_col(qvec, centroids: list[list[int]]):
     """(cell, dist2) struct column: argmin over centroid literals with
     lowest-index tiebreak (``array_position`` finds the first min).
 
-    The k-distance array is bound once as a lambda variable
-    (textstats.bind_once rationale): referencing the raw ``dists``
-    expression from both the argmin and the min would inline the k×dim
-    integer folds three times per row."""
+    Two r06 rewrites, same math:
+
+    * the k×dim centroid table enters the plan as ONE parsed SQL
+      ``array(array(..L))`` literal instead of k·dim ``F.lit`` Column
+      calls — building the old expression cost ~0.9s of driver-side
+      py4j round-trips per iteration, more than the 2000-row Spark job
+      it described;
+    * the distance array and the input vector are bound as lambda
+      variables (textstats.bind_once rationale), so the argmin/min
+      references cannot re-inline the k integer folds.
+    """
     from .textstats import bind_once
 
-    dists = F.array(*[_dist2_col(qvec, c) for c in centroids])
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(c)}L" for c in cent) + ")"
+            for cent in centroids
+        )
+        + ")"
+    )
 
-    def _pick(ds):
-        best = F.array_min(ds)
-        cell = (F.array_position(ds, best) - F.lit(1)).cast("int")
-        return F.struct(cell.alias("cell"), best.alias("dist2"))
+    def _pick(qv):
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return bind_once(
+            dists,
+            lambda ds: F.struct(
+                (F.array_position(ds, F.array_min(ds)) - F.lit(1))
+                .cast("int")
+                .alias("cell"),
+                F.array_min(ds).alias("dist2"),
+            ),
+        )
 
-    return bind_once(dists, _pick)
+    return bind_once(qvec, _pick)
 
 
 def kmeans_train(
@@ -149,9 +177,11 @@ def kmeans_train(
             a = q.select(
                 "q", assign_cells_col(F.col("q"), centroids)["cell"].alias("cell")
             )
+            # F.expr per component: one parsed string beats two py4j
+            # Column calls each at dim=64+ (r06 driver-overhead fix)
             sums = a.groupBy("cell").agg(
                 F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+                *[F.expr(f"sum(q[{i}]) AS s{i}") for i in range(dim)],
             )
             got = {int(r.cell): r for r in sums.collect()}  # ≤ k rows
             centroids = [
