@@ -93,10 +93,22 @@ def bucket_col(vec, planes: np.ndarray):
     emits — identical summation order ⇒ identical signs on both engines."""
     b = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = _plane_expr(p)
         dot = _dot(vec, plane)
         b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
+
+
+def _plane_expr(p):
+    """A double-array literal as ONE parsed SQL expression — dim F.lit
+    Column calls cost a py4j round-trip each, which at plane/centroid
+    tables of 16×64 doubles dominated plan-construction time (r06).
+    ``CAST(repr AS DOUBLE)`` parses the exact decimal then converts
+    correctly-rounded — the identical IEEE double ``F.lit(float(x))``
+    produced."""
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p) + ")"
+    )
 
 
 def bucket_sql(vec_expr: str, planes: np.ndarray) -> str:
@@ -174,8 +186,7 @@ def centroid_scores_col(vec, centroids: np.ndarray):
     (left-assoc — matches :func:`centroid_scores_sql` exactly)."""
     dots = []
     for c in centroids:
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        dots.append(_dot(vec, plane))
+        dots.append(_dot(vec, _plane_expr(c)))
     return F.array(*dots)
 
 
