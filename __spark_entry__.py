@@ -72,8 +72,65 @@ def _dec(col) -> object:
     return c.cast("decimal(20,6)")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+#: tables smaller than this skip the spread entirely (dims like region/
+#: nation — the repartition exchange would cost more than it buys)
+_SPREAD_FLOOR_BYTES = 100 << 10
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            e.stat().st_size
+            for e in os.scandir(path)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+    return 0
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Small-scan parallelization (guide §2.5/§6.1, r06): a parquet table
+    smaller than one input split (spark.sql.files.maxPartitionBytes,
+    default 128 MB) plans as a SINGLE-partition scan, so every map-heavy
+    pipeline over it — gram explodes, regex walks, Arrow signature UDFs,
+    map-side partial aggregation — ran single-threaded until its first
+    exchange. Every sf fixture table is in that regime (documents at
+    sf0.1 is 0.6 MB).
+
+    Scale-adaptive, not a local[32] constant: the spread fires only when
+    the file bytes yield fewer natural splits than the session's core
+    count, so at production corpus sizes (≥ cores × split bytes) it is a
+    no-op and the scan's own splits carry the parallelism. Results are
+    unaffected — the engine's parallelism-invariance contract
+    (tests/test_parallelism_invariance.py) pins that.
+
+    OPT-IN per query (r06 A/B): the exchange pays off only when the scan
+    feeds CPU-heavy per-row work (Arrow minhash signatures, regex gate
+    batteries, bigram explodes) in a pipeline with few downstream
+    stages. Light multi-stage queries lose more to 32-task scheduling
+    per stage than they gain (media_decode 0.38s -> 4.6s under a blanket
+    spread), so ``_t``/``_fix`` default to the plain scan.
+    """
+    size = _path_bytes(path)
+    if size < _SPREAD_FLOOR_BYTES:
+        return df
+    try:
+        mpb = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes")).rstrip("b"))
+    except (TypeError, ValueError):
+        mpb = 128 << 20
+    par = spark.sparkContext.defaultParallelism
+    if size // mpb >= par:
+        return df
+    return df.repartition(par)
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(p)
+    return _spread(spark, df, p) if spread else df
 
 
 def _crawl_sf(sf_dir: str) -> str:
@@ -81,9 +138,13 @@ def _crawl_sf(sf_dir: str) -> str:
     return base if base.startswith("sf") else "sf0.01"
 
 
-def _fix(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _fix(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     d = ensure_crawl_fixtures(_crawl_sf(sf_dir))
-    return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+    p = os.path.join(d, f"{name}.parquet")
+    df = spark.read.parquet(p)
+    return _spread(spark, df, p) if spread else df
 
 
 def _fix_shared(spark: SparkSession, name: str) -> DataFrame:
@@ -863,7 +924,7 @@ def _q_training_mix(spark, sf):
         training_mix,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     train = d.filter(F.col("doc_id") % 10 != 7)
     bench = d.filter(F.col("doc_id") % 10 == 7)
     return training_mix(
@@ -978,7 +1039,7 @@ def _q_bigram_quality(spark, sf):
     exact integer sufficient statistics, divisions only at the end)."""
     from xrpl_rich_list_py_crawler_spark.operators import lm
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return lm.bigram_quality(d, lm.bigram_vocab(d, k=500))
 
 
@@ -1057,7 +1118,7 @@ def _q_repetition_stats(spark, sf):
     %4==2 docs get a 3×-duplicated footer line, so every ratio branch
     measurably engages. Explode → (doc,term) → (doc) two-level groupBy;
     exact-integer ratios."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     did = F.col("doc_id")
     rep_text = (
         F.when(
@@ -1225,7 +1286,7 @@ def _q_minhash_neardups(spark, sf):
     with true char-gram Jaccard ≥ 0.5 (the fixture distribution is bimodal —
     noise < 0.15, dups > 0.9 — and LSH recall at 16 bands × 4 rows is
     1-(1-j⁴)¹⁶ ≈ 1-4e-8 at j=0.9; verified exhaustively at sf0.001/0.01)."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = dd.minhash_lsh_candidates(d, bands=16, n_hashes=64)
     return (
         dd.chargram_jaccard_pairs(d, pairs, n=9, stride=3)
@@ -1275,7 +1336,7 @@ def _q_kn_doc_quality(spark, sf):
         kneser_ney_bigram,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     lm = kneser_ney_bigram(d, min_count=10)
     return kn_doc_scores(
         d, lm, rare_tau=0.02, min_coverage=0.95, max_rare_ratio=0.1
@@ -1606,7 +1667,7 @@ def _q_ccnet_buckets(spark, sf):
         kneser_ney_bigram,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     lm = kneser_ney_bigram(d, min_count=10)
     kn = kn_doc_scores(
         d, lm, rare_tau=0.02, min_coverage=0.95, max_rare_ratio=0.1
@@ -2392,7 +2453,7 @@ def _q_corpus_curation(spark, sf):
         curate_corpus,
     )
 
-    return curate_corpus(_t(spark, sf, "documents"))
+    return curate_corpus(_t(spark, sf, "documents", spread=True))
 
 
 def _q_corpus_curation_capped(spark, sf):
@@ -2409,7 +2470,9 @@ def _q_corpus_curation_capped(spark, sf):
         curate_corpus,
     )
 
-    return curate_corpus(_t(spark, sf, "documents"), max_bucket_size=2)
+    return curate_corpus(
+        _t(spark, sf, "documents", spread=True), max_bucket_size=2
+    )
 
 
 def _q_media_plumbing(spark, sf):
@@ -2487,7 +2550,7 @@ def _q_gopher_quality(spark, sf):
     word-salad fixture has almost no English stopwords (rule 7 would
     reject ~every doc), so half the corpus gets a deterministic
     stopword-bearing sentence appended — both keep branches are live."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     did = F.col("doc_id")
     text2 = F.when(
         did % 2 == 0,
@@ -3030,7 +3093,7 @@ def _q_dsir_select(spark, sf):
         weighted_sample,
     )
 
-    d = _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents", spread=True).select(
         "doc_id", "text", (F.col("doc_id") % 10 < 2).alias("is_target")
     )
     w = lm.dsir_weights(d).select("doc_id", "importance")

@@ -58,6 +58,18 @@ def index_pages(pages: DataFrame) -> DataFrame:
     """
     if "url_hash" in pages.columns:
         return pages
+    # small-corpus spread (r06, guide §2.5): a corpus parquet below one
+    # input split scans as a single partition, so the one-time keying
+    # pass (Arrow canonicalization + hash) ran on one core. No-op at
+    # real corpus sizes, where the scan has ≥ core-count splits.
+    spark = pages.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_in = pages.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - conversion quirks
+        n_in = par
+    if n_in < par:
+        pages = pages.repartition(par)
     canon = canonicalize_urls_split(pages, "url", "canon_url")
     return canon.select(
         F.xxhash64("canon_url").alias("url_hash"),
