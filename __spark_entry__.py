@@ -1304,7 +1304,7 @@ def _q_minhash_incremental(spark, sf):
     minhash_neardups: emitted pairs are exactly the cross-split pairs
     with true Jaccard ≥ 0.5 (LSH recall ≈ 1-4e-8 at j=0.9 with 16
     bands × 4 rows on the bimodal fixture)."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     new_side = d.filter(F.col("doc_id") % 10 >= 8)
     ref_side = d.filter(F.col("doc_id") % 10 < 8)
     cand = dd.minhash_vs_reference(
