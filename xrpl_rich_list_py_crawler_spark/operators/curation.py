@@ -279,7 +279,16 @@ def ngram_contamination(
         doc_grams = doc_grams.select(
             id_col, F.xxhash64("gram").alias("gram_h")
         )
-        bench_h = bench_grams.select(F.xxhash64("gram").alias("gram_h"))
+        # persist (r06): the benchmark gram-hash set feeds the bloom
+        # sizing count, the shard build, and the exact semi join — three
+        # replays of the benchmark n-gram fan-out without the barrier.
+        # Benchmark-sized (small by definition), so scale-safe to cache;
+        # the corpus side is deliberately NOT cached (it is bigger than
+        # the corpus itself at scale) — its second consumer was the
+        # totals groupBy, now computed per-row instead (below).
+        bench_h = bench_grams.select(
+            F.xxhash64("gram").alias("gram_h")
+        ).persist()
         probe = doc_grams
         if bloom_prefilter:
             import pandas as pd  # noqa: F401 (pandas_udf resolution)
@@ -310,7 +319,15 @@ def ngram_contamination(
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_contaminated"))
         )
-    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # totals per ROW (r06): n_grams is the size of the doc's distinct-gram
+    # array — identical to counting the exploded rows (the array is never
+    # empty: short docs contribute their whole run as one gram), but it
+    # skips a second corpus-wide gram explode plus a groupBy shuffle
+    totals = docs.select(
+        F.col(id_col),
+        # cast: COUNT(*) was bigint; size() is int — keep the schema
+        F.size(token_ngrams_col(text_col, n)).cast("long").alias("n_grams"),
+    )
     return (
         totals.join(hits, id_col, "left")
         .select(

@@ -88,12 +88,19 @@ def bigram_vocab(
     bgs = df.select(
         F.explode(bigram_col(F.col(text_col))).alias("bigram")
     )
-    counts = bgs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist (r06): the pair-count table feeds both the prefix totals and
+    # the top-k cut; without the barrier each replayed the corpus bigram
+    # explode. Vocabulary-scale cache. The prefix totals are derived FROM
+    # the counts (Σ cnt per w1 ≡ occurrence count per w1) so the corpus
+    # explode runs exactly once.
+    counts = bgs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
     ctx = (
-        bgs.groupBy(
+        counts.groupBy(
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
         )
-        .agg(F.count(F.lit(1)).alias("w1_cnt"))
+        .agg(F.sum("cnt").alias("w1_cnt"))
     )
     topk = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(k)
     topk = topk.withColumn(
@@ -290,9 +297,14 @@ def kneser_ney_bigram(
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
+    # persist (r06): four consumers (left-context totals, right-context
+    # fan-ins, the scalar type count, and the final join) each replayed
+    # the corpus-wide bigram explode + pair groupBy without the barrier.
+    # pc is the distinct-pair table — vocabulary-scale, not corpus-scale —
+    # so the cache is bounded like the model dim it produces.
     pc = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).persist()
     left = pc.groupBy("w1").agg(
         F.sum("cnt").cast("bigint").alias("c_w1"),
         F.count(F.lit(1)).cast("bigint").alias("n1_fwd"),
@@ -497,7 +509,10 @@ def pmi_phrases(
             )
         ).alias("w")
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # persist (r06): the unigram dim feeds the corpus total and both join
+    # sides — three replays of the token explode without the barrier.
+    # Vocabulary-scale cache.
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     total = uni.agg(F.sum("c").cast("long").alias("N"))
     pairs = (
         df.select(F.explode(bigram_col(F.col(text_col))).alias("bigram"))
