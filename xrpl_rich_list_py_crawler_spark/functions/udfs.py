@@ -182,10 +182,21 @@ def extract_text_col(html: Column) -> Column:
     remain exported for callers that want the pandas path.
     """
     s = F.make_valid_utf8(html.cast("string"))
-    title = F.slice(F.regexp_extract_all(s, F.lit(TITLE_PATTERN), 1), 1, 1)
-    paras = F.regexp_extract_all(s, F.lit(PARA_PATTERN), 1)
+
+    # bind the repaired string once (operators.textstats.bind_once
+    # rationale, inlined here to keep functions/ import-free of
+    # operators/): the title and para scans both reference it, and the
+    # optimizer would otherwise inline the cast + make_valid_utf8 repair
+    # of the full blob into each (r06)
+    def _txt(ss):
+        title = F.slice(
+            F.regexp_extract_all(ss, F.lit(TITLE_PATTERN), 1), 1, 1
+        )
+        paras = F.regexp_extract_all(ss, F.lit(PARA_PATTERN), 1)
+        return F.array_join(F.concat(title, paras), "\n")
+
     return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(
-        F.array_join(F.concat(title, paras), "\n")
+        F.transform(F.array(s), _txt).getItem(0)
     )
 
 

@@ -229,10 +229,13 @@ def dsir_weights(
         % n_buckets
     )
     toks = toks.select(id_col, "_t", bucket.alias("bucket"))
+    # persist (r06): the ≤ n_buckets model rows feed both the global
+    # totals and the broadcast scoring join — without the barrier each
+    # replayed the corpus token explode. Bounded cache (n_buckets rows).
     model = toks.groupBy("bucket").agg(
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_cnt"),
         F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("s_cnt"),
-    )
+    ).persist()
     totals = model.agg(
         F.sum("t_cnt").alias("_tt"), F.sum("s_cnt").alias("_st")
     )
