@@ -1483,7 +1483,7 @@ def _q_canonical_by_quality(spark, sf):
     of the smallest id — the RefinedWeb keep-the-best refinement. The
     oracle extends the recursive-CTE transitive closure with the same
     comp-partitioned window."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = (
         dd.chargram_jaccard_pairs(
             d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
@@ -1719,7 +1719,7 @@ def _q_neardup_components(spark, sf):
     the same components with a recursive CTE over the exact char-gram
     pair set — certifying the distributed label propagation against
     closed-form transitive closure."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = (
         dd.chargram_jaccard_pairs(
             d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
@@ -2588,7 +2588,7 @@ def _q_leakage_safe_split(spark, sf):
         leakage_safe_split,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = (
         dd.chargram_jaccard_pairs(
             d, dd.minhash_lsh_candidates(d, bands=16, n_hashes=64),
