@@ -181,22 +181,19 @@ def extract_text_col(html: Column) -> Column:
     With this, the whole crawl round is Python-free; the Arrow UDFs
     remain exported for callers that want the pandas path.
     """
+    # NOTE (r06): the duplicated ``s`` below is fine — this expression
+    # lives in a PROJECT, where whole-stage codegen's subexpression
+    # elimination already evaluates the cast + make_valid_utf8 repair
+    # once. A bind-once lambda wrapper (the fix for duplicates inside
+    # interpreted HOF lambdas, operators.textstats.bind_once) was tried
+    # and measured ~25% SLOWER here: it forces the regex walks out of
+    # codegen into interpreted lambda evaluation. Only lambda-captured
+    # duplicates need the wrapper; project-level duplicates do not.
     s = F.make_valid_utf8(html.cast("string"))
-
-    # bind the repaired string once (operators.textstats.bind_once
-    # rationale, inlined here to keep functions/ import-free of
-    # operators/): the title and para scans both reference it, and the
-    # optimizer would otherwise inline the cast + make_valid_utf8 repair
-    # of the full blob into each (r06)
-    def _txt(ss):
-        title = F.slice(
-            F.regexp_extract_all(ss, F.lit(TITLE_PATTERN), 1), 1, 1
-        )
-        paras = F.regexp_extract_all(ss, F.lit(PARA_PATTERN), 1)
-        return F.array_join(F.concat(title, paras), "\n")
-
+    title = F.slice(F.regexp_extract_all(s, F.lit(TITLE_PATTERN), 1), 1, 1)
+    paras = F.regexp_extract_all(s, F.lit(PARA_PATTERN), 1)
     return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(
-        F.transform(F.array(s), _txt).getItem(0)
+        F.array_join(F.concat(title, paras), "\n")
     )
 
 
