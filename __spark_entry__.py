@@ -884,7 +884,7 @@ def _q_ngram_contamination(spark, sf):
         ngram_contamination,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     corpus = d.filter(F.col("doc_id") % 10 != 7)
     bench = d.filter(F.col("doc_id") % 10 == 7)
     return ngram_contamination(corpus, bench)
@@ -2901,7 +2901,7 @@ def _q_corpus_report(spark, sf):
         training_mix,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     train = d.filter(F.col("doc_id") % 10 != 7)
     bench = d.filter(F.col("doc_id") % 10 == 7)
     v = training_mix(
